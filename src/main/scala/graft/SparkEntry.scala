@@ -17,6 +17,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
+      (operators.EtlOps.queries, operators.EtlOps.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,185 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DirectorySnapshot — the engine's replacement for the LDAP tree
+  * (SURVEY.md §1.1): one row per entry, `dn` unique, attribute bag as
+  * `Map[String, Array[String]]`, persisted as Parquet. Mutations happen
+  * via set-based MERGE (SyncEngine), never point writes.
+  *
+  * Also holds the golden dump codec: the exact text format of the
+  * reference's verification dump (ldaptest.py:287–300 `iter`), which is
+  * our equivalence oracle, and its parser (to load reference-provided
+  * tree states as fixtures).
+  */
+object Directory {
+
+  /** Entry row; `attrs` values are always non-empty value lists. */
+  case class Entry(dn: String, attrs: Map[String, Seq[String]])
+
+  import org.apache.spark.sql.Encoder
+  implicit val entryEnc: Encoder[Entry] =
+    org.apache.spark.sql.Encoders.product[Entry]
+
+  // ---- dn algebra (reference etl.py:79–81, 1095, ldaptest.py:142–146) --
+
+  def parentDn(dn: String): String = dn.split(",", 2) match {
+    case Array(_, rest) => rest
+    case _ => ""
+  }
+  def rdnValue(dn: String): String = dn.split(",", 2)(0).split("=", 2)(1)
+
+  /** Column forms for set-based use. */
+  def parentDnCol(dn: Column): Column = regexp_replace(dn, "^[^,]*,", "")
+  def rdnValueCol(dn: Column): Column =
+    regexp_extract(dn, "^[^=]*=([^,]*)", 1)
+
+  // ---- attribute lists driving the dump format ------------------------
+
+  /** Attrs the reference's ldap3 client renders as Python lists (standard
+    * LDAP schema attrs) — everything else prints as a bare scalar. The
+    * source-side multi-value attrs (F4) are arrays too (golden files show
+    * `phonlineFunktionen=['…']`).
+    */
+  val listReprAttrs: Set[String] = Set(
+    "o", "ou", "cn", "sn", "givenName", "objectClass",
+    "phonlineFunktionen", "phonlineSchulkennzahlen")
+
+  /** Attrs omitted from the dump (ldaptest.py:191–195 iter_ignore). */
+  val iterIgnore: Set[String] = Set("patchlevel", "etlTimestamp", "etdTimestamp")
+
+  // ---- DFS ordering ---------------------------------------------------
+
+  /** Sort key reproducing the reference's DFS with case-insensitively
+    * sorted children (ldaptest.py:119–140): lexicographic on the
+    * lower-cased, root-first RDN path. `,` sorts below every character
+    * RDNs use, so a parent (prefix) precedes its subtree and subtrees
+    * stay contiguous.
+    */
+  def dfsKey(dn: Column): Column =
+    lower(array_join(reverse(split(dn, ",")), ","))
+
+  // ---- golden dump codec ---------------------------------------------
+
+  private def pyRepr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Format one entry exactly like `ldaptest.py iter` prints it. */
+  def formatEntry(e: Entry): String = {
+    val sb = new StringBuilder(e.dn)
+    sb.append(' ')
+    e.attrs.keys.toSeq.sorted.foreach { k =>
+      if (!iterIgnore.contains(k)) {
+        val v = e.attrs(k)
+        val s =
+          if (k == "userPassword") v.head.split("\\}", 2)(0) + "}"
+          else if (listReprAttrs.contains(k)) v.map(pyRepr).mkString("[", ", ", "]")
+          else v.mkString(";") // custom attrs are single-valued in practice
+        sb.append(k).append('=').append(s).append(' ')
+      }
+    }
+    sb.toString
+  }
+
+  /** Whole-tree dump in DFS order + trailing count, byte-identical to
+    * `ldaptest.py -2 iter` output (our golden oracle).
+    */
+  def dump(snapshot: Dataset[Entry]): String = {
+    implicit val strEnc: Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val lines = snapshot
+      .withColumn("k", dfsKey(col("dn")))
+      .orderBy("k")
+      .drop("k")
+      .as[Entry]
+      .map(formatEntry _)
+      .collect()
+    lines.mkString("", "\n", "\n") + "\n\nCount: " + lines.length + "\n"
+  }
+
+  private val attrBoundary = java.util.regex.Pattern
+    .compile(" ([A-Za-z][A-Za-z0-9-]*)=")
+
+  /** Parse one dump line back into an Entry (fixture loader). */
+  def parseLine(line: String): Entry = {
+    val m = attrBoundary.matcher(line)
+    var bounds = List.empty[(Int, Int, String)] // (start, valueStart, name)
+    while (m.find()) bounds = (m.start, m.end, m.group(1)) :: bounds
+    val bs = bounds.reverse
+    val dn = line.substring(0, bs.head._1)
+    val attrs = bs.zipWithIndex.map { case ((_, vStart, name), i) =>
+      val end = if (i + 1 < bs.size) bs(i + 1)._1 else line.length
+      var raw = line.substring(vStart, end)
+      if (i + 1 == bs.size && raw.endsWith(" ")) raw = raw.dropRight(1)
+      val values: Seq[String] =
+        if (raw.startsWith("['") && raw.endsWith("']"))
+          raw.substring(2, raw.length - 2).split("', '", -1).toSeq
+            .map(_.replace("\\'", "'").replace("\\\\", "\\"))
+        else Seq(raw)
+      name -> values
+    }.toMap
+    Entry(dn, attrs)
+  }
+
+  /** Load a reference dump file (e.g. testdata/ldapII.txt) as a snapshot;
+    * skips blank lines and the `Count:` trailer.
+    */
+  def parseDump(spark: SparkSession, text: String): Dataset[Entry] = {
+    val entries = text.split("\n").toIndexedSeq
+      .filter(l => l.nonEmpty && !l.startsWith("Count:"))
+      .map(parseLine)
+    spark.createDataset(entries)
+  }
+
+  def fromParquet(spark: SparkSession, path: String): Dataset[Entry] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Entry]
+  }
+
+  /** Atomic snapshot publish: write v+1 to a fresh dir, then swap a
+    * pointer file — copy-on-write MERGE (SURVEY.md §4 custom piece #1).
+    * At cluster scale this would be a transactional table format commit;
+    * the pointer-file protocol has the same reader-isolation property.
+    */
+  def save(snapshot: Dataset[Entry], dir: String): Unit = {
+    val spark = snapshot.sparkSession
+    val version = System.nanoTime()
+    val dataPath = s"$dir/v$version"
+    snapshot.write.mode("overwrite").parquet(dataPath)
+    val ptr = new java.io.File(s"$dir/CURRENT")
+    val tmp = new java.io.File(s"$dir/CURRENT.tmp")
+    java.nio.file.Files.createDirectories(new java.io.File(dir).toPath)
+    java.nio.file.Files.writeString(tmp.toPath, s"v$version")
+    java.nio.file.Files.move(tmp.toPath, ptr.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load(spark: SparkSession, dir: String): Dataset[Entry] = {
+    val v = java.nio.file.Files.readString(
+      new java.io.File(s"$dir/CURRENT").toPath).trim
+    fromParquet(spark, s"$dir/$v")
+  }
+
+  /** C10 — bootstrap structural entries for a base dn chain, plus the
+    * `ou=ETD,ou=idnSync` sibling for `ou=user` bases (etl.py:806–851).
+    */
+  def bootstrapEntries(baseDns: Seq[String]): Seq[Entry] = {
+    val chains = baseDns.flatMap { dn =>
+      val spdn = dn.split(",").toSeq
+      val lists = Seq(spdn) ++
+        (if (spdn.head == "ou=user")
+          Seq(Seq("ou=ETD", "ou=idnSync") ++ spdn.tail) else Nil)
+      lists.flatMap { rdns =>
+        // top-down chain of (dn, rdn)
+        rdns.indices.map(i => (rdns.drop(i).mkString(","), rdns(i)))
+      }
+    }
+    chains.distinct.map { case (dn, rdn) =>
+      val Array(k, v) = rdn.split("=", 2)
+      val oc = if (k == "o") "organization" else "organizationalUnit"
+      Entry(dn, Map(k -> Seq(v), "objectClass" -> Seq(oc)))
+    }
+  }
+}

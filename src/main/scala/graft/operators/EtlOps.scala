@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl._
+
+/** Driver-contract surface for the CDC/directory-sync engine (SURVEY.md
+  * §2.8, §3). These queries exercise the real pipelines against the
+  * reference's own fixture data; they are not SQL-expressible, so the
+  * driver records rows-only checks — the byte-exact golden equivalence
+  * lives in the ScalaTest suites (EtlCoreSpec).
+  */
+object EtlOps {
+
+  private val refData = "/root/reference/testdata"
+
+  /** Full initial_load against the reference fixtures; returns the
+    * canonical dump as one row per directory entry (deterministic).
+    */
+  def etlInitialLoad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pre = Directory.parseDump(s,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+    val users = EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
+      .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
+    val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
+      cryptoIvHex = Some("0" * 32))
+    val out = InitialLoad.run(pre, users, conf)
+    out.snapshot
+      .map(Directory.formatEntry _)
+      .toDF("entry_line")
+      .orderBy("entry_line")
+  }
+
+  /** Conversion-function surface (F1–F5) over the reference user CSV. */
+  def etlConvert(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ConvertF._
+    EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
+      .select(
+        col("benutzername"),
+        fromDbNumber(col("pk_uniqueid")).as("uid"),
+        fromDbDate(col("geburtsdatum")).as("geb"),
+        fromMulti(col("funktionen")).as("funk"),
+        fromDbRstrip(col("vorname")).as("vorname"))
+      .orderBy("benutzername")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_etl_initial_load" -> (etlInitialLoad _),
+    "q_etl_convert" -> (etlConvert _),
+  )
+
+  /** Not DuckDB-expressible (directory MERGE semantics) → rows-only. */
+  val oracles: Map[String, String] = Map.empty
+}
