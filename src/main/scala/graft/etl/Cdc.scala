@@ -1,0 +1,196 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Directory.Entry
+
+/** §3.1 — the CDC micro-batch: one poll cycle of the reference's `etl`
+  * action (etl.py:576–733) as a set-based pipeline:
+  *
+  *   garbage-collect → scan ≤N new/errored events → validate (P3, fatal
+  *   rows routed to status F, never exceptions) → J1 join to current
+  *   user rows → MERGE the present uids / delete-mark the absent ones →
+  *   status matrix (C8: S/W/E/F with retry counter) → eventlog
+  *   writeback.
+  *
+  * The reference applies events one at a time and re-reads the current
+  * DB row per event, so replays are idempotent; the set-based engine
+  * exploits exactly that: one MERGE per distinct uid, while the status
+  * matrix still produces a verdict per event (sequencing within a uid is
+  * reconstructed from record_id order — SURVEY.md §4.3).
+  */
+object Cdc {
+
+  case class CycleResult(
+      snapshot: Dataset[Entry],
+      eventlog: DataFrame,        // full table with statuses written back
+      eventUpdates: DataFrame,    // record_id, status, error_message, attempt
+      renames: DataFrame)         // old_cn, new_cn queue for ph15 (C3)
+
+  private def trimEq(c: Column, v: String): Column = rtrim(c) === v
+
+  /** One poll cycle. `users` is the current user table state; `eventlog`
+    * the current event table; returns the post-cycle snapshot and
+    * eventlog.
+    */
+  def cycle(snapshot0: Dataset[Entry], users: DataFrame, eventlog: DataFrame,
+      conf: EtlConf, maxRecords: Int = 100,
+      readTime: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis / 1000 * 1000))
+      : CycleResult = {
+    val spark = snapshot0.sparkSession
+    import spark.implicits._
+
+    // C6 — collect already-ETD-synced deleted entries at cycle start
+    val snap1 = SyncEngine.garbageCollect(snapshot0, conf)
+
+    // S3 — bounded work-queue scan (status flags are the offsets)
+    val batch = eventlog
+      .filter(trimEq(col("status"), "N") || trimEq(col("status"), "E"))
+      .orderBy("record_id")
+      .limit(maxRecords)
+
+    // P3 — validation with error routing (etl.py:615–652)
+    val uidStr = expr("split(table_key, '=', 2)[1]")
+    val validated = batch.withColumn("v_error",
+      when(!col("event_type").isin(4.0, 5.0, 6.0),
+        concat(lit(s"Invalid event_type in ${conf.db}: "), col("event_type")))
+        .when(!col("table_key").startsWith("pk_uniqueid="),
+          lit(s"Invalid table_key in ${conf.db}, expect pk_uniqueid="))
+        .when(lower(col("table_name")) =!= "benutzer_alle_dirxml_v",
+          lit(s"Invalid table_name in ${conf.db}, expect benutzer_alle_dirxml_v"))
+        .when(uidStr.rlike("^\\s*[+-]?[0-9]+\\s*$") === false,
+          concat(lit("Invalid table_key: "), uidStr,
+            lit(s" in ${conf.db}, expect numeric id"))))
+      .withColumn("uid", when(col("v_error").isNull, uidStr.cast("long")))
+
+    val valid = validated.filter(col("v_error").isNull)
+      .select(col("record_id"), col("uid"), col("event_type"),
+        col("attempt"))
+
+    // J1 — current user rows for the batch's uids (set-based lookup)
+    val batchUids = valid.select(col("uid")).distinct()
+    val batchUsers = users
+      .join(batchUids, users("pk_uniqueid").cast("long") === batchUids("uid"),
+        "left_semi")
+
+    // MERGE the uids that still have rows (is_new=false: event_type only
+    // influences warnings, which the status matrix reconstructs)
+    val newRows = SyncEngine.toNewRows(batchUsers)
+      .withColumn("is_new", lit(false))
+    val (snapMerged, outcomes) = SyncEngine.merge(snap1, newRows, conf)
+
+    // delete-mark uids with no user row left (etl.py:684–688)
+    val uidsWithRows = SyncEngine.toNewRows(batchUsers)
+      .select(col("src_uid")).distinct()
+    val goneUids = batchUids
+      .join(uidsWithRows, col("uid").cast("string") === col("src_uid"),
+        "left_anti")
+      .select(col("uid").cast("string")).as[String]
+    val snapFinal = SyncEngine.deleteInLdap(snapMerged, goneUids, conf)
+
+    // C8 — status matrix per event (etl.py:689–718)
+    val uidAgg = outcomes.toDF.groupBy(col("srcUid"))
+      .agg(
+        count(lit(1)).as("row_n"),
+        max(col("consumedDn").isNotNull).as("pre_matched"),
+        max(col("consumedDn")).as("pre_dn"),
+        max(when(col("consumedDn").isNull && col("changed"),
+          col("resultDn"))).as("add_dn"),
+        max(col("error")).as("kernel_error"),
+        max(col("warning")).as("kernel_warning"))
+
+    val w = Window.partitionBy(col("uid")).orderBy(col("record_id"))
+    val ev = valid
+      .join(uidAgg, col("uid").cast("string") === col("srcUid"), "left_outer")
+      .withColumn("row_n", coalesce(col("row_n"), lit(0L)))
+      .withColumn("first_rid", min(col("record_id")).over(
+        Window.partitionBy(col("uid"))))
+      .withColumn("exists_at",
+        coalesce(col("pre_matched"), lit(false)) ||
+          (col("row_n") > 0 && col("record_id") > col("first_rid")))
+      .withColumn("matched_dn", coalesce(col("pre_dn"), col("add_dn")))
+
+    val isInsert = col("event_type") === 5.0
+    val isDelete = col("event_type") === 4.0
+
+    // base warning: "row exists on delete" overwrites "duplicate rows"
+    // (dict replacement in the reference, etl.py:658–688)
+    val baseW =
+      when(col("row_n") >= 1 && isDelete,
+        concat(lit("Record "), col("uid"), lit(s" existing in DB ${conf.db}")))
+        .when(col("row_n") > 1,
+          concat(lit("Duplicate pk_uniqueid: "), col("uid"),
+            lit(s" in ${conf.db}")))
+    // sync-path warning per event (reconstructed sequencing; see header)
+    val syncW =
+      when(col("row_n") >= 1 && isInsert && col("exists_at"),
+        concat(lit("Found dn \""), col("matched_dn"),
+          lit("\" when sync says it should be new")))
+        .when(col("row_n") >= 1 && !isInsert &&
+            col("record_id") === col("first_rid"), col("kernel_warning"))
+        .when(col("row_n") === 0 && !isDelete,
+          concat(lit("Record "), col("uid"), lit(" not existing in DB")))
+
+    val warnMsg = concat_ws("\n", baseW, syncW)
+    val hasErr = col("kernel_error").isNotNull && col("row_n") >= 1
+    val attemptNow = coalesce(col("attempt"), lit(0.0)).cast("int")
+    val statusCol =
+      when(hasErr && attemptNow > 10, "F")
+        .when(hasErr, "E")
+        .when(length(warnMsg) > 0, "W")
+        .otherwise("S")
+    val errMsgCol =
+      when(hasErr, col("kernel_error"))
+        .when(length(warnMsg) > 0, warnMsg)
+    val attemptCol = when(hasErr, attemptNow + 1)
+
+    val evUpdates = ev.select(
+      col("record_id"),
+      statusCol.as("new_status"),
+      errMsgCol.as("new_error"),
+      attemptCol.cast("double").as("new_attempt"))
+    val fUpdates = validated.filter(col("v_error").isNotNull)
+      .select(col("record_id"), lit("F").as("new_status"),
+        col("v_error").as("new_error"),
+        lit(null).cast("double").as("new_attempt"))
+    val allUpdates = evUpdates.unionByName(fUpdates)
+
+    // S16 — batched writeback, one idempotent overwrite per cycle
+    val updated = eventlog.alias("e")
+      .join(allUpdates.alias("u"), col("e.record_id") === col("u.record_id"),
+        "left_outer")
+      .select(
+        (eventlog.columns.filterNot(Set("status", "error_message", "attempt",
+          "read_time")).map(c => col("e." + c)) ++ Seq(
+          coalesce(col("u.new_status"), col("e.status")).as("status"),
+          coalesce(col("u.new_error"), col("e.error_message")).as("error_message"),
+          coalesce(col("u.new_attempt"), col("e.attempt")).as("attempt"),
+          when(col("u.new_status").isNotNull, lit(readTime))
+            .otherwise(col("e.read_time")).as("read_time"))): _*)
+      .select(EtlSchema.eventFields.map(col): _*)
+
+    // C3 — rename queue for the end-of-cycle ph15 pass
+    val renames = outcomes.toDF
+      .filter(col("renameOldCn").isNotNull)
+      .select(col("renameOldCn").as("old_cn"), col("srcCn").as("new_cn"))
+
+    CycleResult(snapFinal, updated, allUpdates, renames)
+  }
+
+  /** C3 — end-of-cycle rename propagation into ph15 (etl.py:762–781):
+    * re-sync user rows whose benutzername matches either side of a
+    * queued rename, against the ph15 base.
+    */
+  def updatePh15Cn(snapshot: Dataset[Entry], users: DataFrame,
+      renames: DataFrame, ph15Conf: EtlConf): Dataset[Entry] = {
+    if (renames.isEmpty) return snapshot
+    val keys = renames.select(col("old_cn").as("k"))
+      .unionByName(renames.select(col("new_cn").as("k")))
+      .distinct()
+    val hit = users.join(keys, trim(col("benutzername")) === col("k"),
+      "left_semi")
+    val rows = SyncEngine.toNewRows(hit).withColumn("is_new", lit(false))
+    SyncEngine.merge(snapshot, rows, ph15Conf)._1
+  }
+}

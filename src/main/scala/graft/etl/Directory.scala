@@ -74,6 +74,11 @@ object Directory {
         val v = e.attrs(k)
         val s =
           if (k == "userPassword") v.head.split("\\}", 2)(0) + "}"
+          // idnDeleted is boolean-syntax in the directory schema; the
+          // reference's client renders it as a Python bool (golden:
+          // `idnDeleted=True`)
+          else if (k == "idnDeleted")
+            (if (v.head.equalsIgnoreCase("TRUE")) "True" else "False")
           else if (listReprAttrs.contains(k)) v.map(pyRepr).mkString("[", ", ", "]")
           else v.mkString(";") // custom attrs are single-valued in practice
         sb.append(k).append('=').append(s).append(' ')

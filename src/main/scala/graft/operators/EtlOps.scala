@@ -46,9 +46,35 @@ object EtlOps {
       .orderBy("benutzername")
   }
 
+  /** One CDC micro-batch over the reference's scenario-01 fixtures:
+    * golden initial load, apply the changeset, process the events, and
+    * return the per-event status verdicts (C8 matrix) — deterministic.
+    */
+  def etlCdcBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pre = Directory.parseDump(s,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+    val users0 = EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
+      .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
+    val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
+      cryptoIvHex = Some("0" * 32))
+    val snap = InitialLoad.run(pre, users0, conf).snapshot.localCheckpoint(true)
+    val cs = EtlSchema.readUsersCsv(s, s"$refData/changeset01.csv")
+    val users = users0.join(cs.select("pk_uniqueid"), Seq("pk_uniqueid"), "left_anti")
+      .unionByName(cs)
+    val events = EtlSchema.readEventsCsv(s, s"$refData/eventlog01.csv")
+    val r = Cdc.cycle(snap, users, events,
+      conf.copy(etlTimestamp = "20170101000100Z"))
+    r.eventUpdates
+      .select(col("record_id"), col("new_status"), col("new_error"))
+      .orderBy("record_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_etl_initial_load" -> (etlInitialLoad _),
     "q_etl_convert" -> (etlConvert _),
+    "q_etl_cdc_batch" -> (etlCdcBatch _),
   )
 
   /** Not DuckDB-expressible (directory MERGE semantics) → rows-only. */
