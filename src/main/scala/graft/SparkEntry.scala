@@ -18,6 +18,12 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.EtlOps.queries, operators.EtlOps.oracles),
+      (operators.Windows.queries, operators.Windows.oracles),
+      (operators.FunctionOps.queries, operators.FunctionOps.oracles),
+      (ops.Dedup.queries, ops.Dedup.oracles),
+      (ops.Similarity.queries, ops.Similarity.oracles),
+      (ops.TextAnalysis.queries, ops.TextAnalysis.oracles),
+      (ops.Multimodal.queries, ops.Multimodal.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Window-shaped operators over the event stream (batch forms; the
+  * streaming variants live in graft.streaming): tumbling-window
+  * aggregation, gap-based sessionization, last-event-per-key compaction
+  * (O5 — the CDC dedup rule), and row-level array set ops (T1–T3).
+  */
+object Windows {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * two analytic passes + one aggregation, all shuffle-partitioned by
+    * user — the classic scalable formulation.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSess = events(s, d)
+      .withColumn("gap_s",
+        col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+      .withColumn("new_sess",
+        when(col("gap_s").isNull || col("gap_s") > 1800.0, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+    withSess
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(max(col("sess_id")).cast("long").as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+  }
+
+  /** O5 — last event per user (CDC "latest state wins" compaction). */
+  def lastPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+  }
+
+  /** T1–T3 — row-level set algebra between adjacent documents' token
+    * sets, with an ignore-set subtraction (the reference's attribute
+    * diff: ldaptest.py:323–335).
+    */
+  def arraySetOps(s: SparkSession, d: String): DataFrame = {
+    val ignore = Seq("the", "a")
+    val base = documents(s, d).select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("t"))
+    val a = base.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+    val b = base.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        array_join(array_sort(array_except(array_except(col("ta"), col("tb")),
+          typedLit(ignore))), " ").as("only_a"),
+        array_join(array_sort(array_except(array_except(col("tb"), col("ta")),
+          typedLit(ignore))), " ").as("only_b"),
+        array_join(array_sort(array_except(array_intersect(col("ta"), col("tb")),
+          typedLit(ignore))), " ").as("common"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_tumbling" -> (tumbling _),
+    "q_w_session" -> (sessionize _),
+    "q_o5_last_per_user" -> (lastPerUser _),
+    "q_t1_array_setops" -> (arraySetOps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_w_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_w_session" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800.0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |per_sess AS (
+        |  SELECT user_id, sess_id, count(*) AS sess_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, max(sess_id)::BIGINT AS n_sessions,
+        |  sum(sess_events)::BIGINT AS n_events,
+        |  max(sess_events)::BIGINT AS max_session_events
+        |FROM per_sess GROUP BY 1""".stripMargin,
+    "q_o5_last_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q_t1_array_setops" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_distinct(str_split(text, ' ')) AS t FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COALESCE(array_to_string(list_sort(list_filter(a.t,
+        |    x -> NOT list_contains(b.t, x) AND x NOT IN ('the', 'a'))), ' '), '') AS only_a,
+        |  COALESCE(array_to_string(list_sort(list_filter(b.t,
+        |    x -> NOT list_contains(a.t, x) AND x NOT IN ('the', 'a'))), ' '), '') AS only_b,
+        |  COALESCE(array_to_string(list_sort(list_filter(a.t,
+        |    x -> list_contains(b.t, x) AND x NOT IN ('the', 'a'))), ' '), '') AS common
+        |FROM base a JOIN base b ON b.doc_id = a.doc_id + 1""".stripMargin,
+  )
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deduplication operators for large-scale corpus pipelines — exact,
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard, each expressed as
+  * shuffle-bounded DataFrame plans (no driver-side state, no pairwise
+  * cross join: candidate generation is always hash-bucketed, so the cost
+  * is O(docs) + O(candidate pairs), which is what survives at 100 TB).
+  *
+  * All hashing uses md5 so a SQL oracle can mirror the exact values.
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Exact dedup by content hash: one group per distinct text, survivor
+    * = lowest doc_id. groupBy(hash) ⇒ a single shuffle on the hash key.
+    */
+  def exact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Word 3-gram shingle set, deduped. */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+        element_at(t, i + 3))))
+
+  /** n-gram Jaccard similarity between adjacent doc pairs (a linear
+    * "candidate chain" — the general pairwise case goes through LSH
+    * banding below; this query verifies the similarity kernel itself).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6)
+          .as("jaccard"))
+  }
+
+  /** 16-permutation MinHash signature: explode distinct words once, take
+    * 16 per-doc minima of seeded hashes — one shuffle (groupBy doc_id),
+    * map-side partial min keeps it light.
+    */
+  def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("w"))
+    val mins = (0 until 16).map(i =>
+      min(md5(concat(lit(s"${i}|"), col("w")))).as(s"m$i"))
+    words.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over the MinHash signature (4 bands × 4 rows): docs
+    * sharing any band hash become candidate near-dup pairs. Pure
+    * hash-bucket join — never all-pairs.
+    */
+  def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat((0 until 4).map(r => col(s"m${b * 4 + r}")): _*)).as("h"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
+    l.join(r, Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 16-bit SimHash: per-bit majority vote over word hashes; near-dups
+    * differ in few bits. Single explode + groupBy — one shuffle.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10)
+        .cast("long"))
+    val bits = (0 until 16).map { b =>
+      (sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)) >= 0).cast("long").as(s"b$b")
+    }
+    words.groupBy("doc_id")
+      .agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => col(s"b$b") * (1L << b)).reduce(_ + _)
+          .as("simhash"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (exact _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash_sig" -> (minhashSig _),
+    "q_dedup_lsh_pairs" -> (lshPairs _),
+    "q_dedup_simhash" -> (simhash _),
+  )
+
+  private val sigSql: String = {
+    val mins = (0 until 16)
+      .map(i => s"min(md5('${i}|' || w)) AS m$i").mkString(", ")
+    s"""SELECT doc_id, $mins
+       |FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+       |      FROM documents) t
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "q_dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) x
+        |  WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        |    AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_dedup_minhash_sig" -> sigSql,
+    "q_dedup_lsh_pairs" -> {
+      val bands = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sig AS ($sigSql), bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |  AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      val bitCols = (0 until 16).map(b =>
+        s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS b$b")
+        .mkString(", ")
+      val sumExpr = (0 until 16).map(b => s"b$b * ${1L << b}").mkString(" + ")
+      s"""WITH wh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+         |        FROM documents) t),
+         |bits AS (SELECT doc_id, $bitCols FROM wh GROUP BY doc_id)
+         |SELECT doc_id, $sumExpr AS simhash FROM bits""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (`Array[Float]`, 64-dim).
+  *
+  * Baseline: brute-force cosine top-k — a single broadcast of the query
+  * vector, one pass over the corpus, TakeOrdered for the top-k. Scale
+  * path: random-hyperplane LSH bucketing — the corpus is hashed into
+  * 2^8 sign-pattern buckets once (embarrassingly parallel), queries
+  * probe only their own bucket, turning top-k into a bucket-local scan
+  * (≈1/256 of the data per probe at 100 TB; multi-probe = flip bits).
+  *
+  * All arithmetic is double, folded left-to-right (functions.aggregate),
+  * so a SQL oracle reproduces bit-identical sums. Hyperplanes are
+  * md5-derived constants — deterministic and reproducible in SQL.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** In-order fold dot product (deterministic, codegen'd). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("le").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Deterministic pseudo-random hyperplanes from md5 (j = plane,
+    * d = dimension) — reproducible in any engine with md5.
+    */
+  def hyperplane(j: Int, dims: Int): Seq[Double] = {
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { dd =>
+      val h = mdd.digest(s"${j}_$dd".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % 2001 - 1000) / 1000.0
+    }
+  }
+
+  private val nPlanes = 8
+
+  private def bucketCol(le: Column): Column =
+    concat((0 until nPlanes).map { j =>
+      when(dot(le, typedLit(hyperplane(j, 64))) >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed ANN: top-5 cosine within the query's sign bucket. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+      .withColumn("bucket", bucketCol(col("le")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qb"), col("le").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qb"))
+      .select(col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute" -> (knnBrute _),
+    "q_knn_lsh" -> (knnLsh _),
+  )
+
+  private val cosSql =
+    "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_brute" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |           FROM embeddings),
+         |     q AS (SELECT le AS qe FROM v WHERE vec_id = 0),
+         |     e AS (SELECT * FROM v WHERE vec_id <> 0)
+         |SELECT e.vec_id, round($cosSql, 6) AS sim
+         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM (
+         |    SELECT j, d,
+         |      (('0x' || substr(md5(j || '_' || d), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
+         |    FROM range(8) t1(j), range(64) t2(d)) t GROUP BY j),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |      FROM embeddings),
+         |vb AS (
+         |  SELECT v.vec_id, v.le,
+         |    string_agg(CASE WHEN list_inner_product(v.le, hp.w) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS bucket
+         |  FROM v, hp GROUP BY v.vec_id, v.le),
+         |q AS (SELECT bucket AS qb, le AS qe FROM vb WHERE vec_id = 0),
+         |e AS (SELECT vec_id, le, bucket FROM vb WHERE vec_id <> 0)
+         |SELECT e.vec_id, round($cosSql, 6) AS sim
+         |FROM e, q WHERE e.bucket = q.qb
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for corpus pipelines: quality statistics,
+  * n-gram-heuristic language ID, content fingerprinting, and token
+  * counting — all pure column expressions (whole-stage codegen, no UDFs),
+  * linear scans with at most one shuffle for the grouped variants.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+
+  /** Per-document quality stats: token count, exact average token
+    * length (single-space join ⇒ sum of lengths = chars − (n−1)),
+    * stopword and digit ratios.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round((length(col("text")) - (col("n_tokens") - 1))
+          .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+        round(hits(col("t"), stop("en")).cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / length(col("text")), 6).as("digit_ratio"))
+
+  /** Stopword-vote language ID compared against the labeled column. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sc = stop.map { case (l, ws) => l -> hits(t, ws) }
+    val pred =
+      when(sc("en") >= sc("de") && sc("en") >= sc("es") &&
+        sc("en") >= sc("fr") && sc("en") > 0, "en")
+        .when(sc("de") >= sc("es") && sc("de") >= sc("fr") && sc("de") > 0, "de")
+        .when(sc("es") >= sc("fr") && sc("es") > 0, "es")
+        .when(sc("fr") > 0, "fr")
+        .otherwise("unk")
+    documents(s, d)
+      .select(col("lang"), pred.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Content fingerprint: hash of the sorted distinct token set —
+    * catches word-order-only edits (fingerprint dedup).
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+          .as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Token counting: whitespace tokens + a chars/4 BPE-style estimate. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ws_tokens"),
+        expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("bpe_est"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_text_langid" -> (langId _),
+    "q_text_fingerprint" -> (fingerprint _),
+    "q_text_tokens" -> (tokenCount _),
+  )
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         |  round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6) AS avg_token_len,
+         |  round(${hitsSql(stop("en"))}::DOUBLE / len(t), 6) AS stopword_ratio,
+         |  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 6) AS digit_ratio
+         |FROM (SELECT doc_id, text, str_split(text, ' ') AS t FROM documents) x""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT lang, predicted, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN ${hitsSql(stop("en"))} >= ${hitsSql(stop("de"))}
+         |          AND ${hitsSql(stop("en"))} >= ${hitsSql(stop("es"))}
+         |          AND ${hitsSql(stop("en"))} >= ${hitsSql(stop("fr"))}
+         |          AND ${hitsSql(stop("en"))} > 0 THEN 'en'
+         |         WHEN ${hitsSql(stop("de"))} >= ${hitsSql(stop("es"))}
+         |          AND ${hitsSql(stop("de"))} >= ${hitsSql(stop("fr"))}
+         |          AND ${hitsSql(stop("de"))} > 0 THEN 'de'
+         |         WHEN ${hitsSql(stop("es"))} >= ${hitsSql(stop("fr"))}
+         |          AND ${hitsSql(stop("es"))} > 0 THEN 'es'
+         |         WHEN ${hitsSql(stop("fr"))} > 0 THEN 'fr'
+         |         ELSE 'unk' END AS predicted
+         |  FROM (SELECT lang, str_split(text, ' ') AS t FROM documents) x) y
+         |GROUP BY 1, 2""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id, len(str_split(text, ' '))::BIGINT AS ws_tokens,
+        |  (length(text) + 3) // 4 AS bpe_est
+        |FROM documents""".stripMargin,
+  )
+}
