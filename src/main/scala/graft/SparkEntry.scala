@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.EtlOps.queries, operators.EtlOps.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
+      (operators.StreamToolOps.queries, operators.StreamToolOps.oracles),
       (operators.FunctionOps.queries, operators.FunctionOps.oracles),
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Directory, EtlSchema}
+import graft.streaming.EventStream
+import graft.tools.{Compare, CsvTools}
+
+/** Driver-contract surface for the streaming engine and the satellite
+  * tools (compare, CSV dump, anonymizer).
+  */
+object StreamToolOps {
+
+  private val refData = "/root/reference/testdata"
+
+  /** Structured Streaming tumbling aggregation, drained to completion —
+    * shares the batch twin's DuckDB oracle (same result by construction,
+    * now verified by the driver too).
+    */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val name = s"stream_tumbling_${System.nanoTime()}"
+    val q = EventStream.tumblingCounts(EventStream.readEvents(s, d))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable(); q.stop()
+    s.table(name)
+  }
+
+  /** J4/T1–T3 — ordered tree compare of the reference's two golden
+    * states (the deluids delta must surface as lhs-only lines).
+    */
+  def compareTrees(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = Directory.parseDump(s, java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+    val b = Directory.parseDump(s, java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$refData/ldap00.txt")))
+    Compare.compare(a, b, "o=BMUKK", "o=BMUKK").toDF("diff_line")
+  }
+
+  /** S6 — CSV source read (delimiter/null/CHAR(3) semantics). */
+  def csvSource(s: SparkSession, d: String): DataFrame =
+    EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
+      .select(col("benutzername"), col("pk_uniqueid"),
+        col("aktiv_st_person"), col("geburtsdatum").cast("string").as("geb"))
+      .orderBy("ident_nr")
+
+  /** S7 — event-time-cutoff dump: users referenced by events after the
+    * cutoff (semi join).
+    */
+  def csvCutoff(s: SparkSession, d: String): DataFrame = {
+    val users = EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
+    val elog = EtlSchema.readEventsCsv(s, s"$refData/eventlog03.csv")
+    CsvTools.cutoffUsers(users, elog,
+      java.sql.Timestamp.valueOf("2017-01-01 00:00:00"))
+      .select("benutzername", "pk_uniqueid")
+  }
+
+  /** F13 — deterministic anonymizer over the reference fixture. */
+  def anonymize(s: SparkSession, d: String): DataFrame =
+    CsvTools.anonymizeUsers(
+      EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv"))
+      .select("ident_nr", "vorname", "nachname", "emailadresse_st",
+        "matrikelnummer")
+      .orderBy("ident_nr")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (streamTumbling _),
+    "q_j4_compare_trees" -> (compareTrees _),
+    "q_s6_csv_source" -> (csvSource _),
+    "q_s7_csv_cutoff" -> (csvCutoff _),
+    "q_f13_anonymize" -> (anonymize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
+  )
+}

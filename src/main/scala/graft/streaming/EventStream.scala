@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's "stream" is a 20 s poll loop over an event table;
+  * the native Spark translation is a file/parquet stream with
+  * watermarked event-time windows for the analytics side (here) and a
+  * `foreachBatch`-style micro-batch loop for the CDC side (CdcStream).
+  */
+object EventStream {
+
+  /** Schema of the events table with ts as raw ns-long (parquet
+    * TIMESTAMP(NANOS) must be read as long in Spark 4).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events parquet as a stream (bounded-per-trigger: the
+    * `maxFilesPerTrigger` analog of the reference's max_records).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      // the fixture is a single parquet file; a file stream source needs
+      // a directory, so glob-filter within the sf dir
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling 1-hour aggregation — the streaming twin of
+    * operators.Windows.tumbling; late data beyond 10 min is dropped and
+    * state is evicted (bounded state at scale).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+}

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import graft.etl.Directory
+import graft.etl.Directory.Entry
+
+/** Ordered full-tree compare (reference ldaptest.py:301–352, J4 +
+  * T1–T3): the reference co-iterates two sorted DN streams with a
+  * hand-rolled merge; here it is one full-outer join on `short_dn` plus
+  * row-local attribute set algebra, emitted in DFS order with the same
+  * line format.
+  */
+object Compare {
+
+  /** Volatile/engine-managed attrs excluded from comparison
+    * (ldaptest.py:172–189).
+    */
+  val compareIgnore: Set[String] = Set(
+    "objectClass", "ACL", "DirXML-Associations", "passwordUniqueRequired",
+    "DirXML-PasswordSyncStatus", "DirXML-ADContext", "passwordMinimumLength",
+    "DirXML-ADAliasName", "nspmDistributionPassword", "passwordAllowChange",
+    "passwordRequired", "etdTimestamp", "etlTimestamp",
+    "idnDistributionPassword", "userPassword", "patchlevel")
+
+  /** Canonicalizers applied before comparing (ldaptest.py:164–170). */
+  private def fixup(attr: String, v: Seq[String]): Seq[String] =
+    if (attr == "phonlineBenutzergruppe")
+      v.map(x => x.split(";").sorted.mkString(";"))
+    else v
+
+  private def pyRepr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private def reprVal(attr: String, v: Seq[String]): String =
+    if (Directory.listReprAttrs.contains(attr))
+      v.map(pyRepr).mkString("[", ", ", "]")
+    else if (v.size == 1) v.head
+    else v.map(pyRepr).mkString("[", ", ", "]")
+
+  private def shortDn(dn: String, base: String): String =
+    dn.stripSuffix(base).toLowerCase
+
+  /** Compare two trees; returns diff lines in DFS order (empty ⇒ equal).
+    */
+  def compare(lhs: Dataset[Entry], rhs: Dataset[Entry],
+      baseL: String, baseR: String): Seq[String] = {
+    val lKeyed = lhs.map(x => (shortDn(x.dn, baseL), x))(
+      Encoders.product[(String, Entry)]).toDF("k", "l")
+    val rKeyed = rhs.map(x => (shortDn(x.dn, baseR), x))(
+      Encoders.product[(String, Entry)]).toDF("k", "r")
+    val joined = lKeyed.join(rKeyed, Seq("k"), "full_outer")
+      .withColumn("ord", Directory.dfsKey(
+        coalesce(col("l.dn"), col("r.dn"))))
+      .orderBy("ord")
+      .select("l", "r")
+      .as[(Option[Entry], Option[Entry])](
+        Encoders.product[(Option[Entry], Option[Entry])])
+
+    joined.collect().toSeq.flatMap {
+      case (Some(a), None) => Seq(s"Only in lhs: ${a.dn}")
+      case (None, Some(b)) => Seq(s"Only in rhs: ${b.dn}")
+      case (Some(a), Some(b)) =>
+        val x1a = a.attrs.keySet -- compareIgnore
+        val x2a = b.attrs.keySet -- compareIgnore
+        val onlyL =
+          if ((x1a -- x2a).nonEmpty)
+            Seq(s"Attributes of ${a.dn} only in lhs: " +
+              (x1a -- x2a).toSeq.sorted.map(pyRepr).mkString("[", ", ", "]"))
+          else Nil
+        val onlyR =
+          if ((x2a -- x1a).nonEmpty)
+            Seq(s"Attributes of ${b.dn} only in rhs: " +
+              (x2a -- x1a).toSeq.sorted.map(pyRepr).mkString("[", ", ", "]"))
+          else Nil
+        val diffs = (x1a & x2a).toSeq.sorted.flatMap { at =>
+          val v1 = fixup(at, a.attrs(at))
+          val v2 = fixup(at, b.attrs(at))
+          if (v1 != v2)
+            Seq(s"Differs: ${a.dn} $at: " +
+              s"(${reprVal(at, v1)} vs ${reprVal(at, v2)})")
+          else Nil
+        }
+        onlyL ++ onlyR ++ diffs
+      case (None, None) => Nil
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Directory, EtlConf, EtlSchema, InitialLoad, TestSpark}
+import graft.tools.{Compare, CsvTools}
+
+class StreamingSpec extends AnyFunSuite {
+
+  test("watermarked streaming tumbling agg equals the batch result") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStream.tumblingCounts(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tumbling")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("stream_tumbling")
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = graft.operators.Windows.tumbling(spark, dir)
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("poll loop drains backlog without sleeping, then reproduces ldap01") {
+    val spark = TestSpark.spark
+    val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
+    val users0 = EtlSchema
+      .readUsersCsv(spark, s"${TestSpark.refData}/initial_data.csv")
+      .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
+      .localCheckpoint(true)
+    val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
+      cryptoIvHex = Some("0" * 32))
+    val snap0 = InitialLoad.run(pre, users0, conf).snapshot.localCheckpoint(true)
+
+    val cs = EtlSchema.readUsersCsv(spark, s"${TestSpark.refData}/changeset01.csv")
+    val users = users0
+      .join(cs.select("pk_uniqueid"), Seq("pk_uniqueid"), "left_anti")
+      .unionByName(cs).localCheckpoint(true)
+    val elog = EtlSchema.readEventsCsv(spark,
+      s"${TestSpark.refData}/eventlog01.csv").localCheckpoint(true)
+
+    var slept = 0
+    val hb = java.nio.file.Files.createTempFile("graft-liveness", "")
+    val st = CdcStream.run(
+      CdcStream.LoopState(snap0, elog, 0, 0),
+      Seq(CdcStream.Source(conf, () => users)),
+      maxRecords = 2, // 4 events ⇒ 2 full batches ⇒ drain mode
+      sleeper = () => { slept += 1 },
+      heartbeat = Some(hb))
+    assert(st.cyclesRun == 2, s"expected 2 drain cycles, got ${st.cyclesRun}")
+    assert(slept == 0 && st.sleeps == 0, "drain rule must skip sleeping")
+    assert(java.nio.file.Files.readString(hb).nonEmpty)
+
+    import spark.implicits._
+    val got = Directory.dump(st.snapshot.filter(e =>
+      e.dn == "ou=ph08,o=BMUKK" || e.dn.endsWith(",ou=ph08,o=BMUKK")))
+    assert(got == TestSpark.golden("ldap01.txt"))
+  }
+}
+
+class CompareSpec extends AnyFunSuite {
+  test("tree compare: deluids entries show as lhs-only; self-compare empty") {
+    val spark = TestSpark.spark
+    val a = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
+    val b = Directory.parseDump(spark, TestSpark.golden("ldap00.txt"))
+    val diff = Compare.compare(a, b, "o=BMUKK", "o=BMUKK")
+    assert(diff == Seq(
+      "Only in lhs: cn=ajiqon.qajk.21,ou=user,ou=ph08,o=BMUKK",
+      "Only in lhs: cn=jnas.orxzgyno.20,ou=user,ou=ph08,o=BMUKK"))
+    assert(Compare.compare(a, a, "o=BMUKK", "o=BMUKK").isEmpty)
+  }
+}
+
+class CsvToolsSpec extends AnyFunSuite {
+  test("CSV round-trip, cutoff semi-join, deterministic anonymizer") {
+    val spark = TestSpark.spark
+    val users = EtlSchema
+      .readUsersCsv(spark, s"${TestSpark.refData}/initial_data.csv")
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    CsvTools.writeCsv(users, out)
+    val back = EtlSchema.readUsersCsv(spark, out)
+    assert(back.count() == users.count())
+    assert(back.orderBy("ident_nr").collect().toSeq ==
+      users.orderBy("ident_nr").collect().toSeq)
+
+    val elog = EtlSchema.readEventsCsv(spark,
+      s"${TestSpark.refData}/eventlog01.csv")
+    val cut = CsvTools.cutoffUsers(users, elog,
+      java.sql.Timestamp.valueOf("2017-01-01 00:00:00"))
+    assert(cut.select("pk_uniqueid").distinct().collect()
+      .map(_.getDouble(0)).toSeq == Seq(4714.0))
+
+    val a1 = CsvTools.anonymizeUsers(users).orderBy("ident_nr").collect().toSeq
+    val a2 = CsvTools.anonymizeUsers(users).orderBy("ident_nr").collect().toSeq
+    assert(a1 == a2, "anonymizer must be deterministic")
+    // sensitive values actually replaced
+    val v = CsvTools.anonymizeUsers(users)
+      .filter(col("benutzername") === "caesar1").select("vorname").head.getString(0)
+    assert(v != "Jumbub" && v.nonEmpty)
+  }
+}
