@@ -175,7 +175,61 @@ object Cdc {
       .filter(col("renameOldCn").isNotNull)
       .select(col("renameOldCn").as("old_cn"), col("srcCn").as("new_cn"))
 
-    CycleResult(snapFinal, updated, allUpdates, renames)
+    // C9 — immediate write-through of name/password changes into ph15
+    // (etl.py:1043–1054, 1112–1165): applies only when syncing a
+    // non-ph15 instance that has a ph15 partner configured
+    val snapWithPh15 =
+      if (conf.ph15Dn.isEmpty || conf.isPh15) snapFinal
+      else ph15Writethrough(snapFinal, batchUsers, outcomes.toDF, conf)
+
+    CycleResult(snapWithPh15, updated, allUpdates, renames)
+  }
+
+  /** C9 — patch the ph15 twin entry (matched by cn under the ph15 base)
+    * for rows whose changed columns include the write-through set;
+    * absent twins are skipped, attributes are never deleted there, and
+    * no etlTimestamp is stamped (etl.py:1112–1165).
+    */
+  private def ph15Writethrough(snapshot: Dataset[Entry], batchUsers: DataFrame,
+      outcomes: DataFrame, conf: EtlConf): Dataset[Entry] = {
+    import snapshot.sparkSession.implicits._
+    val wt = EtlSchema.ph15Writethrough :+ "passwort"
+    val hits = outcomes
+      .filter(col("changed") && arrays_overlap(col("changedSrcKeys"),
+        typedLit(wt)))
+      .select(col("srcCn").as("wt_cn"), col("changedSrcKeys"))
+    if (hits.isEmpty) return snapshot
+    val rows = SyncEngine.toNewRows(batchUsers)
+      .join(hits, col("src_cn") === col("wt_cn"))
+    val changesDs = rows.select(col("src_cn"), col("new_attrs"),
+      col("pw_plain"), col("changedSrcKeys"))
+      .as[(String, Map[String, Seq[String]], Option[String], Seq[String])]
+    val patch = changesDs.map { case (cn, newAttrs, pw, changedKeys) =>
+      val attrs = scala.collection.mutable.Map.empty[String, Seq[String]]
+      changedKeys.filter(wt.contains).foreach {
+        case "passwort" =>
+          pw.foreach { p =>
+            attrs("idnDistributionPassword") =
+              Seq(Aes.encryptHex(p, conf.aesKey, conf.cryptoIvHex))
+            attrs("userPassword") = Seq("{CRYPT}")
+          }
+        case k =>
+          newAttrs.get(EtlSchema.odbcToLdap(k)).foreach { v =>
+            attrs(EtlSchema.odbcToLdap(k)) = v // never delete in ph15
+          }
+      }
+      (s"cn=$cn,${conf.dn15}", attrs.toMap)
+    }.toDF("p_dn", "p_attrs")
+    snapshot.toDF
+      .join(patch, col("dn") === col("p_dn"), "left_outer")
+      .select(col("dn"),
+        when(col("p_attrs").isNotNull,
+          map_concat(
+            map_filter(col("attrs"),
+              (k, _) => !map_contains_key(col("p_attrs"), k)),
+            col("p_attrs")))
+          .otherwise(col("attrs")).as("attrs"))
+      .as[Entry]
   }
 
   /** C3 — end-of-cycle rename propagation into ph15 (etl.py:762–781):

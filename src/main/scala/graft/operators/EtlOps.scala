@@ -71,8 +71,39 @@ object EtlOps {
       .orderBy("record_id")
   }
 
+  /** S8 — point entry lookup by dn over the loaded snapshot. */
+  def dnLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    loadedSnapshot(s)
+      .filter(col("dn") === "cn=caesar1,ou=user,ou=ph08,o=BMUKK")
+      .select(col("dn"),
+        element_at(col("attrs")("phonlineUniqueId"), 1).as("uid"),
+        element_at(col("attrs")("sn"), 1).as("sn"))
+  }
+
+  /** S9 — keyed LEVEL search by phonlineUniqueId (non-unique: the three
+    * caesar rows share uid 1).
+    */
+  def uidSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    loadedSnapshot(s)
+      .filter(element_at(col("attrs")("phonlineUniqueId"), 1) === "1")
+      .select(col("dn"))
+      .orderBy("dn")
+  }
+
+  private def loadedSnapshot(s: SparkSession) = {
+    import s.implicits._
+    val pre = Directory.parseDump(s,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+    pre.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_etl_initial_load" -> (etlInitialLoad _),
+    "q_s8_dn_lookup" -> (dnLookup _),
+    "q_s9_uid_search" -> (uidSearch _),
     "q_etl_convert" -> (etlConvert _),
     "q_etl_cdc_batch" -> (etlCdcBatch _),
   )

@@ -150,6 +150,15 @@ object Relational {
   def a3Counts(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).groupBy("l_returnflag").agg(count(lit(1)).as("n"))
 
+  // A4 — existence test (any rows pending?), reference testdriver
+  // wait_for_sync (testdriver.py:113–121).
+  def a4Exists(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .agg((count(when(col("event_type") === "signup", 1)) > 0)
+        .as("has_signup"),
+        (count(when(col("event_type") === "refund", 1)) > 0)
+          .as("has_refund"))
+
   // A5 — distinct key set.
   def a5Distinct(s: SparkSession, d: String): DataFrame =
     orders(s, d).select("o_orderpriority").distinct()
@@ -214,6 +223,7 @@ object Relational {
     "q_a1_dup_detect" -> (a1DupDetect _),
     "q_a2_hwm" -> (a2Hwm _),
     "q_a3_counts" -> (a3Counts _),
+    "q_a4_exists" -> (a4Exists _),
     "q_a5_distinct" -> (a5Distinct _),
     "q_a6_topn_group" -> (a6TopNGroup _),
     "q_o2_ci_sort" -> (o2CiSort _),
@@ -278,6 +288,10 @@ object Relational {
         |FROM events GROUP BY 1""".stripMargin,
     "q_a3_counts" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+    "q_a4_exists" ->
+      """SELECT count(CASE WHEN event_type = 'signup' THEN 1 END) > 0 AS has_signup,
+        | count(CASE WHEN event_type = 'refund' THEN 1 END) > 0 AS has_refund
+        |FROM events""".stripMargin,
     "q_a5_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders",
     "q_a6_topn_group" ->

@@ -49,31 +49,61 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Seeds for the 16 MinHash permutations: one md5 per word, then 16
+    * xor-mixes — 16× cheaper than 16 salted md5s and identically
+    * mirrorable in SQL. Golden-ratio odd multiples, masked positive.
+    */
+  val minhashSeeds: Seq[Long] =
+    (0 until 16).map(i => (0x9E3779B97F4A7C15L * (2 * i + 1)) & Long.MaxValue)
+
   /** 16-permutation MinHash signature: explode distinct words once, take
-    * 16 per-doc minima of seeded hashes — one shuffle (groupBy doc_id),
-    * map-side partial min keeps it light.
+    * 16 per-doc minima of seed-mixed hashes — one shuffle (groupBy
+    * doc_id), map-side partial min keeps it light. The fixture is one
+    * parquet row group ⇒ one scan partition, so the hash-heavy map side
+    * is explicitly rebalanced across cores first (at real scale the
+    * file count does this for free).
     */
   def minhashSig(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
         .as("w"))
-    val mins = (0 until 16).map(i =>
-      min(md5(concat(lit(s"${i}|"), col("w")))).as(s"m$i"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("long"))
+    val mins = minhashSeeds.zipWithIndex.map { case (seed, i) =>
+      min(col("h").bitwiseXOR(lit(seed))).as(s"m$i")
+    }
     words.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Degenerate-bucket cap: a band bucket with more than this many docs
+    * contributes quadratic pairs while carrying no dedup signal (its
+    * members are near-identical to *everything* in it) — production LSH
+    * drops or re-shards such buckets. Hard requirement at 100 TB where
+    * one hot bucket would emit 10^12 pairs.
+    */
+  val maxBucket = 64
+
   /** LSH banding over the MinHash signature (4 bands × 4 rows): docs
     * sharing any band hash become candidate near-dup pairs. Pure
-    * hash-bucket join — never all-pairs.
+    * hash-bucket join — never all-pairs — with degenerate buckets
+    * dropped.
     */
   def lshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSig(s, d)
     val bands = (0 until 4).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat((0 until 4).map(r => col(s"m${b * 4 + r}")): _*)).as("h"))
+        md5(concat_ws(",",
+          (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+          .as("h"))
     }.reduce(_ unionByName _)
-    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("h"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("h"))
+    val small = bands.groupBy("band", "h")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("band", "h")
+    val capped = bands.join(small, Seq("band", "h"), "left_semi")
+    val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("h"))
+    val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("h"))
     l.join(r, Seq("band", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -84,6 +114,7 @@ object Dedup {
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
         .as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10)
@@ -108,11 +139,13 @@ object Dedup {
   )
 
   private val sigSql: String = {
-    val mins = (0 until 16)
-      .map(i => s"min(md5('${i}|' || w)) AS m$i").mkString(", ")
+    val mins = minhashSeeds.zipWithIndex
+      .map { case (seed, i) => s"min(xor(h, ${seed})) AS m$i" }.mkString(", ")
     s"""SELECT doc_id, $mins
-       |FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
-       |      FROM documents) t
+       |FROM (SELECT doc_id,
+       |        ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       |      FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+       |            FROM documents) u) t
        |GROUP BY doc_id""".stripMargin
   }
 
@@ -134,10 +167,14 @@ object Dedup {
     "q_dedup_minhash_sig" -> sigSql,
     "q_dedup_lsh_pairs" -> {
       val bands = (0 until 4).map { b =>
-        val cat = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
+        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ',' || ")
         s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
       }.mkString(" UNION ALL ")
-      s"""WITH sig AS ($sigSql), bands AS ($bands)
+      s"""WITH sig AS ($sigSql), bands0 AS ($bands),
+         |small AS (SELECT band, h FROM bands0 GROUP BY band, h
+         |          HAVING count(*) <= $maxBucket),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h))
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
          |  AND a.doc_id < b.doc_id""".stripMargin
