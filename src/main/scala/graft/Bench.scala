@@ -24,10 +24,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so per-query timings measure
-    // the plan, not first-call classloading.
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => () }
+    // Warm pass at the smallest SF first: JIT + whole-stage-codegen
+    // class compilation amortize across the fleet in steady state, so
+    // the timed pass below measures plan execution, not first-call
+    // classloading.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

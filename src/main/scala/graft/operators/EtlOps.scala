@@ -92,6 +92,95 @@ object EtlOps {
       .orderBy("dn")
   }
 
+  /** Synthetic user table derived from the sf-scaled customer table so
+    * the MERGE/CDC engines can be benchmarked at data scale (the
+    * reference fixtures are 25 rows — constant cost).
+    */
+  def syntheticUsers(s: SparkSession, d: String): DataFrame = {
+    val c = graft.Tables.customer(s, d)
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    c.select(
+      nullS.as("person_nr_obf"),
+      substring(md5(col("c_name")), 1, 16).as("st_person_nr_obf"),
+      nullS.as("org_einheiten"),
+      nullS.as("emailadresse_b"),
+      concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@example.org")).as("emailadresse_st"),
+      base64(col("c_name").cast("binary")).as("bpk"),
+      nullS.as("pm_sap_personalnummer"),
+      nullS.as("schulkennzahlen"),
+      nullS.as("funktionen"),
+      col("c_custkey").cast("double").as("pk_uniqueid"),
+      initcap(col("c_mktsegment")).as("vorname"),
+      col("c_name").as("nachname"),
+      concat(lit("user"), col("c_custkey")).as("benutzername"),
+      substring(md5(concat(lit("pw"), col("c_custkey"))), 1, 10).as("passwort"),
+      lit("ST").as("benutzergruppen"),
+      lit("J  ").as("aktiv_st_person"),
+      lit("N  ").as("aktiv_a_person"),
+      nullS.as("aktiv_b_person"),
+      nullS.as("chipid_b"), nullS.as("chipid_st"), nullS.as("chipid_a"),
+      nullS.as("mirfareid_b"), nullS.as("mirfareid_st"), nullS.as("mirfareid_a"),
+      (col("c_custkey") % 90000000 + 10000000).cast("string")
+        .as("matrikelnummer"),
+      nullS.as("account_status_b"),
+      lit("OK").as("account_status_st"),
+      nullS.as("account_status_a"),
+      lit(null).cast("timestamp").as("geburtsdatum"),
+      nullD.as("person_nr"),
+      col("c_custkey").cast("double").as("st_person_nr"),
+      (-col("c_custkey")).cast("double").as("ident_nr"))
+  }
+
+  private val scaleConf = EtlConf(baseDn = "ou=user,ou=ph01,o=BMUKK",
+    cryptoIvHex = Some("0" * 32))
+
+  /** Initial load of the sf-scaled synthetic user table into an empty
+    * tree — the MERGE engine at data scale (scales with SF).
+    */
+  def etlScaleLoad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val empty = s.emptyDataset[Directory.Entry]
+    val r = InitialLoad.run(empty, syntheticUsers(s, d), scaleConf)
+    r.snapshot.toDF.select(col("dn")).orderBy("dn")
+  }
+
+  /** One CDC cycle at data scale: the sf events table recast as an
+    * eventlog (update events keyed by user_id) against the loaded
+    * synthetic snapshot; returns per-event verdicts.
+    */
+  def etlScaleCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val users = syntheticUsers(s, d)
+    val empty = s.emptyDataset[Directory.Entry]
+    val snap = InitialLoad.run(empty, users, scaleConf)
+      .snapshot.localCheckpoint(true)
+    val ev = graft.Tables.events(s, d).select(
+      col("event_id").cast("double").as("record_id"),
+      concat(lit("pk_uniqueid="), col("user_id")).as("table_key"),
+      lit("N  ").as("status"),
+      lit(6.0).as("event_type"),
+      col("ts").as("event_time"),
+      col("event_type").as("perpetrator"),
+      lit("benutzer_alle_dirxml_v").as("table_name"),
+      lit(null).cast("string").as("column_name"),
+      lit(null).cast("string").as("old_value"),
+      lit(null).cast("string").as("new_value"),
+      lit(null).cast("double").as("synch_id"),
+      lit("N  ").as("synch_online_flag"),
+      lit("N  ").as("transaction_flag"),
+      lit(null).cast("timestamp").as("read_time"),
+      lit(null).cast("string").as("error_message"),
+      lit(1.0).as("attempt"),
+      lit("N  ").as("admin_notify_flag"))
+    val r = Cdc.cycle(snap, users, ev,
+      scaleConf.copy(etlTimestamp = "20170101000300Z"),
+      maxRecords = 10000000)
+    r.eventUpdates.select(col("record_id"), col("new_status"))
+      .orderBy("record_id")
+  }
+
   private def loadedSnapshot(s: SparkSession) = {
     import s.implicits._
     val pre = Directory.parseDump(s,
@@ -106,6 +195,8 @@ object EtlOps {
     "q_s9_uid_search" -> (uidSearch _),
     "q_etl_convert" -> (etlConvert _),
     "q_etl_cdc_batch" -> (etlCdcBatch _),
+    "q_etl_scale_load" -> (etlScaleLoad _),
+    "q_etl_scale_cdc" -> (etlScaleCdc _),
   )
 
   /** Not DuckDB-expressible (directory MERGE semantics) → rows-only. */
