@@ -22,6 +22,19 @@ object Windows {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes (each event lands in two
+    * windows) — Spark's `window(ts, dur, slide)` with the epoch-aligned
+    * start formula mirrored in the oracle.
+    */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * two analytic passes + one aggregation, all shuffle-partitioned by
     * user — the classic scalable formulation.
@@ -76,6 +89,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_w_tumbling" -> (tumbling _),
+    "q_w_sliding" -> (sliding _),
     "q_w_session" -> (sessionize _),
     "q_o5_last_per_user" -> (lastPerUser _),
     "q_t1_array_setops" -> (arraySetOps _),
@@ -87,6 +101,18 @@ object Windows {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_w_sliding" ->
+      """WITH shifted AS (
+        |  SELECT event_type, value,
+        |    to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - sh)
+        |      AS w_start_ts, ts
+        |  FROM events, (SELECT unnest([0, 1800]) AS sh) shifts)
+        |SELECT strftime(w_start_ts, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM shifted
+        |WHERE ts < w_start_ts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
     "q_w_session" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
