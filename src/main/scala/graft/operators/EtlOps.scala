@@ -41,7 +41,7 @@ object EtlOps {
         col("benutzername"),
         fromDbNumber(col("pk_uniqueid")).as("uid"),
         fromDbDate(col("geburtsdatum")).as("geb"),
-        fromMulti(col("funktionen")).as("funk"),
+        array_join(fromMulti(col("funktionen")), ";").as("funk"),
         fromDbRstrip(col("vorname")).as("vorname"))
       .orderBy("benutzername")
   }
@@ -199,6 +199,21 @@ object EtlOps {
     "q_etl_scale_cdc" -> (etlScaleCdc _),
   )
 
-  /** Not DuckDB-expressible (directory MERGE semantics) → rows-only. */
-  val oracles: Map[String, String] = Map.empty
+  /** The MERGE/CDC queries are not DuckDB-expressible (rows-only);
+    * the CSV-source/convert queries mirror via read_csv on the same
+    * fixture file.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_etl_convert" ->
+      s"""SELECT benutzername,
+         |  CAST(CAST(CAST(pk_uniqueid AS DOUBLE) AS BIGINT) AS VARCHAR) AS uid,
+         |  CASE WHEN geburtsdatum IS NOT NULL
+         |    THEN strftime(strptime(geburtsdatum, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') || '.0' END AS geb,
+         |  CASE WHEN funktionen IS NOT NULL AND trim(funktionen) <> ''
+         |    THEN array_to_string(str_split(trim(funktionen), ';'), ';') END AS funk,
+         |  NULLIF(rtrim(vorname), '') AS vorname
+         |FROM read_csv('$refData/initial_data.csv',
+         |  delim=';', header=true, nullstr='', all_varchar=true)
+         |ORDER BY benutzername""".stripMargin,
+  )
 }

@@ -75,5 +75,14 @@ object StreamToolOps {
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
+    "q_s6_csv_source" ->
+      s"""SELECT benutzername, CAST(pk_uniqueid AS DOUBLE) AS pk_uniqueid,
+         |  CASE WHEN aktiv_st_person IS NOT NULL
+         |    THEN rpad(aktiv_st_person, 3, ' ') END AS aktiv_st_person,
+         |  CASE WHEN geburtsdatum IS NOT NULL
+         |    THEN strftime(strptime(geburtsdatum, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') END AS geb
+         |FROM read_csv('$refData/initial_data.csv',
+         |  delim=';', header=true, nullstr='', all_varchar=true)
+         |ORDER BY CAST(ident_nr AS DOUBLE)""".stripMargin,
   )
 }

@@ -110,9 +110,22 @@ object Dedup {
   }
 
   /** 16-bit SimHash: per-bit majority vote over word hashes; near-dups
-    * differ in few bits. Single explode + groupBy — one shuffle.
+    * differ in few bits. Computed by the native Catalyst expression
+    * (graft.functions.SimHashExpr) — row-local, codegen'd, zero
+    * shuffle; `simhashExploded` keeps the explode+groupBy formulation
+    * for cross-checking.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.SimHashExpr.simhash(array_distinct(tokens(col("text"))))
+          .as("simhash"))
+
+  /** Reference formulation of the same hash (one explode + one shuffle)
+    * — used by the spec to prove the native expression equivalent.
+    */
+  def simhashExploded(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
