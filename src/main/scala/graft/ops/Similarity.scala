@@ -78,9 +78,28 @@ object Similarity {
       .limit(5)
   }
 
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidate join, then
+    * exact cosine filter — the approximate-dedup contract (pairs in
+    * different buckets are by design not candidates); cost stays
+    * O(bucket²·buckets), never all-pairs.
+    */
+  def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+      .withColumn("bucket", bucketCol(col("le")))
+    val a = e.select(col("vec_id").as("va"), col("le").as("la"), col("bucket"))
+    val b = e.select(col("vec_id").as("vb"), col("le").as("lb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(cosine(col("la"), col("lb")), 6).as("sim"))
+      .filter(col("sim") >= 0.3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
+    "q_dedup_embed" -> (embedDupPairs _),
   )
 
   private val cosSql =
@@ -94,6 +113,25 @@ object Similarity {
          |     e AS (SELECT * FROM v WHERE vec_id <> 0)
          |SELECT e.vec_id, round($cosSql, 6) AS sim
          |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_dedup_embed" ->
+      s"""WITH hp AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM (
+         |    SELECT j, d,
+         |      (('0x' || substr(md5(j || '_' || d), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
+         |    FROM range(8) t1(j), range(64) t2(d)) t GROUP BY j),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |      FROM embeddings),
+         |vb AS (
+         |  SELECT v.vec_id, v.le,
+         |    string_agg(CASE WHEN list_inner_product(v.le, hp.w) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS bucket
+         |  FROM v, hp GROUP BY v.vec_id, v.le)
+         |SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  round(list_inner_product(a.le, b.le) /
+         |    (sqrt(list_inner_product(a.le, a.le)) * sqrt(list_inner_product(b.le, b.le))), 6) AS sim
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_inner_product(a.le, b.le) /
+         |    (sqrt(list_inner_product(a.le, a.le)) * sqrt(list_inner_product(b.le, b.le))), 6) >= 0.3""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH hp AS (
          |  SELECT j, list(w ORDER BY d) AS w FROM (

@@ -22,6 +22,47 @@ object CdcStream {
 
   case class Source(conf: EtlConf, users: () => DataFrame)
 
+  /** Structured-Streaming form of the CDC loop: eventlog files appended
+    * to a directory become micro-batches; `foreachBatch` folds each
+    * batch through `Cdc.cycle` against the current user table, holding
+    * the snapshot in an atomic reference (at cluster scale this state
+    * would live in the copy-on-write snapshot store — Directory.save —
+    * with the stream checkpoint carrying only source offsets).
+    */
+  def startStreaming(
+      spark: org.apache.spark.sql.SparkSession,
+      snapshot0: Dataset[Entry],
+      users: () => DataFrame,
+      eventDir: String,
+      conf: EtlConf)
+      : (org.apache.spark.sql.streaming.StreamingQuery,
+         java.util.concurrent.atomic.AtomicReference[Dataset[Entry]]) = {
+    import org.apache.spark.sql.functions._
+    val state = new java.util.concurrent.atomic.AtomicReference(snapshot0)
+    val batchNo = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = spark.readStream
+      .schema(EtlSchema.eventSchema)
+      .option("header", "true")
+      .option("delimiter", ";")
+      .option("nullValue", "")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("maxFilesPerTrigger", "1")
+      .csv(eventDir)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val padded = EtlSchema.char3EventCols.foldLeft(batch)((df, c) =>
+          df.withColumn(c, when(col(c).isNotNull, rpad(col(c), 3, " "))))
+        val n = batchNo.incrementAndGet()
+        val r = Cdc.cycle(state.get(), users(), padded,
+          conf.copy(etlTimestamp = f"stream$n%04d"))
+        state.set(r.snapshot.localCheckpoint(true))
+        ()
+      }
+      .start()
+    (q, state)
+  }
+
   case class LoopState(
       snapshot: Dataset[Entry],
       eventlog: DataFrame,

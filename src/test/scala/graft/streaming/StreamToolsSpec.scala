@@ -59,6 +59,37 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StreamingCdcSpec extends AnyFunSuite {
+  test("foreachBatch CDC stream converges to the scenario-01 golden") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
+    val users0 = EtlSchema
+      .readUsersCsv(spark, s"${TestSpark.refData}/initial_data.csv")
+      .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
+    val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
+      cryptoIvHex = Some("0" * 32))
+    val snap0 = InitialLoad.run(pre, users0, conf).snapshot.localCheckpoint(true)
+    val cs = EtlSchema.readUsersCsv(spark, s"${TestSpark.refData}/changeset01.csv")
+    val users = users0
+      .join(cs.select("pk_uniqueid"), Seq("pk_uniqueid"), "left_anti")
+      .unionByName(cs).localCheckpoint(true)
+
+    val evDir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    val (q, state) = graft.streaming.CdcStream.startStreaming(
+      spark, snap0, () => users, evDir.toString, conf)
+    // a new eventlog file arrives mid-stream
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.refData}/eventlog01.csv"),
+      evDir.resolve("eventlog01.csv"))
+    q.processAllAvailable(); q.stop()
+
+    val got = Directory.dump(state.get().filter(e =>
+      e.dn == "ou=ph08,o=BMUKK" || e.dn.endsWith(",ou=ph08,o=BMUKK")))
+    assert(got == TestSpark.golden("ldap01.txt"))
+  }
+}
+
 class CompareSpec extends AnyFunSuite {
   test("tree compare: deluids entries show as lhs-only; self-compare empty") {
     val spark = TestSpark.spark
