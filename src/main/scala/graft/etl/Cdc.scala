@@ -232,6 +232,49 @@ object Cdc {
       .as[Entry]
   }
 
+  /** Read-only mode (etl.py:579–592, 719–721): the source eventlog is
+    * not writable, so the offset is an event_time high-water mark
+    * instead of status flags; events are selected by `event_time > hwm`
+    * and the new HWM is the max seen. The reference keeps it in memory
+    * (lost on restart, re-initialized to 2017-01-01); here it is a
+    * checkpointed offset (HwmStore) — a classic watermark.
+    */
+  def cycleReadOnly(snapshot0: Dataset[Entry], users: DataFrame,
+      eventlog: DataFrame, conf: EtlConf,
+      hwm: java.sql.Timestamp, maxRecords: Int = 100)
+      : (CycleResult, java.sql.Timestamp) = {
+    val batchSource = eventlog
+      .filter(col("event_time") > lit(hwm))
+      // neutralize the status-flag offset: read-only mode selects by
+      // time regardless of prior verdicts
+      .withColumn("status", lit("N  "))
+    val r = cycle(snapshot0, users, batchSource, conf, maxRecords)
+    val processed = batchSource.orderBy("record_id").limit(maxRecords)
+    val newHwm = processed.agg(max(col("event_time"))).head().getTimestamp(0)
+    (r, if (newHwm == null || newHwm.before(hwm)) hwm else newHwm)
+  }
+
+  /** Checkpointed HWM offsets, one per (db) source — atomic file swap
+    * like the snapshot pointer.
+    */
+  object HwmStore {
+    private val init = java.sql.Timestamp.valueOf("2017-01-01 00:00:00")
+    def load(dir: String, db: String): java.sql.Timestamp = {
+      val p = java.nio.file.Paths.get(s"$dir/hwm_$db")
+      if (java.nio.file.Files.exists(p))
+        java.sql.Timestamp.valueOf(java.nio.file.Files.readString(p).trim)
+      else init
+    }
+    def save(dir: String, db: String, hwm: java.sql.Timestamp): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tmp = java.nio.file.Paths.get(s"$dir/hwm_$db.tmp")
+      java.nio.file.Files.writeString(tmp, hwm.toString)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$dir/hwm_$db"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** C3 — end-of-cycle rename propagation into ph15 (etl.py:762–781):
     * re-sync user rows whose benutzername matches either side of a
     * queued rename, against the ph15 base.
