@@ -17,6 +17,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
+      (operators.TpchStyle.queries, operators.TpchStyle.oracles),
       (operators.EtlOps.queries, operators.EtlOps.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
       (operators.StreamToolOps.queries, operators.StreamToolOps.oracles),
