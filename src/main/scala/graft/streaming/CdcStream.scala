@@ -7,20 +7,28 @@ import graft.etl.Directory.Entry
 /** The reference's polling micro-batch loop (etl.py:390–426, §2.9) as a
   * deterministic, injectable runner:
   *
-  *  - round-robin over N (baseDn, db) sources per cycle,
+  *  - round-robin over N (baseDn, db) sources per cycle, each with its
+  *    own eventlog table (the reference zips base_dns with databases),
   *  - batch cap (`maxRecords`) per source per cycle,
   *  - **drain rule**: skip the sleep entirely while any source returned
   *    a full batch (backlog catch-up, etl.py:604–606, 419–423),
   *  - end-of-cycle ph15 rename pass (C3),
   *  - liveness heartbeat touch per cycle (F14).
   *
-  * State (snapshot + eventlog) is line age-truncated per cycle via
+  * State (snapshot + eventlogs) is lineage-truncated per cycle via
   * localCheckpoint — the batch-loop equivalent of a streaming
   * checkpoint, keeping Catalyst planning O(1) per cycle.
   */
 object CdcStream {
 
-  case class Source(conf: EtlConf, users: () => DataFrame)
+  /** One (baseDn, db) source; `key` selects its eventlog in LoopState. */
+  case class Source(conf: EtlConf, users: () => DataFrame, key: String = "postgres")
+
+  case class LoopState(
+      snapshot: Dataset[Entry],
+      eventlogs: Map[String, DataFrame],
+      cyclesRun: Int,
+      sleeps: Int)
 
   /** Structured-Streaming form of the CDC loop: eventlog files appended
     * to a directory become micro-batches; `foreachBatch` folds each
@@ -63,15 +71,9 @@ object CdcStream {
     (q, state)
   }
 
-  case class LoopState(
-      snapshot: Dataset[Entry],
-      eventlog: DataFrame,
-      cyclesRun: Int,
-      sleeps: Int)
-
-  /** Run cycles until no 'N'/'E' events remain or maxCycles is hit.
-    * `sleeper` is injected so tests can count/skip real sleeping;
-    * `heartbeat` is touched every cycle (liveness:1–21).
+  /** Run cycles until no 'N'/'E' events remain in any source or
+    * maxCycles is hit. `sleeper` is injected so tests can count/skip
+    * real sleeping; `heartbeat` is touched every cycle (liveness:1–21).
     */
   def run(
       state0: LoopState,
@@ -81,6 +83,8 @@ object CdcStream {
       sleeper: () => Unit = () => Thread.sleep(20000),
       heartbeat: Option[java.nio.file.Path] = None): LoopState = {
     import org.apache.spark.sql.functions._
+    def pending(df: DataFrame): Long =
+      df.filter(rtrim(col("status")).isin("N", "E")).count()
     var st = state0
     var done = false
     while (!done && st.cyclesRun < maxCycles) {
@@ -88,29 +92,32 @@ object CdcStream {
         java.nio.file.Files.writeString(p, System.nanoTime().toString)
       }
       var anyFull = false
+      var renameQueue: Option[DataFrame] = None
       var stamp = 0
       for (src <- sources) {
         stamp += 1
         val conf = src.conf.copy(etlTimestamp =
           f"gen${st.cyclesRun}%04d_$stamp%02d") // unique per (cycle, source)
-        val batchSize = st.eventlog
-          .filter(rtrim(col("status")).isin("N", "E")).count()
-        val r = Cdc.cycle(st.snapshot, src.users(), st.eventlog, conf,
-          maxRecords)
-        val snap2 =
-          if (r.renames.isEmpty) r.snapshot
-          else sources.find(_.conf.isPh15).map { p15 =>
-            Cdc.updatePh15Cn(r.snapshot, p15.users(), r.renames, p15.conf)
-          }.getOrElse(r.snapshot)
+        val elog = st.eventlogs(src.key)
+        val batchSize = pending(elog)
+        val r = Cdc.cycle(st.snapshot, src.users(), elog, conf, maxRecords)
+        if (!r.renames.isEmpty) renameQueue = Some(r.renames)
         st = st.copy(
-          snapshot = snap2.localCheckpoint(true),
-          eventlog = r.eventlog.localCheckpoint(true))
+          snapshot = r.snapshot.localCheckpoint(true),
+          eventlogs = st.eventlogs +
+            (src.key -> r.eventlog.localCheckpoint(true)))
         if (batchSize >= maxRecords) anyFull = true
       }
+      // C3 — end-of-cycle ph15 rename pass (etl.py:411–418)
+      renameQueue.foreach { rq =>
+        sources.find(_.conf.isPh15).foreach { p15 =>
+          st = st.copy(snapshot = Cdc
+            .updatePh15Cn(st.snapshot, p15.users(), rq, p15.conf)
+            .localCheckpoint(true))
+        }
+      }
       st = st.copy(cyclesRun = st.cyclesRun + 1)
-      val remaining = st.eventlog
-        .filter(rtrim(col("status")).isin("N", "E")).count()
-      done = remaining == 0
+      done = st.eventlogs.values.map(pending).sum == 0
       if (!done && !anyFull) { // drain rule: full batch ⇒ no sleep
         sleeper()
         st = st.copy(sleeps = st.sleeps + 1)

@@ -42,9 +42,18 @@ class StreamingSpec extends AnyFunSuite {
 
     var slept = 0
     val hb = java.nio.file.Files.createTempFile("graft-liveness", "")
+    // two multiplexed sources: ph08 carries the backlog, ph15 is idle
+    val emptyLog = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      EtlSchema.eventSchema)
     val st = CdcStream.run(
-      CdcStream.LoopState(snap0, elog, 0, 0),
-      Seq(CdcStream.Source(conf, () => users)),
+      CdcStream.LoopState(snap0,
+        Map("postgres" -> elog, "ph15db" -> emptyLog), 0, 0),
+      Seq(
+        CdcStream.Source(conf, () => users, "postgres"),
+        CdcStream.Source(
+          conf.copy(baseDn = "ou=user,ou=ph15,o=BMUKK", db = "ph15db"),
+          () => users, "ph15db")),
       maxRecords = 2, // 4 events ⇒ 2 full batches ⇒ drain mode
       sleeper = () => { slept += 1 },
       heartbeat = Some(hb))
