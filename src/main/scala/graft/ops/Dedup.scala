@@ -90,23 +90,27 @@ object Dedup {
     * dropped.
     */
   def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws(",",
-          (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
-          .as("h"))
-    }.reduce(_ unionByName _)
-    val small = bands.groupBy("band", "h")
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select("band", "h")
-    val capped = bands.join(small, Seq("band", "h"), "left_semi")
-    val l = capped.select(col("doc_id").as("doc_a"), col("band"), col("h"))
-    val r = capped.select(col("doc_id").as("doc_b"), col("band"), col("h"))
-    l.join(r, Seq("band", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // one band column per 4 signature mins, exploded — the signature
+    // subtree is computed once (a union-of-selects or self-join here
+    // recomputes it per branch: observed 8× the work)
+    val bandArr = array((0 until 4).map { b =>
+      md5(concat_ws(",",
+        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+    }: _*)
+    val bands = minhashSig(s, d)
+      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h")))
+    // bucket members collected once; pairs generated bucket-locally via
+    // array combinatorics (ids sorted ⇒ doc_a < doc_b by construction)
+    val pairsInBucket = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2),
+        greatest(size(col("ids")) - i - 1, lit(0))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    bands.groupBy("band", "h")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsInBucket).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
   }
 
   /** 16-bit SimHash: per-bit majority vote over word hashes; near-dups
