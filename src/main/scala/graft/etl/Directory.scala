@@ -197,6 +197,17 @@ object Directory {
       .select("dn", "attrs").as[Entry]
   }
 
+  /** Structural invariant check: dn must be unique (the MERGE contract).
+    * Returns offending dns; empty ⇒ healthy.
+    */
+  def duplicateDns(snapshot: Dataset[Entry]): Seq[String] = {
+    import org.apache.spark.sql.Encoders
+    implicit val e: Encoder[String] = Encoders.STRING
+    snapshot.toDF.groupBy("dn").count()
+      .filter(col("count") > 1)
+      .select("dn").as[String].collect().toSeq
+  }
+
   /** C10 — bootstrap structural entries for a base dn chain, plus the
     * `ou=ETD,ou=idnSync` sibling for `ou=user` bases (etl.py:806–851).
     */

@@ -219,10 +219,23 @@ object SyncEngine {
   /** Two-key priority match (J2) + merge. `newRows` needs the columns of
     * `toNewRows` plus a boolean `is_new`.
     */
-  def merge(snapshot: Dataset[Entry], newRows: DataFrame, conf: EtlConf)
+  def merge(snapshot: Dataset[Entry], newRows0: DataFrame, conf: EtlConf)
       : (Dataset[Entry], Dataset[MergeRow]) = {
     val spark = snapshot.sparkSession
     import spark.implicits._
+
+    // One row per cn within a batch: the reference processes rows
+    // sequentially, so a second row with the same cn lands as an update
+    // of the first; set-based, two same-cn adds would collide on dn.
+    // Deterministic winner: highest uid (the sequential outcome is
+    // fetch-order-dependent — this is the one divergence, documented).
+    val cnW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_cn"))
+      .orderBy(col("src_uid").cast("long").desc_nulls_last)
+    val newRows = newRows0
+      .withColumn("cn_rn", row_number().over(cnW))
+      .filter(col("cn_rn") === 1 || col("src_cn").isNull)
+      .drop("cn_rn")
 
     val oldL = snapshot.toDF
       .filter(Directory.parentDnCol(col("dn")) === conf.baseDn)
