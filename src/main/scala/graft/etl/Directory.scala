@@ -197,6 +197,29 @@ object Directory {
       .select("dn", "attrs").as[Entry]
   }
 
+  /** Bucketed persistence: cluster + sort the snapshot by dn so the
+    * per-cycle MERGE joins (match, apply) read pre-partitioned,
+    * pre-sorted data — the snapshot side of a sort-merge join then
+    * needs no Exchange and no Sort, cycle after cycle. At 100 TB this
+    * removes the largest recurring shuffle in the engine. (Bucketing
+    * needs a catalog table; with the in-memory catalog the table lives
+    * for the session — a real deployment would use a persistent
+    * catalog or a bucketing-aware table format.)
+    */
+  def saveBucketed(snapshot: Dataset[Entry], table: String,
+      buckets: Int = 8): Unit =
+    snapshot.toDF.write
+      .mode("overwrite")
+      .bucketBy(buckets, "dn")
+      .sortBy("dn")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def loadBucketed(spark: SparkSession, table: String): Dataset[Entry] = {
+    import spark.implicits._
+    spark.table(table).as[Entry]
+  }
+
   /** Structural invariant check: dn must be unique (the MERGE contract).
     * Returns offending dns; empty ⇒ healthy.
     */
