@@ -96,9 +96,44 @@ object Similarity {
       .filter(col("sim") >= 0.3)
   }
 
+  /** Squared L2 distance from three in-order inner products — the same
+    * arithmetic as the SQL oracle (a zip-fold difference would sum in a
+    * different order and drift in the last ulp).
+    */
+  private def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** IVF-style ANN: a fixed 16-cell coarse quantizer (centroids = the
+    * first 16 vectors — deterministic; a trained quantizer would slot
+    * in identically), every vector assigned to its nearest cell once,
+    * queries probe only their own cell. The inverted-list counterpart
+    * to the hyperplane LSH path.
+    */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("le").as("ce"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("le"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"),
+        first(col("le")).as("le"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("le"))
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("cell").as("qcell"), col("le").as("qe"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .select(col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
+    "q_knn_ivf" -> (knnIvf _),
     "q_dedup_embed" -> (embedDupPairs _),
   )
 
@@ -132,6 +167,25 @@ object Similarity {
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(list_inner_product(a.le, b.le) /
          |    (sqrt(list_inner_product(a.le, a.le)) * sqrt(list_inner_product(b.le, b.le))), 6) >= 0.3""".stripMargin,
+    "q_knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |           FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, le AS ce FROM v WHERE vec_id < 16),
+         |a AS (
+         |  SELECT v.vec_id, v.le, c.cid,
+         |    list_inner_product(v.le, v.le)
+         |      - 2.0 * list_inner_product(v.le, c.ce)
+         |      + list_inner_product(c.ce, c.ce) AS d2
+         |  FROM v, cents c),
+         |cell AS (
+         |  SELECT vec_id, le, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM a) t WHERE rn = 1),
+         |q AS (SELECT cell AS qcell, le AS qe FROM cell WHERE vec_id = 0),
+         |e AS (SELECT vec_id, le, cell FROM cell WHERE vec_id <> 0)
+         |SELECT e.vec_id, round($cosSql, 6) AS sim
+         |FROM e, q WHERE e.cell = q.qcell
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH hp AS (
          |  SELECT j, list(w ORDER BY d) AS w FROM (
