@@ -159,6 +159,20 @@ object Relational {
         (count(when(col("event_type") === "refund", 1)) > 0)
           .as("has_refund"))
 
+  // A7 — hierarchical subtotals (ROLLUP) with decimal-exact sums.
+  def a7Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  // A8 — full cross-dimensional subtotals (CUBE).
+  def a8Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+
   // A5 — distinct key set.
   def a5Distinct(s: SparkSession, d: String): DataFrame =
     orders(s, d).select("o_orderpriority").distinct()
@@ -224,6 +238,8 @@ object Relational {
     "q_a2_hwm" -> (a2Hwm _),
     "q_a3_counts" -> (a3Counts _),
     "q_a4_exists" -> (a4Exists _),
+    "q_a7_rollup" -> (a7Rollup _),
+    "q_a8_cube" -> (a8Cube _),
     "q_a5_distinct" -> (a5Distinct _),
     "q_a6_topn_group" -> (a6TopNGroup _),
     "q_o2_ci_sort" -> (o2CiSort _),
@@ -294,6 +310,14 @@ object Relational {
         |FROM events""".stripMargin,
     "q_a5_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders",
+    "q_a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_a8_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_a6_topn_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
