@@ -173,6 +173,24 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
 
+  // A9 — skew-safe two-phase aggregation: salt the hot key space,
+  // partial-aggregate per (key, salt), then combine per key. Result is
+  // identical to the plain groupBy (the oracle is the plain form); at
+  // 100 TB this caps any single reducer's input at 1/SALT of the hot
+  // key. (AQE skew handling covers joins; salting is the aggregation-
+  // side tool.)
+  def a9SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val SALT = 16
+    events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(SALT)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("value"))).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast("double").as("sum_value"))
+  }
+
   // A5 — distinct key set.
   def a5Distinct(s: SparkSession, d: String): DataFrame =
     orders(s, d).select("o_orderpriority").distinct()
@@ -239,6 +257,7 @@ object Relational {
     "q_a3_counts" -> (a3Counts _),
     "q_a4_exists" -> (a4Exists _),
     "q_a7_rollup" -> (a7Rollup _),
+    "q_a9_salted_agg" -> (a9SaltedAgg _),
     "q_a8_cube" -> (a8Cube _),
     "q_a5_distinct" -> (a5Distinct _),
     "q_a6_topn_group" -> (a6TopNGroup _),
@@ -310,6 +329,10 @@ object Relational {
         |FROM events""".stripMargin,
     "q_a5_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders",
+    "q_a9_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q_a7_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
