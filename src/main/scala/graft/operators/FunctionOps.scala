@@ -42,13 +42,48 @@ object FunctionOps {
       col("event_id"),
       regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
 
+  /** A10 — exact interpolated percentiles (median/p90) per group. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"))
+
+  /** F-string breadth: edit distance, translate, repeat, pad. */
+  def stringFns(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        levenshtein(col("event_type"), lit("purchase")).as("lev"),
+        translate(col("event_type"), "aeiou", "AEIOU").as("tr"),
+        lpad(col("user_id").cast("string"), 6, "0").as("padded"),
+        repeat(substring(col("event_type"), 1, 1), 3).as("rep"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_f_convert" -> (fConvert _),
     "q_f5_multival" -> (fMultival _),
     "q_f8_parse" -> (fParse _),
+    "q_a10_percentiles" -> (percentiles _),
+    "q_f14_strings" -> (stringFns _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_a10_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(min(value), 6) AS vmin,
+        |  round(max(value), 6) AS vmax
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_f14_strings" ->
+      """SELECT event_id,
+        |  levenshtein(event_type, 'purchase') AS lev,
+        |  translate(event_type, 'aeiou', 'AEIOU') AS tr,
+        |  lpad(user_id::VARCHAR, 6, '0') AS padded,
+        |  repeat(substr(event_type, 1, 1), 3) AS rep
+        |FROM events""".stripMargin,
     "q_f_convert" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.0' AS date_str,

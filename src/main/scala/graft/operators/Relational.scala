@@ -238,6 +238,21 @@ object Relational {
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("n"))
 
+  /** SQL-frontend surface: the same engine driven through spark.sql
+    * over registered views (Catalyst path is identical to the
+    * DataFrame API — this query proves the SQL entry point works).
+    */
+  def sqlFrontend(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem_v
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_scan_project" -> (s1ScanProject _),
     "q_s2_range_scan" -> (s2RangeScan _),
@@ -265,6 +280,7 @@ object Relational {
     "q_o3_topk" -> (o3TopK _),
     "q_t4_except" -> (t4Except _),
     "q1_pricing" -> (q1Pricing _),
+    "q_sql_frontend" -> (sqlFrontend _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +370,13 @@ object Relational {
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_sql_frontend" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

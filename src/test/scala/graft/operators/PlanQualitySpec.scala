@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSpark
+
+/** Plan-quality regressions: the optimizations SCALING.md claims must
+  * stay visible in the physical plans — pushdown, pruning, broadcast.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(TestSpark.spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = plan("q_s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), LessThan(l_partkey,50)]"), p)
+  }
+
+  test("only referenced columns are read (column pruning)") {
+    val p = plan("q_s1_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_linenumber:int,l_extendedprice:double>"), p)
+  }
+
+  test("dimension sides broadcast in the six-way join") {
+    val p = plan("q_tpch_q5")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n == 5, s"expected 5 broadcast joins, got $n:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("top-k under total order avoids a global sort") {
+    val p = plan("q_o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
