@@ -40,6 +40,37 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Custom keyed state: a running per-user profile (event count,
+    * value total, last event id) maintained with mapGroupsWithState —
+    * the arbitrary-state path for logic windowed aggregation can't
+    * express. State lives in the state store (bounded by user
+    * cardinality, evictable via timeouts at scale).
+    */
+  case class UserProfile(userId: Long, n: Long, total: Double, lastEventId: Long)
+
+  def runningUserProfiles(events: org.apache.spark.sql.Dataset[
+      (Long, Long, Double)]): org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val pe: Encoder[UserProfile] = Encoders.product[UserProfile]
+    implicit val le: Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, -1L))
+        val next = rows.foldLeft(prev) { (acc, r) =>
+          UserProfile(uid, acc.n + 1,
+            // cents-exact accumulation: state updates must not depend
+            // on fold order across batches
+            (acc.total * 100 + math.rint(r._3 * 100)) / 100,
+            math.max(acc.lastEventId, r._2))
+        }
+        state.update(next)
+        next
+      }
+  }
+
   /** Watermarked tumbling 1-hour aggregation — the streaming twin of
     * operators.Windows.tumbling; late data beyond 10 min is dropped and
     * state is evicted (bounded state at scale).

@@ -68,6 +68,31 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StatefulStreamSpec extends AnyFunSuite {
+  test("mapGroupsWithState accumulates per-user profiles across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val name = s"profiles_${System.nanoTime()}"
+    val q = EventStream.runningUserProfiles(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    // final state per user (last update wins) must equal the batch agg
+    val last = spark.table(name)
+      .groupBy("userId")
+      .agg(max("n").as("n"), max("lastEventId").as("lastEventId"))
+    val expected = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id").as("userId"))
+      .agg(count(lit(1)).as("n"), max("event_id").as("lastEventId"))
+    assert(last.orderBy("userId").collect().toSeq ==
+      expected.orderBy("userId").collect().toSeq)
+  }
+}
+
 class StreamingCdcSpec extends AnyFunSuite {
   test("foreachBatch CDC stream converges to the scenario-01 golden") {
     val spark = TestSpark.spark
