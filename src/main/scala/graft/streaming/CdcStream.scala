@@ -28,7 +28,8 @@ object CdcStream {
       snapshot: Dataset[Entry],
       eventlogs: Map[String, DataFrame],
       cyclesRun: Int,
-      sleeps: Int)
+      sleeps: Int,
+      sourceErrors: Map[String, Int] = Map.empty)
 
   /** Structured-Streaming form of the CDC loop: eventlog files appended
     * to a directory become micro-batches; `foreachBatch` folds each
@@ -98,15 +99,24 @@ object CdcStream {
         stamp += 1
         val conf = src.conf.copy(etlTimestamp =
           f"gen${st.cyclesRun}%04d_$stamp%02d") // unique per (cycle, source)
-        val elog = st.eventlogs(src.key)
-        val batchSize = pending(elog)
-        val r = Cdc.cycle(st.snapshot, src.users(), elog, conf, maxRecords)
-        if (!r.renames.isEmpty) renameQueue = Some(r.renames)
-        st = st.copy(
-          snapshot = r.snapshot.localCheckpoint(true),
-          eventlogs = st.eventlogs +
-            (src.key -> r.eventlog.localCheckpoint(true)))
-        if (batchSize >= maxRecords) anyFull = true
+        // resilience (etl.py:1362–1373): a failing source is skipped
+        // this cycle and retried next one, instead of killing the loop;
+        // its backlog stays pending so `done` cannot falsely trigger
+        try {
+          val elog = st.eventlogs(src.key)
+          val batchSize = pending(elog)
+          val r = Cdc.cycle(st.snapshot, src.users(), elog, conf, maxRecords)
+          if (!r.renames.isEmpty) renameQueue = Some(r.renames)
+          st = st.copy(
+            snapshot = r.snapshot.localCheckpoint(true),
+            eventlogs = st.eventlogs +
+              (src.key -> r.eventlog.localCheckpoint(true)))
+          if (batchSize >= maxRecords) anyFull = true
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            st = st.copy(sourceErrors = st.sourceErrors +
+              (src.key -> (st.sourceErrors.getOrElse(src.key, 0) + 1)))
+        }
       }
       // C3 — end-of-cycle ph15 rename pass (etl.py:411–418)
       renameQueue.foreach { rq =>

@@ -68,6 +68,42 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class LoopResilienceSpec extends AnyFunSuite {
+  test("a transiently failing source is retried, not fatal") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
+    val users0 = EtlSchema
+      .readUsersCsv(spark, s"${TestSpark.refData}/initial_data.csv")
+      .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
+    val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
+      cryptoIvHex = Some("0" * 32))
+    val snap0 = InitialLoad.run(pre, users0, conf).snapshot.localCheckpoint(true)
+    val cs = EtlSchema.readUsersCsv(spark, s"${TestSpark.refData}/changeset01.csv")
+    val users = users0
+      .join(cs.select("pk_uniqueid"), Seq("pk_uniqueid"), "left_anti")
+      .unionByName(cs).localCheckpoint(true)
+    val elog = EtlSchema.readEventsCsv(spark,
+      s"${TestSpark.refData}/eventlog01.csv").localCheckpoint(true)
+
+    var calls = 0
+    val flaky = () => {
+      calls += 1
+      if (calls == 1) sys.error("transient source outage")
+      users
+    }
+    val st = CdcStream.run(
+      CdcStream.LoopState(snap0, Map("postgres" -> elog), 0, 0),
+      Seq(CdcStream.Source(conf, flaky, "postgres")),
+      sleeper = () => ())
+    assert(st.sourceErrors("postgres") == 1, "first cycle must record the error")
+    val got = Directory.dump(st.snapshot.filter(e =>
+      e.dn == "ou=ph08,o=BMUKK" || e.dn.endsWith(",ou=ph08,o=BMUKK")))
+    assert(got == TestSpark.golden("ldap01.txt"),
+      "the retry cycle must still converge to the golden state")
+  }
+}
+
 class StatefulStreamSpec extends AnyFunSuite {
   test("mapGroupsWithState accumulates per-user profiles across batches") {
     val spark = TestSpark.spark
