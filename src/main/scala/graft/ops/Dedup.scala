@@ -147,12 +147,52 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** Transitive near-dup groups: connected components over the LSH
+    * candidate-pair graph by iterative min-label propagation — the
+    * standard "keep one per duplicate cluster" step of corpus dedup.
+    * Each iteration is one shuffle (groupBy min over neighbor labels);
+    * iterations bound by graph diameter (≤ 16 here, with an early-out
+    * on convergence); lineage truncated per iteration.
+    */
+  def dupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshPairs(s, d).localCheckpoint(true)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 16) {
+      val nbrMin = edges
+        .join(labels, col("v") === col("id"))
+        .groupBy(col("u"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, col("id") === col("u"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("dup_group"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash_sig" -> (minhashSig _),
     "q_dedup_lsh_pairs" -> (lshPairs _),
     "q_dedup_simhash" -> (simhash _),
+    "q_dedup_groups" -> (dupGroups _),
   )
 
   private val sigSql: String = {
@@ -195,6 +235,28 @@ object Dedup {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
          |  AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "q_dedup_groups" -> {
+      val bands = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE sig AS ($sigSql), bands0 AS ($bands),
+         |small AS (SELECT band, h FROM bands0 GROUP BY band, h
+         |          HAVING count(*) <= $maxBucket),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |r AS (
+         |  SELECT u AS id, u AS l FROM (SELECT DISTINCT u FROM e) t
+         |  UNION
+         |  SELECT e.u AS id, r.l FROM e JOIN r ON r.id = e.v)
+         |SELECT id AS doc_id, min(l) AS dup_group FROM r GROUP BY id""".stripMargin
     },
     "q_dedup_simhash" -> {
       val bitCols = (0 until 16).map(b =>
