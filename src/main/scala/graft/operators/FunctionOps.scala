@@ -61,15 +61,59 @@ object FunctionOps {
         lpad(col("user_id").cast("string"), 6, "0").as("padded"),
         repeat(substring(col("event_type"), 1, 1), 3).as("rep"))
 
+  /** F15 — native JSON extraction (the props column is JSON). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+
+  /** A11 — grouped ordered array aggregation (deterministic: sorted,
+    * distinct, joined).
+    */
+  def groupArrays(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      .groupBy("event_type")
+      .agg(array_join(array_sort(collect_set(col("bucket"))), ",")
+        .as("buckets"))
+
+  /** T5 — relation-level INTERSECT (with T4's EXCEPT this completes the
+    * set-op family).
+    */
+  def intersectKeys(s: SparkSession, d: String): DataFrame = {
+    val open = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val fin = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    open.intersect(fin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_f_convert" -> (fConvert _),
     "q_f5_multival" -> (fMultival _),
     "q_f8_parse" -> (fParse _),
     "q_a10_percentiles" -> (percentiles _),
     "q_f14_strings" -> (stringFns _),
+    "q_f15_json" -> (jsonExtract _),
+    "q_a11_group_arrays" -> (groupArrays _),
+    "q_t5_intersect" -> (intersectKeys _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_f15_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin,
+    "q_a11_group_arrays" ->
+      """SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS buckets
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_t5_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q_a10_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
