@@ -73,8 +73,30 @@ object StreamToolOps {
     "q_f13_anonymize" -> (anonymize _),
   )
 
+
+  /** DuckDB mirror of CsvTools.anonName (initcap ≈ upper-first since the
+    * derived letters are lowercase).
+    */
+  private def anonNameSql(c: String): String = {
+    val l = s"translate(substr(md5('name|' || $c), 1, 10), '0123456789abcdef', 'aeioubcdfghklmnp')"
+    val len = s"(('0x' || substr(md5('len|' || $c), 1, 2))::BIGINT % 6 + 5)"
+    s"upper(substr($l, 1, 1)) || substr($l, 2, $len - 1)"
+  }
+
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
+    "q_f13_anonymize" ->
+      s"""SELECT CAST(ident_nr AS DOUBLE) AS ident_nr,
+         |  CASE WHEN vorname IS NOT NULL THEN ${anonNameSql("vorname")} END AS vorname,
+         |  CASE WHEN nachname IS NOT NULL THEN ${anonNameSql("nachname")} END AS nachname,
+         |  CASE WHEN emailadresse_st IS NOT NULL
+         |    THEN ${anonNameSql("emailadresse_st")} || '@example.org' END AS emailadresse_st,
+         |  CASE WHEN matrikelnummer IS NOT NULL
+         |    THEN ((('0x' || substr(md5('int|' || matrikelnummer), 1, 12))::BIGINT % 90000000 + 10000000))::VARCHAR
+         |    END AS matrikelnummer
+         |FROM read_csv('$refData/initial_data.csv',
+         |  delim=';', header=true, nullstr='', all_varchar=true)
+         |ORDER BY CAST(ident_nr AS DOUBLE)""".stripMargin,
     "q_s6_csv_source" ->
       s"""SELECT benutzername, CAST(pk_uniqueid AS DOUBLE) AS pk_uniqueid,
          |  CASE WHEN aktiv_st_person IS NOT NULL

@@ -21,6 +21,17 @@ import graft.etl.Directory.Entry
   */
 object CdcStream {
 
+  /** F14 consumer side (reference `liveness`:1–21): the loop is healthy
+    * while the heartbeat file is younger than 2×sleeptime + 600 s.
+    */
+  def isAlive(heartbeat: java.nio.file.Path, sleeptimeSec: Long,
+      nowMillis: Long = System.currentTimeMillis): Boolean = {
+    if (!java.nio.file.Files.exists(heartbeat)) return false
+    val age = (nowMillis -
+      java.nio.file.Files.getLastModifiedTime(heartbeat).toMillis) / 1000
+    age <= 2 * sleeptimeSec + 600
+  }
+
   /** One (baseDn, db) source; `key` selects its eventlog in LoopState. */
   case class Source(conf: EtlConf, users: () => DataFrame, key: String = "postgres")
 

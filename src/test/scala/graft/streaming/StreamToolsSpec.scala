@@ -60,6 +60,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.cyclesRun == 2, s"expected 2 drain cycles, got ${st.cyclesRun}")
     assert(slept == 0 && st.sleeps == 0, "drain rule must skip sleeping")
     assert(java.nio.file.Files.readString(hb).nonEmpty)
+    // F14 — liveness verdict: fresh heartbeat passes, stale one fails
+    assert(CdcStream.isAlive(hb, 20))
+    assert(!CdcStream.isAlive(hb, 20,
+      nowMillis = System.currentTimeMillis + (2 * 20 + 601) * 1000L))
 
     import spark.implicits._
     val got = Directory.dump(st.snapshot.filter(e =>
