@@ -74,17 +74,42 @@ object TextAnalysis {
         size(toks(col("text"))).cast("long").as("ws_tokens"),
         expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("bpe_est"))
 
+  /** Composite corpus pipeline: quality filter → exact dedup
+    * (first-doc survivor) → per-language counts — the end-to-end shape
+    * of a training-data preparation job, as one declarative plan.
+    */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    documents(s, d)
+      .filter(size(toks(col("text"))) >= 20)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_text_langid" -> (langId _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_tokens" -> (tokenCount _),
+    "q_pipeline_corpus" -> (corpusPipeline _),
   )
 
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_corpus" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
+        |FROM (
+        |  SELECT lang, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 20) t
+        |WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id, len(t)::BIGINT AS n_tokens,
          |  round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6) AS avg_token_len,
