@@ -36,6 +36,20 @@ class AesSpec extends AnyFunSuite {
 }
 
 class DumpCodecSpec extends AnyFunSuite {
+  test("formatter escapes and parser round-trips hostile values") {
+    import Directory.Entry
+    val e = Entry("cn=o'brien,ou=user,ou=ph08,o=BMUKK", Map(
+      "cn" -> Seq("o'brien"),
+      "sn" -> Seq("back\\slash"),
+      "objectClass" -> Seq("inetOrgPerson"),
+      "phonlineBPK" -> Seq("plain+base64/chars="),
+      "phonlineFunktionen" -> Seq("F_A:1", "F_B:2")))
+    val line = Directory.formatEntry(e)
+    assert(line.contains("cn=['o\\'brien']"), line)
+    val back = Directory.parseLine(line)
+    assert(back == e, s"round-trip mismatch:\n$line\n$back")
+  }
+
   test("parse → format round-trips the full reference tree dumps") {
     for (f <- Seq("ldapII.txt", "ldap00.txt", "ldapI15.txt")) {
       val text = TestSpark.golden(f)
