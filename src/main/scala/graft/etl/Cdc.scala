@@ -28,7 +28,8 @@ object Cdc {
       eventUpdates: DataFrame,    // record_id, status, error_message, attempt
       renames: DataFrame)         // old_cn, new_cn queue for ph15 (C3)
 
-  private def trimEq(c: Column, v: String): Column = rtrim(c) === v
+  private def trimEq(c: Column, v: String): Column =
+    graft.functions.ConvertF.char3Eq(c, v)
 
   /** One poll cycle. `users` is the current user table state; `eventlog`
     * the current event table; returns the post-cycle snapshot and
@@ -50,17 +51,22 @@ object Cdc {
       .orderBy("record_id")
       .limit(maxRecords)
 
-    // P3 — validation with error routing (etl.py:615–652)
+    // P3 — validation with error routing (etl.py:615–652). NULL fields
+    // must fail validation, not slip through a null-valued when():
+    // every predicate is explicitly null-armed.
     val uidStr = expr("split(table_key, '=', 2)[1]")
     val validated = batch.withColumn("v_error",
-      when(!col("event_type").isin(4.0, 5.0, 6.0),
-        concat(lit(s"Invalid event_type in ${conf.db}: "), col("event_type")))
-        .when(!col("table_key").startsWith("pk_uniqueid="),
+      when(col("event_type").isNull || !col("event_type").isin(4.0, 5.0, 6.0),
+        concat(lit(s"Invalid event_type in ${conf.db}: "),
+          coalesce(col("event_type").cast("string"), lit("None"))))
+        .when(col("table_key").isNull ||
+            !col("table_key").startsWith("pk_uniqueid="),
           lit(s"Invalid table_key in ${conf.db}, expect pk_uniqueid="))
-        .when(lower(col("table_name")) =!= "benutzer_alle_dirxml_v",
+        .when(col("table_name").isNull ||
+            lower(col("table_name")) =!= "benutzer_alle_dirxml_v",
           lit(s"Invalid table_name in ${conf.db}, expect benutzer_alle_dirxml_v"))
-        .when(uidStr.rlike("^\\s*[+-]?[0-9]+\\s*$") === false,
-          concat(lit("Invalid table_key: "), uidStr,
+        .when(!coalesce(uidStr.rlike("^\\s*[+-]?[0-9]+\\s*$"), lit(false)),
+          concat(lit("Invalid table_key: "), coalesce(uidStr, lit("None")),
             lit(s" in ${conf.db}, expect numeric id"))))
       .withColumn("uid", when(col("v_error").isNull, uidStr.cast("long")))
 
@@ -76,12 +82,18 @@ object Cdc {
 
     // MERGE the uids that still have rows (is_new=false: event_type only
     // influences warnings, which the status matrix reconstructs)
-    val newRows = SyncEngine.toNewRows(batchUsers)
-      .withColumn("is_new", lit(false))
+    val newRows0 = SyncEngine.toNewRows(batchUsers)
+    val newRows = newRows0.withColumn("is_new", lit(false))
     val (snapMerged, outcomes) = SyncEngine.merge(snap1, newRows, conf)
 
+    // raw DB-row count per uid — counted BEFORE the merge's cn-dedup so
+    // the duplicate-uid warning fires exactly when the reference's
+    // len(usr) > 1 does (etl.py:658–664)
+    val rowCounts = newRows0.groupBy(col("src_uid"))
+      .agg(count(lit(1)).as("row_n"))
+
     // delete-mark uids with no user row left (etl.py:684–688)
-    val uidsWithRows = SyncEngine.toNewRows(batchUsers)
+    val uidsWithRows = newRows0
       .select(col("src_uid")).distinct()
     val goneUids = batchUids
       .join(uidsWithRows, col("uid").cast("string") === col("src_uid"),
@@ -92,15 +104,15 @@ object Cdc {
     // C8 — status matrix per event (etl.py:689–718)
     val uidAgg = outcomes.toDF.groupBy(col("srcUid"))
       .agg(
-        count(lit(1)).as("row_n"),
         max(col("consumedDn").isNotNull).as("pre_matched"),
         max(col("consumedDn")).as("pre_dn"),
         max(when(col("consumedDn").isNull && col("changed"),
           col("resultDn"))).as("add_dn"),
         max(col("error")).as("kernel_error"),
         max(col("warning")).as("kernel_warning"))
+      .join(rowCounts, col("srcUid") === col("src_uid"), "left_outer")
+      .drop("src_uid")
 
-    val w = Window.partitionBy(col("uid")).orderBy(col("record_id"))
     val ev = valid
       .join(uidAgg, col("uid").cast("string") === col("srcUid"), "left_outer")
       .withColumn("row_n", coalesce(col("row_n"), lit(0L)))
@@ -237,7 +249,15 @@ object Cdc {
     * instead of status flags; events are selected by `event_time > hwm`
     * and the new HWM is the max seen. The reference keeps it in memory
     * (lost on restart, re-initialized to 2017-01-01); here it is a
-    * checkpointed offset (HwmStore) — a classic watermark.
+    * checkpointed offset (HwmStore).
+    *
+    * Caveat inherited from the reference (its own comment,
+    * etl.py:580–585): when more than `maxRecords` events share the
+    * boundary timestamp, the cut can advance the HWM past unprocessed
+    * events. The reference bounds the damage by forgetting the HWM on
+    * restart; with a persisted offset, size `maxRecords` above the
+    * worst-case burst per timestamp (or use the writable-status mode,
+    * which has exact offsets).
     */
   def cycleReadOnly(snapshot0: Dataset[Entry], users: DataFrame,
       eventlog: DataFrame, conf: EtlConf,

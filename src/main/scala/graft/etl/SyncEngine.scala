@@ -280,7 +280,10 @@ object SyncEngine {
         col("uid_ambiguous").as("uidAmbiguous"))
       .as[MatchIn]
 
-    val mergeRows = matched.map(mergeOne(_, conf))
+    // materialize once: the rows feed the snapshot apply, the status
+    // matrix, the rename queue and the write-through — without this the
+    // two match joins + kernel re-execute per consumer (~5×)
+    val mergeRows = matched.map(mergeOne(_, conf)).localCheckpoint(true)
     (applyMerge(snapshot, mergeRows), mergeRows)
   }
 
@@ -291,9 +294,20 @@ object SyncEngine {
       : Dataset[Entry] = {
     val spark = snapshot.sparkSession
     import spark.implicits._
+    // one change per consumed entry: two source rows with the same uid
+    // but different cns can both uid-match one entry — the reference
+    // applies them sequentially (last wins); set-based, an un-deduped
+    // join here would fan the entry out into duplicates. Deterministic
+    // winner: highest uid, then cn (mirrors the cn-dedup policy).
     val changes = mergeRows.filter(r => r.changed && r.consumedDn.isDefined)
-      .map(r => (r.consumedDn.get, r.resultDn.get, r.resultAttrs.get))
-      .toDF("dn0", "result_dn", "result_attrs")
+      .map(r => (r.consumedDn.get, r.resultDn.get, r.resultAttrs.get,
+        r.srcUid.toLong, r.srcCn))
+      .toDF("dn0", "rdn", "rattrs", "ruid", "rcn")
+      .groupBy("dn0")
+      .agg(max_by(struct(col("rdn"), col("rattrs")),
+        struct(col("ruid"), col("rcn"))).as("e"))
+      .select(col("dn0"), col("e.rdn").as("result_dn"),
+        col("e.rattrs").as("result_attrs"))
     val adds = mergeRows.filter(r => r.changed && r.consumedDn.isEmpty)
       .map(r => Entry(r.resultDn.get, r.resultAttrs.get))
     // no broadcast hint: the changes side is as big as the batch (the
@@ -453,6 +467,11 @@ object SyncEngine {
       .select(
         regexp_replace(col("dn"), "ou=ph[0-9]+", "ou=ph15").as("dn15"),
         mailCol.as("mail"))
+      // the same cn under several source trees maps to one ph15 dn: an
+      // un-deduped join would duplicate the ph15 entry (the reference
+      // iterates bases sequentially, last write wins); deterministic
+      // winner: max mail
+      .groupBy("dn15").agg(max(col("mail")).as("mail"))
     snapshot.toDF
       .join(broadcast(src), col("dn") === col("dn15"), "left_outer")
       .withColumn("attrs",

@@ -78,11 +78,17 @@ object ConvertF {
 
   /** F8 — parse `"pk_uniqueid=4714"` → long key value, NULL when the
     * prefix or the numeric part is malformed (reference etl.py:624–652
-    * routes failures to status 'F' instead of raising).
+    * routes failures to status 'F' instead of raising). Python's int()
+    * tolerates surrounding whitespace and a sign — so does this (same
+    * acceptance as the Cdc validation, which needs the granular
+    * per-failure messages and therefore tests the pieces itself).
     */
-  def tableKeyParse(c: Column, keyName: String = "pk_uniqueid"): Column =
-    when(c.startsWith(s"$keyName="),
-      regexp_extract(c, s"^$keyName=(\\d+)$$", 1).cast("long"))
+  def tableKeyParse(c: Column, keyName: String = "pk_uniqueid"): Column = {
+    val v = split(c, "=", 2).getItem(1)
+    when(c.startsWith(s"$keyName=") &&
+      coalesce(v.rlike("^\\s*[+-]?[0-9]+\\s*$"), lit(false)),
+      v.cast("long"))
+  }
 
   /** F9 — event_type decode {4→delete, 5→insert, 6→update}, else NULL
     * (reference etl.py:316–320).

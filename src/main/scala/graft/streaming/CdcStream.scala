@@ -117,7 +117,12 @@ object CdcStream {
           val elog = st.eventlogs(src.key)
           val batchSize = pending(elog)
           val r = Cdc.cycle(st.snapshot, src.users(), elog, conf, maxRecords)
-          if (!r.renames.isEmpty) renameQueue = Some(r.renames)
+          // accumulate across sources (the reference's ph15_change_dn
+          // dict grows over the whole cycle and is drained once)
+          if (!r.renames.isEmpty)
+            renameQueue = Some(renameQueue
+              .map(_.unionByName(r.renames).distinct())
+              .getOrElse(r.renames))
           st = st.copy(
             snapshot = r.snapshot.localCheckpoint(true),
             eventlogs = st.eventlogs +

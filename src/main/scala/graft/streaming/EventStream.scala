@@ -61,9 +61,9 @@ object EventStream {
         val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, -1L))
         val next = rows.foldLeft(prev) { (acc, r) =>
           UserProfile(uid, acc.n + 1,
-            // cents-exact accumulation: state updates must not depend
-            // on fold order across batches
-            (acc.total * 100 + math.rint(r._3 * 100)) / 100,
+            // cents-exact accumulation: re-round the running total too,
+            // or acc.total*100 drift compounds across state updates
+            math.rint(acc.total * 100 + math.rint(r._3 * 100)) / 100,
             math.max(acc.lastEventId, r._2))
         }
         state.update(next)
