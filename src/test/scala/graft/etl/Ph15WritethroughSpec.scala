@@ -5,12 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import Directory.Entry
 
 /** C9 — immediate ph15 write-through (etl.py:1112–1165): when a CDC
-  * cycle on a non-ph15 instance changes vorname/nachname/passwort, the
-  * ph15 twin entry (same cn) is patched immediately; other changed
-  * columns (e.g. the student email) are NOT written through.
+  * cycle on a non-ph15 instance changes vorname/nachname/
+  * emailadresse_st/passwort, the ph15 twin entry (same cn) is patched
+  * immediately; other changed columns are not.
   */
 class Ph15WritethroughSpec extends AnyFunSuite {
-  test("name+password changes propagate to ph15, email does not") {
+  test("name, password and student-email changes propagate to ph15") {
     val spark = TestSpark.spark
     import spark.implicits._
     val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
@@ -38,8 +38,9 @@ class Ph15WritethroughSpec extends AnyFunSuite {
     assert(attrs("idnDistributionPassword") ==
       Seq(Aes.encryptHex("ITkSfPh", conf.aesKey, conf.cryptoIvHex)),
       "password must be written through")
-    assert(attrs("phonlineEmailStudent") == Seq("Sbkogrodju@hotmail.com"),
-      "student email must NOT be written through (not in the set)")
+    assert(attrs("phonlineEmailStudent") == Seq("Uo biu@stud.ph-noe.ac.at"),
+      "student email IS in the write-through set (etl.py:338), even " +
+        "though the normal ph15 sync excludes it")
     // and the ph08 entry itself got the full update
     val e08 = r.snapshot
       .filter(_.dn == "cn=rtub.rkbe.2,ou=user,ou=ph08,o=BMUKK").head()
