@@ -42,8 +42,12 @@ object Cdc {
     val spark = snapshot0.sparkSession
     import spark.implicits._
 
-    // C6 — collect already-ETD-synced deleted entries at cycle start
-    val snap1 = SyncEngine.garbageCollect(snapshot0, conf)
+    // C6 — collect already-ETD-synced deleted entries at cycle start;
+    // the reference never garbage-collects the ph15 instance itself
+    // (etl.py:406–407)
+    val snap1 =
+      if (conf.isPh15) snapshot0
+      else SyncEngine.garbageCollect(snapshot0, conf)
 
     // S3 — bounded work-queue scan (status flags are the offsets)
     val batch = eventlog
@@ -161,11 +165,15 @@ object Cdc {
       col("record_id"),
       statusCol.as("new_status"),
       errMsgCol.as("new_error"),
-      attemptCol.cast("double").as("new_attempt"))
+      attemptCol.cast("double").as("new_attempt"),
+      lit(readTime).as("new_read"))
+    // validation failures `continue` before the reference's read_time
+    // stamp (etl.py:615–652 vs 718): no read_time for them
     val fUpdates = validated.filter(col("v_error").isNotNull)
       .select(col("record_id"), lit("F").as("new_status"),
         col("v_error").as("new_error"),
-        lit(null).cast("double").as("new_attempt"))
+        lit(null).cast("double").as("new_attempt"),
+        lit(null).cast("timestamp").as("new_read"))
     val allUpdates = evUpdates.unionByName(fUpdates)
 
     // S16 — batched writeback, one idempotent overwrite per cycle
@@ -178,8 +186,7 @@ object Cdc {
           coalesce(col("u.new_status"), col("e.status")).as("status"),
           coalesce(col("u.new_error"), col("e.error_message")).as("error_message"),
           coalesce(col("u.new_attempt"), col("e.attempt")).as("attempt"),
-          when(col("u.new_status").isNotNull, lit(readTime))
-            .otherwise(col("e.read_time")).as("read_time"))): _*)
+          coalesce(col("u.new_read"), col("e.read_time")).as("read_time"))): _*)
       .select(EtlSchema.eventFields.map(col): _*)
 
     // C3 — rename queue for the end-of-cycle ph15 pass
@@ -211,7 +218,15 @@ object Cdc {
         typedLit(wt)))
       .select(col("srcCn").as("wt_cn"), col("changedSrcKeys"))
     if (hits.isEmpty) return snapshot
+    // one row per cn, same winner policy as the merge's cn-dedup —
+    // duplicate DB rows must not fan the single ph15 twin entry out
+    // into duplicate dns
+    val cnW = Window.partitionBy(col("src_cn"))
+      .orderBy(col("src_uid").cast("long").desc_nulls_last)
     val rows = SyncEngine.toNewRows(batchUsers)
+      .withColumn("cn_rn", row_number().over(cnW))
+      .filter(col("cn_rn") === 1)
+      .drop("cn_rn")
       .join(hits, col("src_cn") === col("wt_cn"))
     val changesDs = rows.select(col("src_cn"), col("new_attrs"),
       col("pw_plain"), col("changedSrcKeys"))

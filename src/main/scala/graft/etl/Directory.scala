@@ -53,12 +53,15 @@ object Directory {
 
   /** Sort key reproducing the reference's DFS with case-insensitively
     * sorted children (ldaptest.py:119–140): lexicographic on the
-    * lower-cased, root-first RDN path. `,` sorts below every character
-    * RDNs use, so a parent (prefix) precedes its subtree and subtrees
-    * stay contiguous.
+    * lower-cased, root-first RDN path, with a trailing `,` so every
+    * component is comma-terminated. That makes the sibling comparison
+    * identical to the reference's full-dn compare even for characters
+    * below ',' (e.g. `cn=a b` sorts before `cn=a`, exactly as
+    * "cn=a b,…" < "cn=a,…"), while parents (strict prefixes) still
+    * precede their subtrees and subtrees stay contiguous.
     */
   def dfsKey(dn: Column): Column =
-    lower(array_join(reverse(split(dn, ",")), ","))
+    concat(lower(array_join(reverse(split(dn, ",")), ",")), lit(","))
 
   // ---- golden dump codec ---------------------------------------------
 

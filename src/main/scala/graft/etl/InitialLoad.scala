@@ -29,14 +29,15 @@ object InitialLoad {
       .as[Entry]
     val seeded = snapshot0.union(missingBoot)
 
-    val newRows = SyncEngine.toNewRows(users).withColumn("is_new", lit(true))
+    val newRows0 = SyncEngine.toNewRows(users)
+    val newRows = newRows0.withColumn("is_new", lit(true))
     val (merged, outcomes) = SyncEngine.merge(seeded, newRows, conf)
 
     // deletion sweep (J3): directory uids under the base not present in
     // the load, unless marked deleted (etl.py:900–914)
     val underBase = Directory.parentDnCol(col("dn")) === conf.baseDn
     val uidCol = element_at(col("attrs")("phonlineUniqueId"), 1)
-    val dbUids = SyncEngine.toNewRows(users)
+    val dbUids = newRows0
       .select(col("src_uid").as("db_uid")).distinct()
     val doomed = merged.toDF
       .filter(underBase && uidCol.isNotNull &&

@@ -394,6 +394,10 @@ object SyncEngine {
         accStatus.map(a => map_contains_key(col("attrs"), a))
           .reduce(_ || _).as("has_acc"))
       .join(cns, col("cn") === col("vcn"), "left_semi")
+    // the reference's nm==2 branch is server-order-dependent (it takes
+    // matches[0] and usually hits the non-ph15 entry → error-log, no
+    // delete); requiring exactly one live match is the deterministic
+    // reading of the same intent
     val candidates = live.groupBy("cn")
       .agg(count(lit(1)).as("n"), min(col("dn")).as("only_dn"),
         max(col("has_acc").cast("int")).as("acc"))

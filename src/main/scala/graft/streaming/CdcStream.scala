@@ -40,7 +40,8 @@ object CdcStream {
       eventlogs: Map[String, DataFrame],
       cyclesRun: Int,
       sleeps: Int,
-      sourceErrors: Map[String, Int] = Map.empty)
+      sourceErrors: Map[String, Int] = Map.empty,
+      lastErrors: Map[String, String] = Map.empty)
 
   /** Structured-Streaming form of the CDC loop: eventlog files appended
     * to a directory become micro-batches; `foreachBatch` folds each
@@ -130,8 +131,14 @@ object CdcStream {
           if (batchSize >= maxRecords) anyFull = true
         } catch {
           case scala.util.control.NonFatal(e) =>
-            st = st.copy(sourceErrors = st.sourceErrors +
-              (src.key -> (st.sourceErrors.getOrElse(src.key, 0) + 1)))
+            // retain the cause — a silently spinning loop is
+            // undiagnosable (the reference logs every failure)
+            System.err.println(
+              s"[graft-cdc] source ${src.key} failed this cycle: $e")
+            st = st.copy(
+              sourceErrors = st.sourceErrors +
+                (src.key -> (st.sourceErrors.getOrElse(src.key, 0) + 1)),
+              lastErrors = st.lastErrors + (src.key -> e.toString))
         }
       }
       // C3 — end-of-cycle ph15 rename pass (etl.py:411–418)

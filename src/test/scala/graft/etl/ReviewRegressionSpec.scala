@@ -59,6 +59,40 @@ class ReviewRegressionSpec extends AnyFunSuite {
     val v = r.eventUpdates.collect()
     assert(v.length == 1 && v.head.getString(1) == "F", v.toSeq.toString)
     assert(v.head.getString(2).startsWith("Invalid event_type"), v.toSeq.toString)
+    // the reference never stamps read_time for validation failures
+    assert(r.eventlog.filter(col("record_id") === 1.0)
+      .head.getAs[java.sql.Timestamp]("read_time") == null)
+  }
+
+  test("duplicate user rows do not fan out the ph15 twin via write-through") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val confWt = conf.copy(ph15Dn = Some("ou=user,ou=ph15,o=BMUKK"))
+    val pre = spark.createDataset(
+      Directory.bootstrapEntries(Seq(base, "ou=user,ou=ph15,o=BMUKK")) ++ Seq(
+        Entry(s"cn=wtu,$base", Map(
+          "cn" -> Seq("wtu"), "phonlineUniqueId" -> Seq("888"),
+          "givenName" -> Seq("Old"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat"))),
+        Entry("cn=wtu,ou=user,ou=ph15,o=BMUKK", Map(
+          "cn" -> Seq("wtu"), "phonlineUniqueId" -> Seq("999"),
+          "givenName" -> Seq("Old"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat")))))
+    val u = baseUsers.limit(1)
+      .withColumn("pk_uniqueid", lit(888.0))
+      .withColumn("benutzername", lit("wtu"))
+      .withColumn("vorname", lit("Newname"))
+    val users = u.unionByName(u) // duplicate rows, same cn/uid
+    val elog = EtlSchema
+      .readEventsCsv(spark, s"${TestSpark.refData}/eventlog01.csv")
+      .limit(1)
+      .withColumn("table_key", lit("pk_uniqueid=888"))
+    val r = Cdc.cycle(pre, users, elog, confWt)
+    assert(Directory.duplicateDns(r.snapshot).isEmpty,
+      "write-through must not duplicate the ph15 dn")
+    val twin = r.snapshot
+      .filter(_.dn == "cn=wtu,ou=user,ou=ph15,o=BMUKK").collect()
+    assert(twin.length == 1 && twin.head.attrs("givenName") == Seq("Newname"))
   }
 
   test("duplicate-uid warning survives same-cn rows (counted pre-dedup)") {
