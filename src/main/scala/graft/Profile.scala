@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only profiling harness: run the named queries (or all, with no
+  * args) against SPARK_GRAFT_SF_DIR a few times each and print per-run
+  * wall times, so plan pathologies show up without running the whole
+  * bench. `-explain` additionally prints the formatted plan once.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val explain = args.contains("-explain")
+    val names = args.filterNot(_.startsWith("-")).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs =
+      if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else names.map(n => n -> SparkEntry.queries(n))
+    qs.foreach { case (name, fn) =>
+      if (explain) fn(spark, sfDir).explain("formatted")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -266,11 +266,13 @@ object Cdc {
     * (lost on restart, re-initialized to 2017-01-01); here it is a
     * checkpointed offset (HwmStore).
     *
-    * Caveat inherited from the reference (its own comment,
-    * etl.py:580–585): when more than `maxRecords` events share the
-    * boundary timestamp, the cut can advance the HWM past unprocessed
-    * events. The reference bounds the damage by forgetting the HWM on
-    * restart; with a persisted offset, size `maxRecords` above the
+    * The batch is selected ordered by (event_time, record_id) so the
+    * HWM cut is consistent with the selection order: every event left
+    * out of a full batch has event_time >= every selected event, so
+    * nothing below the new HWM is ever skipped. The only remaining
+    * caveat is the reference's own (its comment, etl.py:580–585): when
+    * more than `maxRecords` events share the boundary timestamp, the
+    * ties beyond the cut are lost — size `maxRecords` above the
     * worst-case burst per timestamp (or use the writable-status mode,
     * which has exact offsets).
     */
@@ -283,9 +285,10 @@ object Cdc {
       // neutralize the status-flag offset: read-only mode selects by
       // time regardless of prior verdicts
       .withColumn("status", lit("N  "))
+      .orderBy(col("event_time"), col("record_id"))
+      .limit(maxRecords)
     val r = cycle(snapshot0, users, batchSource, conf, maxRecords)
-    val processed = batchSource.orderBy("record_id").limit(maxRecords)
-    val newHwm = processed.agg(max(col("event_time"))).head().getTimestamp(0)
+    val newHwm = batchSource.agg(max(col("event_time"))).head().getTimestamp(0)
     (r, if (newHwm == null || newHwm.before(hwm)) hwm else newHwm)
   }
 

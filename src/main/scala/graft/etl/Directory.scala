@@ -149,19 +149,42 @@ object Directory {
     * pointer file — copy-on-write MERGE (SURVEY.md §4 custom piece #1).
     * At cluster scale this would be a transactional table format commit;
     * the pointer-file protocol has the same reader-isolation property.
+    *
+    * Versions are monotonic: read CURRENT and increment (survives JVM
+    * restarts, unlike a clock), with a random suffix so two concurrent
+    * writers cannot collide on the data dir — the pointer swap then
+    * linearizes the publish. Superseded version dirs are pruned after
+    * the swap so disk usage stays bounded at one live snapshot (plus
+    * any version a concurrent reader pinned via CURRENT before the
+    * swap, which the next save prunes).
     */
   def save(snapshot: Dataset[Entry], dir: String): Unit = {
-    val spark = snapshot.sparkSession
-    val version = System.nanoTime()
-    val dataPath = s"$dir/v$version"
-    snapshot.write.mode("overwrite").parquet(dataPath)
-    val ptr = new java.io.File(s"$dir/CURRENT")
-    val tmp = new java.io.File(s"$dir/CURRENT.tmp")
     java.nio.file.Files.createDirectories(new java.io.File(dir).toPath)
-    java.nio.file.Files.writeString(tmp.toPath, s"v$version")
+    val ptr = new java.io.File(s"$dir/CURRENT")
+    val prev = if (ptr.exists())
+      Some(java.nio.file.Files.readString(ptr.toPath).trim) else None
+    val prevN = prev.flatMap(v =>
+      "^v(\\d+)".r.findFirstMatchIn(v).map(_.group(1).toLong)).getOrElse(0L)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val version = s"v${prevN + 1}-$suffix"
+    snapshot.write.mode("overwrite").parquet(s"$dir/$version")
+    val tmp = new java.io.File(s"$dir/CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, version)
     java.nio.file.Files.move(tmp.toPath, ptr.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // prune everything that is neither the new version nor the one the
+    // pointer named when we started (a reader may still hold it open)
+    val keep = Set(Some(version), prev).flatten
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !keep.contains(f.getName))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   def load(spark: SparkSession, dir: String): Dataset[Entry] = {

@@ -227,10 +227,14 @@ object SyncEngine {
     // One row per cn within a batch: the reference processes rows
     // sequentially, so a second row with the same cn lands as an update
     // of the first; set-based, two same-cn adds would collide on dn.
-    // Deterministic winner: highest uid (the sequential outcome is
-    // fetch-order-dependent — this is the one divergence, documented).
+    // cn compares case-insensitively (LDAP caseIgnoreMatch, like the
+    // reference's server-side get_by_cn), so the dedup partitions on
+    // lower(cn) — two entries differing only in cn case cannot coexist
+    // under one parent. Deterministic winner: highest uid (the
+    // sequential outcome is fetch-order-dependent — this is the one
+    // divergence, documented).
     val cnW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src_cn"))
+      .partitionBy(lower(col("src_cn")))
       .orderBy(col("src_uid").cast("long").desc_nulls_last)
     val newRows = newRows0
       .withColumn("cn_rn", row_number().over(cnW))
@@ -243,8 +247,12 @@ object SyncEngine {
         Directory.rdnValueCol(col("dn")).as("old_cn"),
         element_at(col("attrs")("phonlineUniqueId"), 1).as("old_uid"))
 
-    // match 1: by cn (the RDN — unique under one parent)
-    val m1 = newRows.join(oldL, col("src_cn") === col("old_cn"), "left_outer")
+    // match 1: by cn (the RDN — unique under one parent). LDAP cn
+    // matching is case-insensitive (caseIgnoreMatch): a case-only
+    // benutzername change must take the cn-match → rename path, not the
+    // uid fallback.
+    val m1 = newRows.join(oldL,
+      lower(col("src_cn")) === lower(col("old_cn")), "left_outer")
 
     // match 2: the cn-misses against uid, ambiguity-aware (etl.py:958–970)
     val cnHit = m1.filter(col("old_dn").isNotNull)

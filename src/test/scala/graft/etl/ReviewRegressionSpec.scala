@@ -116,6 +116,76 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(v.getString(2).contains("Duplicate pk_uniqueid: 777"), v.toString)
   }
 
+  test("read-only HWM cut never skips an earlier-time higher-id event") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pre = spark.createDataset(Directory.bootstrapEntries(Seq(base)))
+    val uids = baseUsers.select("pk_uniqueid").as[Double].take(2)
+    // event A: earliest time, HIGH record_id; event B: later time, low id.
+    // A record_id-ordered cut with maxRecords=1 would process B and
+    // advance the HWM past A, dropping it forever.
+    val elog0 = EtlSchema
+      .readEventsCsv(spark, s"${TestSpark.refData}/eventlog01.csv").limit(1)
+    def ev(rid: Double, uid: Double, t: String) = elog0
+      .withColumn("record_id", lit(rid))
+      .withColumn("table_key", concat(lit("pk_uniqueid="), lit(uid.toLong)))
+      .withColumn("event_time", lit(java.sql.Timestamp.valueOf(t)))
+    val elog = ev(200.0, uids(0), "2017-07-11 10:00:00")
+      .unionByName(ev(1.0, uids(1), "2017-07-11 11:00:00"))
+      .localCheckpoint(true)
+    val hwm0 = java.sql.Timestamp.valueOf("2017-01-01 00:00:00")
+    val (r1, hwm1) = Cdc.cycleReadOnly(pre, baseUsers, elog, conf, hwm0,
+      maxRecords = 1)
+    assert(hwm1 == java.sql.Timestamp.valueOf("2017-07-11 10:00:00"),
+      s"HWM must advance to the earliest-time event, got $hwm1")
+    assert(r1.eventUpdates.select("record_id").as[Double].collect().toSeq
+      == Seq(200.0))
+    val (r2, hwm2) = Cdc.cycleReadOnly(r1.snapshot.localCheckpoint(true),
+      baseUsers, elog, conf, hwm1, maxRecords = 1)
+    assert(hwm2 == java.sql.Timestamp.valueOf("2017-07-11 11:00:00"))
+    assert(r2.eventUpdates.select("record_id").as[Double].collect().toSeq
+      == Seq(1.0), "the earlier-time event must still be processed")
+  }
+
+  test("case-only cn change takes the rename path, not the uid fallback") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pre = spark.createDataset(
+      Directory.bootstrapEntries(Seq(base)) :+ Entry(s"cn=CamelCase,$base", Map(
+        "cn" -> Seq("CamelCase"), "phonlineUniqueId" -> Seq("666"),
+        "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat"))))
+    val u = baseUsers.limit(1)
+      .withColumn("pk_uniqueid", lit(666.0))
+      .withColumn("benutzername", lit("camelcase"))
+    val rows = SyncEngine.toNewRows(u).withColumn("is_new", lit(false))
+    val (snap, mergeRows) = SyncEngine.merge(pre, rows, conf)
+    val r = mergeRows.collect().head
+    assert(r.renameOldCn == Some("CamelCase"),
+      s"expected a rename (cn matched case-insensitively), got $r")
+    val entries = snap.filter(_.attrs.get("phonlineUniqueId")
+      .exists(_ == Seq("666"))).collect()
+    assert(entries.length == 1, entries.map(_.dn).toSeq.toString)
+    assert(entries.head.dn == s"cn=camelcase,$base")
+    assert(Directory.duplicateDns(snap).isEmpty)
+  }
+
+  test("snapshot save versions monotonically and prunes superseded dirs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val s1 = spark.createDataset(Seq(Entry("cn=a,o=X", Map("cn" -> Seq("a")))))
+    Directory.save(s1, dir)
+    Directory.save(s1, dir)
+    Directory.save(s1, dir)
+    def versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(versions.length <= 2,
+      s"superseded versions must be pruned: ${versions.toSeq}")
+    val nums = versions.map(v => "^v(\\d+)".r.findFirstMatchIn(v).get.group(1).toInt)
+    assert(nums.max == 3, s"versions must be monotonic: ${versions.toSeq}")
+    assert(Directory.load(spark, dir).collect().toSeq == s1.collect().toSeq)
+  }
+
   test("email sync with two source trees does not duplicate the ph15 entry") {
     val spark = TestSpark.spark
     import spark.implicits._
