@@ -214,11 +214,51 @@ object EtlOps {
     "q_etl_scale_cdc" -> (etlScaleCdc _),
   )
 
-  /** The MERGE/CDC queries are not DuckDB-expressible (rows-only);
-    * the CSV-source/convert queries mirror via read_csv on the same
-    * fixture file.
+  /** Every query here carries a DuckDB oracle. The MERGE/CDC engine
+    * itself is not SQL-expressible, but its *outcomes* are independently
+    * checkable: the full initial load must equal the reference's own
+    * golden dump (read line-wise by DuckDB), the scale load's dn set is
+    * derivable from the customer table + the bootstrap chain, the scale
+    * CDC verdicts are all-S by construction (every event's user exists),
+    * and the fixture-bound lookups/verdicts pin the reference's golden
+    * values as literals.
     */
   val oracles: Map[String, String] = Map(
+    "q_etl_initial_load" ->
+      s"""SELECT entry_line
+         |FROM read_csv('$refData/ldap00.txt', delim=chr(1), header=false,
+         |  quote='', escape='', columns={'entry_line':'VARCHAR'})
+         |WHERE entry_line IS NOT NULL AND entry_line NOT LIKE 'Count:%'
+         |ORDER BY entry_line""".stripMargin,
+    "q_etl_scale_load" ->
+      """SELECT 'cn=user' || CAST(c_custkey AS VARCHAR) ||
+        |    ',ou=user,ou=ph01,o=BMUKK' AS dn FROM customer
+        |UNION ALL SELECT * FROM (VALUES ('o=BMUKK'), ('ou=ph01,o=BMUKK'),
+        |  ('ou=user,ou=ph01,o=BMUKK'), ('ou=idnSync,ou=ph01,o=BMUKK'),
+        |  ('ou=ETD,ou=idnSync,ou=ph01,o=BMUKK')) t(dn)
+        |ORDER BY dn""".stripMargin,
+    "q_etl_scale_cdc" ->
+      """SELECT CAST(event_id AS DOUBLE) AS record_id, 'S' AS new_status
+        |FROM events ORDER BY record_id""".stripMargin,
+    "q_etl_cdc_batch" ->
+      """SELECT CAST(record_id AS DOUBLE) AS record_id, new_status,
+        |  CAST(new_error AS VARCHAR) AS new_error
+        |FROM (VALUES (1000003330127, 'S', NULL), (1000003330129, 'S', NULL),
+        |  (1000003330130, 'S', NULL), (1000003330131, 'S', NULL))
+        |  t(record_id, new_status, new_error)
+        |ORDER BY record_id""".stripMargin,
+    "q_s8_dn_lookup" ->
+      """SELECT * FROM (VALUES
+        |  ('cn=caesar1,ou=user,ou=ph08,o=BMUKK', '1', 'Ydfiao'))
+        |  t(dn, uid, sn)""".stripMargin,
+    "q_s9_uid_search" ->
+      """SELECT * FROM (VALUES ('cn=caesar1,ou=user,ou=ph08,o=BMUKK'),
+        |  ('cn=caesar1,ou=user,ou=ph15,o=BMUKK'),
+        |  ('cn=caesar2,ou=user,ou=ph08,o=BMUKK'),
+        |  ('cn=caesar2,ou=user,ou=ph15,o=BMUKK'),
+        |  ('cn=caesar3,ou=user,ou=ph08,o=BMUKK'),
+        |  ('cn=caesar3,ou=user,ou=ph15,o=BMUKK')) t(dn)
+        |ORDER BY dn""".stripMargin,
     "q_etl_convert" ->
       s"""SELECT benutzername,
          |  CAST(CAST(CAST(pk_uniqueid AS DOUBLE) AS BIGINT) AS VARCHAR) AS uid,

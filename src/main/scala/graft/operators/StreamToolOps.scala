@@ -85,6 +85,23 @@ object StreamToolOps {
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
+    // the compare output is fixture-bound and deterministic: the two
+    // trees differ exactly by the deluids pair (reference testdata)
+    "q_j4_compare_trees" ->
+      """SELECT * FROM (VALUES
+        |  ('Only in lhs: cn=ajiqon.qajk.21,ou=user,ou=ph08,o=BMUKK'),
+        |  ('Only in lhs: cn=jnas.orxzgyno.20,ou=user,ou=ph08,o=BMUKK'))
+        |  t(diff_line)""".stripMargin,
+    "q_s7_csv_cutoff" ->
+      s"""SELECT benutzername, CAST(pk_uniqueid AS DOUBLE) AS pk_uniqueid
+         |FROM read_csv('$refData/initial_data.csv',
+         |  delim=';', header=true, nullstr='', all_varchar=true)
+         |WHERE CAST(pk_uniqueid AS DOUBLE) IN (
+         |  SELECT DISTINCT CAST(str_split(table_key, '=')[2] AS DOUBLE)
+         |  FROM read_csv('$refData/eventlog03.csv',
+         |    delim=';', header=true, nullstr='', all_varchar=true)
+         |  WHERE strptime(event_time, '%Y-%m-%d %H:%M:%S') >
+         |    TIMESTAMP '2017-01-01 00:00:00')""".stripMargin,
     "q_f13_anonymize" ->
       s"""SELECT CAST(ident_nr AS DOUBLE) AS ident_nr,
          |  CASE WHEN vorname IS NOT NULL THEN ${anonNameSql("vorname")} END AS vorname,

@@ -16,16 +16,21 @@ import graft.Tables._
 object Multimodal {
 
   /** Deterministic fake "decode": derives pseudo width/height/channel
-    * features from the payload bytes. STUB — replace with a real codec.
+    * features from an md5 of the payload bytes. STUB — replace with a
+    * real codec; md5-derived so a SQL oracle can mirror the exact
+    * values (the Spark-side plumbing is what's under test).
     */
-  private def decodeKernel(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 64 + math.abs(h % 1024)          // fake width
-    val ht = 64 + math.abs((h >> 10) % 1024) // fake height
-    val c = 1 + math.abs(h % 3)              // fake channels
-    val mean = (payload.take(1024).map(_ & 0xff).sum.toDouble /
-      math.min(math.max(payload.length, 1), 1024))
-    (w, ht, c, mean)
+  private def decodeKernel(md: java.security.MessageDigest,
+      payload: Array[Byte]): (Int, Int, Int, Double) = {
+    md.reset()
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    def part(from: Int, len: Int): Long =
+      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+    val w = 64 + (part(0, 4) % 1024).toInt
+    val h = 64 + (part(4, 4) % 1024).toInt
+    val c = 1 + (part(8, 2) % 3).toInt
+    val mean = (part(10, 6) % 25600) / 100.0
+    (w, h, c, mean)
   }
 
   val featureSchema = StructType(Seq(
@@ -50,10 +55,11 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
     withPayload.mapPartitions { it =>
-      // per-batch setup would go here (codec init, model load)
+      // per-batch setup (codec init, model load) — here the digest
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, c, m) = decodeKernel(payload)
+        val (w, h, c, m) = decodeKernel(md, payload)
         Row(r.getAs[Long]("doc_id"), payload.length, w, h, c, m)
       }
     }(enc)
@@ -76,8 +82,18 @@ object Multimodal {
     "q_mm_frames" -> (frameSample _),
   )
 
-  /** frame hashes are md5-mirrorable in SQL; features are stub-only. */
+  /** both the frame hashes and the stubbed decode features are
+    * md5-mirrorable in SQL.
+    */
   val oracles: Map[String, String] = Map(
+    "q_mm_features" ->
+      """SELECT doc_id, strlen(text)::INT AS n_bytes,
+        |  (64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)::INT AS width,
+        |  (64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)::INT AS height,
+        |  (1 + ('0x' || substr(md5(text), 9, 2))::BIGINT % 3)::INT AS channels,
+        |  (('0x' || substr(md5(text), 11, 6))::BIGINT % 25600) / 100.0
+        |    AS mean_intensity
+        |FROM documents""".stripMargin,
     "q_mm_frames" ->
       """SELECT doc_id, frame_idx,
         |  md5(text || frame_idx::VARCHAR) AS frame_hash
