@@ -21,6 +21,7 @@ object SparkEntry {
       (operators.EtlOps.queries, operators.EtlOps.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
       (operators.StreamToolOps.queries, operators.StreamToolOps.oracles),
+      (operators.AsofJoin.queries, operators.AsofJoin.oracles),
       (operators.FunctionOps.queries, operators.FunctionOps.oracles),
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),
