@@ -148,11 +148,14 @@ object Dedup {
   }
 
   /** Transitive near-dup groups: connected components over the LSH
-    * candidate-pair graph by iterative min-label propagation — the
-    * standard "keep one per duplicate cluster" step of corpus dedup.
-    * Each iteration is one shuffle (groupBy min over neighbor labels);
-    * iterations bound by graph diameter (≤ 16 here, with an early-out
-    * on convergence); lineage truncated per iteration.
+    * candidate-pair graph — the standard "keep one per duplicate
+    * cluster" step of corpus dedup. Each round does one min-label hop
+    * over the edges (groupBy min of neighbor labels) followed by one
+    * pointer jump (label := label of label), so convergence is
+    * O(log diameter) rounds instead of O(diameter) — at 100 TB that is
+    * the difference between ~5 and ~50 shuffle rounds on a long dup
+    * chain. Convergence is detected from a carried old-label column
+    * (no extra join); lineage truncated per round.
     */
   def dupGroups(s: SparkSession, d: String): DataFrame = {
     val pairs = lshPairs(s, d).localCheckpoint(true)
@@ -164,23 +167,29 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 16) {
+    while (!converged && iter < 12) {
       val nbrMin = edges
         .join(labels, col("v") === col("id"))
         .groupBy(col("u"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      // the hop result is materialized before the self-join: the jump
+      // reads it twice, and at scale re-running the hop shuffle twice
+      // would cost more than one materialization
+      val hopped = labels
         .join(nbrMin, col("id") === col("u"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      val jumped = hopped.alias("a")
+        .join(hopped.select(col("id").as("jid"), col("label").as("jlabel"))
+          .alias("j"), col("a.label") === col("jid"), "left_outer")
+        .select(col("a.id").as("id"), col("a.old_label").as("old_label"),
+          coalesce(col("jlabel"), col("a.label")).as("label"))
+        .localCheckpoint(true)
+      converged = jumped.filter(col("label") =!= col("old_label"))
+        .limit(1).count() == 0
+      labels = jumped.drop("old_label")
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("dup_group"))
