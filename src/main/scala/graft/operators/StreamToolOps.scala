@@ -27,6 +27,23 @@ object StreamToolOps {
     s.table(name)
   }
 
+  /** Streaming exact dedup — stateful dropDuplicates over the event
+    * stream (state keyed by the dedup columns; at scale this is
+    * `dropDuplicatesWithinWatermark` so state evicts with event time).
+    * Drained to completion, it must equal batch DISTINCT.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = EventStream.readEvents(s, d)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable(); q.stop()
+    s.table(name)
+  }
+
   /** J4/T1–T3 — ordered tree compare of the reference's two golden
     * states (the deluids delta must surface as lhs-only lines).
     */
@@ -67,6 +84,7 @@ object StreamToolOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_j4_compare_trees" -> (compareTrees _),
     "q_s6_csv_source" -> (csvSource _),
     "q_s7_csv_cutoff" -> (csvCutoff _),
@@ -85,6 +103,8 @@ object StreamToolOps {
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     // the compare output is fixture-bound and deterministic: the two
     // trees differ exactly by the deluids pair (reference testdata)
     "q_j4_compare_trees" ->

@@ -87,7 +87,25 @@ object Windows {
           typedLit(ignore))), " ").as("common"))
   }
 
+  /** O6 — analytic-function breadth per user: lag/lead neighbors,
+    * row_number, ntile quartile, percent_rank. Ordering is by the raw
+    * ns timestamp (tie-free in the data), so both engines rank
+    * identically.
+    */
+  def ranks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("next_id", lead(col("event_id"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .drop("ts_ns")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_ranks" -> (ranks _),
     "q_w_tumbling" -> (tumbling _),
     "q_w_sliding" -> (sliding _),
     "q_w_session" -> (sessionize _),
@@ -96,6 +114,15 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_ranks" ->
+      """SELECT event_id, user_id,
+        |  lag(event_id) OVER w AS prev_id,
+        |  lead(event_id) OVER w AS next_id,
+        |  row_number() OVER w AS rn,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))""".stripMargin,
     "q_w_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,

@@ -14,6 +14,7 @@ class RegistrySpec extends AnyFunSuite {
       operators.EtlOps.queries.keySet,
       operators.Windows.queries.keySet,
       operators.StreamToolOps.queries.keySet,
+      operators.AsofJoin.queries.keySet,
       operators.FunctionOps.queries.keySet,
       ops.Dedup.queries.keySet,
       ops.Similarity.queries.keySet,
