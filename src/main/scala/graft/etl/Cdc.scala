@@ -218,16 +218,16 @@ object Cdc {
         typedLit(wt)))
       .select(col("srcCn").as("wt_cn"), col("changedSrcKeys"))
     if (hits.isEmpty) return snapshot
-    // one row per cn, same winner policy as the merge's cn-dedup —
+    // one row per cn (case-insensitively, like the merge's cn-dedup) —
     // duplicate DB rows must not fan the single ph15 twin entry out
     // into duplicate dns
-    val cnW = Window.partitionBy(col("src_cn"))
+    val cnW = Window.partitionBy(lower(col("src_cn")))
       .orderBy(col("src_uid").cast("long").desc_nulls_last)
     val rows = SyncEngine.toNewRows(batchUsers)
       .withColumn("cn_rn", row_number().over(cnW))
       .filter(col("cn_rn") === 1)
       .drop("cn_rn")
-      .join(hits, col("src_cn") === col("wt_cn"))
+      .join(hits, lower(col("src_cn")) === lower(col("wt_cn")))
     val changesDs = rows.select(col("src_cn"), col("new_attrs"),
       col("pw_plain"), col("changedSrcKeys"))
       .as[(String, Map[String, Seq[String]], Option[String], Seq[String])]
@@ -247,8 +247,12 @@ object Cdc {
       }
       (s"cn=$cn,${conf.dn15}", attrs.toMap)
     }.toDF("p_dn", "p_attrs")
+    // the twin is matched case-insensitively (LDAP caseIgnoreMatch,
+    // same rule as the merge's cn match): a case-divergent twin — e.g.
+    // a case-only rename still sitting in the rename queue — must
+    // still receive the write-through
     snapshot.toDF
-      .join(patch, col("dn") === col("p_dn"), "left_outer")
+      .join(patch, lower(col("dn")) === lower(col("p_dn")), "left_outer")
       .select(col("dn"),
         when(col("p_attrs").isNotNull,
           map_concat(

@@ -173,9 +173,16 @@ object Directory {
     java.nio.file.Files.move(tmp.toPath, ptr.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // prune everything that is neither the new version nor the one the
-    // pointer named when we started (a reader may still hold it open)
-    val keep = Set(Some(version), prev).flatten
+    // prune everything that is neither the new version, nor the one the
+    // pointer named when we started (a reader may still hold it open),
+    // nor whatever CURRENT names right now (a concurrent writer may
+    // have swapped after us — its published version must survive).
+    // Writers are expected to be externally serialized (one ETL process
+    // per directory, like the reference); the re-read narrows the
+    // misuse window but a true multi-writer deployment needs a CAS
+    // commit (a transactional table format).
+    val published = java.nio.file.Files.readString(ptr.toPath).trim
+    val keep = Set(Some(version), Some(published), prev).flatten
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
         !keep.contains(f.getName))

@@ -29,7 +29,11 @@ object AsofJoin {
   /** Generic as-of: append to `left` the `payload` of the most recent
     * `right` row with equal key and rightTime < leftTime (strict) or
     * <= (non-strict). Right-side ties at one timestamp resolve to the
-    * largest payload (deterministic).
+    * largest payload value, nulls lowest (deterministic). Join-like
+    * null semantics: a null key never matches (null-key rights are
+    * dropped, null-key lefts get a null payload), and a matched right
+    * row whose payload is null yields null — the payload travels in a
+    * marker struct so "matched null" and "no match" stay distinct.
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -39,22 +43,28 @@ object AsofJoin {
     // at equal times, rights sort after lefts in strict mode (excluded
     // by the frame) and before them otherwise (included)
     val rightOrd = if (strict) 2 else 0
+    val boxType = new org.apache.spark.sql.types.StructType()
+      .add("v", right.schema(payload).dataType)
     val lcols = left.columns.toSeq
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__ord", lit(1))
-      .withColumn("__p", lit(null).cast(right.schema(payload).dataType))
+      .withColumn("__p", lit(null).cast(boxType))
     val nullLeft = lcols.map(c =>
       lit(null).cast(left.schema(c).dataType).as(c))
-    val r = right.select(nullLeft ++ Seq(
-      col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(rightOrd).as("__ord"), col(payload).as("__p")): _*)
+    val r = right
+      .filter(col(rightKey).isNotNull)
+      .select(nullLeft ++ Seq(
+        col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(rightOrd).as("__ord"),
+        struct(col(payload).as("v")).as("__p")): _*)
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__ord"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(payloadAlias, last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn(payloadAlias,
+        last(col("__p"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__ord") === 1)
       .drop("__k", "__t", "__ord", "__p")
   }

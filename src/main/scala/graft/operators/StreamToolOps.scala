@@ -13,36 +13,40 @@ object StreamToolOps {
 
   private val refData = "/root/reference/testdata"
 
-  /** Structured Streaming tumbling aggregation, drained to completion —
-    * shares the batch twin's DuckDB oracle (same result by construction,
-    * now verified by the driver too).
+  /** Drain a streaming frame to completion into a uniquely-named
+    * memory-sink table and return it. Dev/test surface only: each call
+    * registers one in-session temp table (the price of reading a
+    * memory sink after the query stops).
     */
-  def streamTumbling(s: SparkSession, d: String): DataFrame = {
-    val name = s"stream_tumbling_${System.nanoTime()}"
-    val q = EventStream.tumblingCounts(EventStream.readEvents(s, d))
-      .writeStream.outputMode("complete")
+  private def drain(s: SparkSession, df: DataFrame, prefix: String,
+      mode: String): DataFrame = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable(); q.stop()
     s.table(name)
   }
 
+  /** Structured Streaming tumbling aggregation, drained to completion —
+    * shares the batch twin's DuckDB oracle (same result by construction,
+    * now verified by the driver too).
+    */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    drain(s, EventStream.tumblingCounts(EventStream.readEvents(s, d)),
+      "stream_tumbling", "complete")
+
   /** Streaming exact dedup — stateful dropDuplicates over the event
     * stream (state keyed by the dedup columns; at scale this is
     * `dropDuplicatesWithinWatermark` so state evicts with event time).
     * Drained to completion, it must equal batch DISTINCT.
     */
-  def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val name = s"stream_dedup_${System.nanoTime()}"
-    val q = EventStream.readEvents(s, d)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable(); q.stop()
-    s.table(name)
-  }
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      EventStream.readEvents(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      "stream_dedup", "append")
 
   /** J4/T1–T3 — ordered tree compare of the reference's two golden
     * states (the deluids delta must surface as lhs-only lines).

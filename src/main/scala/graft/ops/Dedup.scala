@@ -167,7 +167,9 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 12) {
+    // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
+    // that we fail loudly rather than return split groups
+    while (!converged && iter < 20) {
       val nbrMin = edges
         .join(labels, col("v") === col("id"))
         .groupBy(col("u"))
@@ -192,6 +194,10 @@ object Dedup {
       labels = jumped.drop("old_label")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupGroups did not converge in $iter rounds — component " +
+          "diameter exceeds 2^20, which indicates a degenerate pair graph")
     labels.select(col("id").as("doc_id"), col("label").as("dup_group"))
   }
 

@@ -169,6 +169,38 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(Directory.duplicateDns(snap).isEmpty)
   }
 
+  test("write-through reaches a case-divergent ph15 twin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val confWt = conf.copy(ph15Dn = Some("ou=user,ou=ph15,o=BMUKK"))
+    // source benutzername is lower-case; the ph15 twin dn still carries
+    // the old camel-case cn (its rename is queued but not yet applied)
+    val pre = spark.createDataset(
+      Directory.bootstrapEntries(Seq(base, "ou=user,ou=ph15,o=BMUKK")) ++ Seq(
+        Entry(s"cn=wtcase,$base", Map(
+          "cn" -> Seq("wtcase"), "phonlineUniqueId" -> Seq("444"),
+          "givenName" -> Seq("Old"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat"))),
+        Entry("cn=WtCase,ou=user,ou=ph15,o=BMUKK", Map(
+          "cn" -> Seq("WtCase"), "phonlineUniqueId" -> Seq("444"),
+          "givenName" -> Seq("Old"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat")))))
+    val u = baseUsers.limit(1)
+      .withColumn("pk_uniqueid", lit(444.0))
+      .withColumn("benutzername", lit("wtcase"))
+      .withColumn("vorname", lit("Fresh"))
+    val elog = EtlSchema
+      .readEventsCsv(spark, s"${TestSpark.refData}/eventlog01.csv")
+      .limit(1)
+      .withColumn("table_key", lit("pk_uniqueid=444"))
+    val r = Cdc.cycle(pre, u, elog, confWt)
+    val twin = r.snapshot
+      .filter(_.dn == "cn=WtCase,ou=user,ou=ph15,o=BMUKK").collect()
+    assert(twin.length == 1, "twin dn must be untouched by write-through")
+    assert(twin.head.attrs("givenName") == Seq("Fresh"),
+      s"case-divergent twin missed the write-through: ${twin.head.attrs}")
+  }
+
   test("snapshot save versions monotonically and prunes superseded dirs") {
     val spark = TestSpark.spark
     import spark.implicits._

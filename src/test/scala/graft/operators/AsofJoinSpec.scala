@@ -40,6 +40,22 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == 9L)
   }
 
+  test("asof distinguishes matched-null payloads and never matches null keys") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((Some(1L), 10L, "a"), (None: Option[Long], 10L, "nk"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(1L), 5L, Some(100L)), (Some(1L), 8L, None),
+      (None: Option[Long], 5L, Some(777L))).toDF("k", "t", "pid")
+    val out = AsofJoin.asof(left, right, "k", "k", "t", "t",
+      "pid", "last_pid")
+      .select("tag", "last_pid").as[(String, Option[Long])]
+      .collect().toMap
+    // the most recent right row (t=8) has a NULL payload: the answer is
+    // null, not the older 100; a null-key left matches nothing
+    assert(out == Map("a" -> None, "nk" -> None), out.toString)
+  }
+
   test("range join buckets do not double-count and keep zero-match rows") {
     val spark = TestSpark.spark
     import spark.implicits._

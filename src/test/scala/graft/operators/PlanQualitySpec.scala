@@ -36,4 +36,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q_o3_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q10/q18 broadcast their small sides and avoid nested loops") {
+    Seq("q_tpch_q10", "q_tpch_q18").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("analytic ranks run in one window pass over one shuffle") {
+    val p = plan("q_w_ranks")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(windows == 1, s"expected 1 window operator, got $windows:\n$p")
+  }
+
+  test("as-of join plans a single shuffle for both sides") {
+    val p = plan("q_j7_asof")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle (union+window), got $exchanges:\n$p")
+  }
 }
