@@ -48,6 +48,30 @@ object StreamToolOps {
         .dropDuplicates("user_id", "event_type"),
       "stream_dedup", "append")
 
+  /** Stream-stream interval join: each event joined to the same user's
+    * events in the preceding 60 s, with watermarks on both sides so
+    * join state evicts as event time advances (bounded state — the only
+    * stream-stream join shape that survives at scale). Drained, it
+    * must equal the batch interval join.
+    */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val l = EventStream.readEvents(s, d)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", "10 minutes")
+    val r = EventStream.readEvents(s, d)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", "10 minutes")
+    drain(s,
+      l.join(r,
+        col("l_uid") === col("r_uid") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
+          col("r_ts") < col("l_ts"))
+        .select(col("l_id"), col("r_id")),
+      "stream_join", "append")
+  }
+
   /** J4/T1–T3 — ordered tree compare of the reference's two golden
     * states (the deluids delta must surface as lhs-only lines).
     */
@@ -89,6 +113,7 @@ object StreamToolOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_join" -> (streamJoin _),
     "q_j4_compare_trees" -> (compareTrees _),
     "q_s6_csv_source" -> (csvSource _),
     "q_s7_csv_cutoff" -> (csvCutoff _),
@@ -109,6 +134,15 @@ object StreamToolOps {
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the watermark only bounds state, never drops rows here: the
+    // fixture is one file = one in-order batch, so the drained stream
+    // join equals the batch interval join exactly
+    "q_stream_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM events l JOIN events r
+        |  ON r.user_id = l.user_id
+        |  AND epoch_ns(r.ts) >= epoch_ns(l.ts) - 60000000000
+        |  AND epoch_ns(r.ts) < epoch_ns(l.ts)""".stripMargin,
     // the compare output is fixture-bound and deterministic: the two
     // trees differ exactly by the deluids pair (reference testdata)
     "q_j4_compare_trees" ->
