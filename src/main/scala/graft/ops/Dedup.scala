@@ -157,8 +157,15 @@ object Dedup {
     * chain. Convergence is detected from a carried old-label column
     * (no extra join); lineage truncated per round.
     */
-  def dupGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshPairs(s, d).localCheckpoint(true)
+  def dupGroups(s: SparkSession, d: String): DataFrame =
+    connectedComponents(lshPairs(s, d))
+      .select(col("id").as("doc_id"), col("label").as("dup_group"))
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)`
+    * — returns `(id, label)` with label = the component's minimum id.
+    */
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
@@ -196,9 +203,10 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"dupGroups did not converge in $iter rounds — component " +
-          "diameter exceeds 2^20, which indicates a degenerate pair graph")
-    labels.select(col("id").as("doc_id"), col("label").as("dup_group"))
+        s"connectedComponents did not converge in $iter rounds — " +
+          "component diameter exceeds 2^20, which indicates a " +
+          "degenerate pair graph")
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
