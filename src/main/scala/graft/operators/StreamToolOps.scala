@@ -63,13 +63,20 @@ object StreamToolOps {
       .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", "10 minutes")
-    drain(s,
+    // stream-stream join state costs are per-partition (4 state stores
+    // each): size the stateful shuffle to the data, not to the CPU
+    // count — at real volume this is a capacity knob, here it removes
+    // pure setup overhead
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try drain(s,
       l.join(r,
         col("l_uid") === col("r_uid") &&
           col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
           col("r_ts") < col("l_ts"))
         .select(col("l_id"), col("r_id")),
       "stream_join", "append")
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** J4/T1–T3 — ordered tree compare of the reference's two golden
