@@ -85,8 +85,11 @@ object Cdc {
         "left_semi")
 
     // MERGE the uids that still have rows (is_new=false: event_type only
-    // influences warnings, which the status matrix reconstructs)
-    val newRows0 = SyncEngine.toNewRows(batchUsers)
+    // influences warnings, which the status matrix reconstructs).
+    // Materialized once: the merge, the row counts, and the ph15
+    // write-through all consume it — without this the users join + the
+    // 30-column conversion projection re-execute per consumer.
+    val newRows0 = SyncEngine.toNewRows(batchUsers).localCheckpoint(true)
     val newRows = newRows0.withColumn("is_new", lit(false))
     val (snapMerged, outcomes) = SyncEngine.merge(snap1, newRows, conf)
 
@@ -97,23 +100,29 @@ object Cdc {
       .agg(count(lit(1)).as("row_n"))
 
     // delete-mark uids with no user row left (etl.py:684–688)
-    val uidsWithRows = newRows0
-      .select(col("src_uid")).distinct()
+    val uidsWithRows = rowCounts.select(col("src_uid"))
     val goneUids = batchUids
       .join(uidsWithRows, col("uid").cast("string") === col("src_uid"),
         "left_anti")
       .select(col("uid").cast("string")).as[String]
     val snapFinal = SyncEngine.deleteInLdap(snapMerged, goneUids, conf)
 
-    // C8 — status matrix per event (etl.py:689–718)
+    // C8 — status matrix per event (etl.py:689–718). Multiple DB rows
+    // for one uid can each raise a kernel error; the reference appends
+    // one message per row ('\n'-joined, etl.py msg list) — mirrored
+    // here with a sorted join so no row's diagnostic is lost.
     val uidAgg = outcomes.toDF.groupBy(col("srcUid"))
       .agg(
         max(col("consumedDn").isNotNull).as("pre_matched"),
         max(col("consumedDn")).as("pre_dn"),
         max(when(col("consumedDn").isNull && col("changed"),
           col("resultDn"))).as("add_dn"),
-        max(col("error")).as("kernel_error"),
+        collect_list(col("error")).as("kernel_errors"),
         max(col("warning")).as("kernel_warning"))
+      .withColumn("kernel_error",
+        when(size(col("kernel_errors")) > 0,
+          array_join(array_sort(col("kernel_errors")), "\n")))
+      .drop("kernel_errors")
       .join(rowCounts, col("srcUid") === col("src_uid"), "left_outer")
       .drop("src_uid")
 
@@ -138,11 +147,18 @@ object Cdc {
         .when(col("row_n") > 1,
           concat(lit("Duplicate pk_uniqueid: "), col("uid"),
             lit(s" in ${conf.db}")))
-    // sync-path warning per event (reconstructed sequencing; see header)
+    // sync-path warning per event (reconstructed sequencing; see
+    // header). For an insert whose matched entry carries a different
+    // phonlineUniqueId, the reference overwrites "should be new" with
+    // the uid-mismatch text (etl.py:981–989) — so the kernel warning
+    // wins for the first event of the uid, and the reconstruction is
+    // the fallback.
     val syncW =
       when(col("row_n") >= 1 && isInsert && col("exists_at"),
-        concat(lit("Found dn \""), col("matched_dn"),
-          lit("\" when sync says it should be new")))
+        coalesce(
+          when(col("record_id") === col("first_rid"), col("kernel_warning")),
+          concat(lit("Found dn \""), col("matched_dn"),
+            lit("\" when sync says it should be new"))))
         .when(col("row_n") >= 1 && !isInsert &&
             col("record_id") === col("first_rid"), col("kernel_warning"))
         .when(col("row_n") === 0 && !isDelete,
@@ -183,7 +199,10 @@ object Cdc {
       .select(
         (eventlog.columns.filterNot(Set("status", "error_message", "attempt",
           "read_time")).map(c => col("e." + c)) ++ Seq(
-          coalesce(col("u.new_status"), col("e.status")).as("status"),
+          // the eventlog status column is CHAR(3) — re-pad like the
+          // source database stores it (readEventsCsv does the same)
+          coalesce(rpad(col("u.new_status"), 3, " "), col("e.status"))
+            .as("status"),
           coalesce(col("u.new_error"), col("e.error_message")).as("error_message"),
           coalesce(col("u.new_attempt"), col("e.attempt")).as("attempt"),
           coalesce(col("u.new_read"), col("e.read_time")).as("read_time"))): _*)
@@ -199,7 +218,7 @@ object Cdc {
     // non-ph15 instance that has a ph15 partner configured
     val snapWithPh15 =
       if (conf.ph15Dn.isEmpty || conf.isPh15) snapFinal
-      else ph15Writethrough(snapFinal, batchUsers, outcomes.toDF, conf)
+      else ph15Writethrough(snapFinal, newRows0, outcomes.toDF, conf)
 
     CycleResult(snapWithPh15, updated, allUpdates, renames)
   }
@@ -209,7 +228,7 @@ object Cdc {
     * absent twins are skipped, attributes are never deleted there, and
     * no etlTimestamp is stamped (etl.py:1112–1165).
     */
-  private def ph15Writethrough(snapshot: Dataset[Entry], batchUsers: DataFrame,
+  private def ph15Writethrough(snapshot: Dataset[Entry], newRows0: DataFrame,
       outcomes: DataFrame, conf: EtlConf): Dataset[Entry] = {
     import snapshot.sparkSession.implicits._
     val wt = EtlSchema.ph15Writethrough :+ "passwort"
@@ -218,12 +237,12 @@ object Cdc {
         typedLit(wt)))
       .select(col("srcCn").as("wt_cn"), col("changedSrcKeys"))
     if (hits.isEmpty) return snapshot
-    // one row per cn (case-insensitively, like the merge's cn-dedup) —
-    // duplicate DB rows must not fan the single ph15 twin entry out
-    // into duplicate dns
+    // one row per cn (case-insensitively, like the merge's cn-dedup,
+    // same tiebreak) — duplicate DB rows must not fan the single ph15
+    // twin entry out into duplicate dns
     val cnW = Window.partitionBy(lower(col("src_cn")))
-      .orderBy(col("src_uid").cast("long").desc_nulls_last)
-    val rows = SyncEngine.toNewRows(batchUsers)
+      .orderBy(SyncEngine.cnDedupOrder: _*)
+    val rows = newRows0
       .withColumn("cn_rn", row_number().over(cnW))
       .filter(col("cn_rn") === 1)
       .drop("cn_rn")

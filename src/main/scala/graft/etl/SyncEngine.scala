@@ -216,6 +216,17 @@ object SyncEngine {
   // Set-based matching + apply
   // ------------------------------------------------------------------
 
+  /** Within-batch cn-dedup ordering (winner = first row): highest uid,
+    * then — for corrupt batches carrying exact (cn, uid) duplicates
+    * with different attrs — a content hash, so the winner never depends
+    * on shuffle layout. to_json is deterministic here because
+    * `toNewRows` builds every map in one fixed field order.
+    */
+  val cnDedupOrder: Seq[Column] = Seq(
+    col("src_uid").cast("long").desc_nulls_last,
+    xxhash64(to_json(col("new_attrs"))).desc,
+    col("pw_plain").desc_nulls_last)
+
   /** Two-key priority match (J2) + merge. `newRows` needs the columns of
     * `toNewRows` plus a boolean `is_new`.
     */
@@ -232,10 +243,11 @@ object SyncEngine {
     // lower(cn) — two entries differing only in cn case cannot coexist
     // under one parent. Deterministic winner: highest uid (the
     // sequential outcome is fetch-order-dependent — this is the one
-    // divergence, documented).
+    // divergence, documented), with a content tiebreak for exact
+    // (cn, uid) duplicates.
     val cnW = org.apache.spark.sql.expressions.Window
       .partitionBy(lower(col("src_cn")))
-      .orderBy(col("src_uid").cast("long").desc_nulls_last)
+      .orderBy(cnDedupOrder: _*)
     val newRows = newRows0
       .withColumn("cn_rn", row_number().over(cnW))
       .filter(col("cn_rn") === 1 || col("src_cn").isNull)
@@ -383,7 +395,10 @@ object SyncEngine {
           .as[Entry]
       }
 
-    if (hard) afterBase
+    // the cross-tree sweep only exists in ph-deployments; a base dn
+    // without an ou=phXX component has no ph15 sibling (and dn15 would
+    // be undefined — the reference derives it lazily for the same reason)
+    if (hard || !conf.baseDn.contains("ou=ph")) afterBase
     else deleteInPh15(afterBase, victims.map(e => Directory.rdnValue(e.dn)), conf)
   }
 

@@ -55,7 +55,8 @@ object CdcStream {
       snapshot0: Dataset[Entry],
       users: () => DataFrame,
       eventDir: String,
-      conf: EtlConf)
+      conf: EtlConf,
+      onCycle: Cdc.CycleResult => Unit = _ => ())
       : (org.apache.spark.sql.streaming.StreamingQuery,
          java.util.concurrent.atomic.AtomicReference[Dataset[Entry]]) = {
     import org.apache.spark.sql.functions._
@@ -77,7 +78,17 @@ object CdcStream {
         val n = batchNo.incrementAndGet()
         val r = Cdc.cycle(state.get(), users(), padded,
           conf.copy(etlTimestamp = f"stream$n%04d"))
-        state.set(r.snapshot.localCheckpoint(true))
+        // streaming parity with the poll loop: queued cn renames
+        // propagate into the ph15 twin tree at the end of each batch
+        val withRenames =
+          if (conf.ph15Dn.isDefined && !r.renames.isEmpty)
+            Cdc.updatePh15Cn(r.snapshot, users(), r.renames,
+              conf.copy(baseDn = conf.ph15Dn.get))
+          else r.snapshot
+        state.set(withRenames.localCheckpoint(true))
+        // event verdicts / writeback do not vanish with the batch: the
+        // caller observes every CycleResult (retry bookkeeping, audit)
+        onCycle(r)
         ()
       }
       .start()
@@ -107,16 +118,18 @@ object CdcStream {
       var anyFull = false
       var renameQueue: Option[DataFrame] = None
       var stamp = 0
+      // per-source post-cycle backlog, reused by the done check below —
+      // a failed source counts as backlogged so `done` cannot falsely
+      // trigger while its events are unprocessed
+      var backlog = Map.empty[String, Long]
       for (src <- sources) {
         stamp += 1
         val conf = src.conf.copy(etlTimestamp =
           f"gen${st.cyclesRun}%04d_$stamp%02d") // unique per (cycle, source)
         // resilience (etl.py:1362–1373): a failing source is skipped
-        // this cycle and retried next one, instead of killing the loop;
-        // its backlog stays pending so `done` cannot falsely trigger
+        // this cycle and retried next one, instead of killing the loop
         try {
           val elog = st.eventlogs(src.key)
-          val batchSize = pending(elog)
           val r = Cdc.cycle(st.snapshot, src.users(), elog, conf, maxRecords)
           // accumulate across sources (the reference's ph15_change_dn
           // dict grows over the whole cycle and is drained once)
@@ -124,17 +137,21 @@ object CdcStream {
             renameQueue = Some(renameQueue
               .map(_.unionByName(r.renames).distinct())
               .getOrElse(r.renames))
+          val elogNew = r.eventlog.localCheckpoint(true)
           st = st.copy(
             snapshot = r.snapshot.localCheckpoint(true),
-            eventlogs = st.eventlogs +
-              (src.key -> r.eventlog.localCheckpoint(true)))
-          if (batchSize >= maxRecords) anyFull = true
+            eventlogs = st.eventlogs + (src.key -> elogNew))
+          backlog += src.key -> pending(elogNew)
+          // full batch ⇔ the cycle selected exactly maxRecords events
+          // (eventUpdates carries one verdict per selected event)
+          if (r.eventUpdates.count() >= maxRecords) anyFull = true
         } catch {
           case scala.util.control.NonFatal(e) =>
             // retain the cause — a silently spinning loop is
             // undiagnosable (the reference logs every failure)
             System.err.println(
               s"[graft-cdc] source ${src.key} failed this cycle: $e")
+            backlog += src.key -> Long.MaxValue
             st = st.copy(
               sourceErrors = st.sourceErrors +
                 (src.key -> (st.sourceErrors.getOrElse(src.key, 0) + 1)),
@@ -150,7 +167,10 @@ object CdcStream {
         }
       }
       st = st.copy(cyclesRun = st.cyclesRun + 1)
-      done = st.eventlogs.values.map(pending).sum == 0
+      // reuse the per-source backlog counts gathered above (one scan per
+      // source per cycle, not two); eventlogs without a source row this
+      // cycle are unreachable and excluded by construction
+      done = backlog.values.forall(_ == 0L) && backlog.nonEmpty
       if (!done && !anyFull) { // drain rule: full batch ⇒ no sleep
         sleeper()
         st = st.copy(sleeps = st.sleeps + 1)

@@ -218,6 +218,79 @@ class ReviewRegressionSpec extends AnyFunSuite {
     assert(Directory.load(spark, dir).collect().toSeq == s1.collect().toSeq)
   }
 
+  test("insert onto an entry with a different uid warns the uid mismatch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // entry cn-matches the incoming row but carries a different uid:
+    // the reference overwrites "should be new" with the mismatch text
+    val pre = spark.createDataset(
+      Directory.bootstrapEntries(Seq(base)) :+ Entry(s"cn=mix,$base", Map(
+        "cn" -> Seq("mix"), "phonlineUniqueId" -> Seq("7"),
+        "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat"))))
+    val u = baseUsers.limit(1)
+      .withColumn("pk_uniqueid", lit(9.0))
+      .withColumn("benutzername", lit("mix"))
+    val elog = EtlSchema
+      .readEventsCsv(spark, s"${TestSpark.refData}/eventlog01.csv")
+      .limit(1)
+      .withColumn("event_type", lit(5.0)) // insert
+      .withColumn("table_key", lit("pk_uniqueid=9"))
+    val r = Cdc.cycle(pre, u, elog, conf)
+    val v = r.eventUpdates.head()
+    assert(v.getString(1) == "W", v.toString)
+    assert(v.getString(2).contains("different phonlineUniqueId: Got 7, expected 9"),
+      s"expected the uid-mismatch text to win: ${v.getString(2)}")
+  }
+
+  test("per-row kernel errors join newline-separated, none lost") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // uid 555 exists twice in the directory → both source rows (cn
+    // misses) hit the uid-ambiguity error; both messages must survive
+    val pre = spark.createDataset(
+      Directory.bootstrapEntries(Seq(base)) ++ Seq(
+        Entry(s"cn=dup1,$base", Map(
+          "cn" -> Seq("dup1"), "phonlineUniqueId" -> Seq("555"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat"))),
+        Entry(s"cn=dup2,$base", Map(
+          "cn" -> Seq("dup2"), "phonlineUniqueId" -> Seq("555"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat")))))
+    val u1 = baseUsers.limit(1)
+      .withColumn("pk_uniqueid", lit(555.0))
+      .withColumn("benutzername", lit("anna"))
+    val u2 = baseUsers.limit(1)
+      .withColumn("pk_uniqueid", lit(555.0))
+      .withColumn("benutzername", lit("bob"))
+    val elog = EtlSchema
+      .readEventsCsv(spark, s"${TestSpark.refData}/eventlog01.csv")
+      .limit(1)
+      .withColumn("table_key", lit("pk_uniqueid=555"))
+    val r = Cdc.cycle(pre, u1.unionByName(u2), elog, conf)
+    val v = r.eventUpdates.head()
+    assert(v.getString(1) == "E", v.toString)
+    val msg = v.getString(2)
+    assert(msg.contains("Non-matching cn: anna") &&
+      msg.contains("Non-matching cn: bob") && msg.contains("\n"),
+      s"both rows' diagnostics must be newline-joined: $msg")
+  }
+
+  test("status writeback re-pads to CHAR(3) like the source database") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pre = spark.createDataset(Directory.bootstrapEntries(Seq(base)))
+    val uid = baseUsers.groupBy("pk_uniqueid").count()
+      .filter(col("count") === 1)
+      .agg(min("pk_uniqueid")).as[Double].head()
+    val elog = EtlSchema
+      .readEventsCsv(spark, s"${TestSpark.refData}/eventlog01.csv")
+      .limit(1)
+      .withColumn("event_type", lit(5.0)) // clean insert → S
+      .withColumn("table_key", concat(lit("pk_uniqueid="), lit(uid.toLong)))
+    val r = Cdc.cycle(pre, baseUsers, elog, conf)
+    val st = r.eventlog.head().getAs[String]("status")
+    assert(st == "S  ", s"status must be CHAR(3)-padded, got '$st'")
+  }
+
   test("email sync with two source trees does not duplicate the ph15 entry") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -150,8 +150,10 @@ class StreamingCdcSpec extends AnyFunSuite {
       .unionByName(cs).localCheckpoint(true)
 
     val evDir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    val observed = new java.util.concurrent.atomic.AtomicLong(0)
     val (q, state) = graft.streaming.CdcStream.startStreaming(
-      spark, snap0, () => users, evDir.toString, conf)
+      spark, snap0, () => users, evDir.toString, conf,
+      onCycle = r => observed.addAndGet(r.eventUpdates.count()))
     // a new eventlog file arrives mid-stream
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.refData}/eventlog01.csv"),
@@ -161,6 +163,47 @@ class StreamingCdcSpec extends AnyFunSuite {
     val got = Directory.dump(state.get().filter(e =>
       e.dn == "ou=ph08,o=BMUKK" || e.dn.endsWith(",ou=ph08,o=BMUKK")))
     assert(got == TestSpark.golden("ldap01.txt"))
+    // event verdicts are observable, not discarded with the batch
+    assert(observed.get() == 4, s"expected 4 event verdicts, got $observed")
+  }
+
+  test("streaming mode propagates queued renames into the ph15 twin tree") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = "ou=user,ou=ph08,o=BMUKK"
+    val base15 = "ou=user,ou=ph15,o=BMUKK"
+    val conf = EtlConf(baseDn = base, cryptoIvHex = Some("0" * 32),
+      ph15Dn = Some(base15))
+    val pre = spark.createDataset(
+      Directory.bootstrapEntries(Seq(base, base15)) ++ Seq(
+        Directory.Entry(s"cn=oldname,$base", Map(
+          "cn" -> Seq("oldname"), "phonlineUniqueId" -> Seq("321"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat"))),
+        Directory.Entry(s"cn=oldname,$base15", Map(
+          "cn" -> Seq("oldname"), "phonlineUniqueId" -> Seq("321"),
+          "objectClass" -> Seq("inetOrgPerson", "phonlinePerson", "idnSyncstat")))))
+    val users = EtlSchema
+      .readUsersCsv(spark, s"${TestSpark.refData}/initial_data.csv")
+      .limit(1)
+      .withColumn("pk_uniqueid", lit(321.0))
+      .withColumn("benutzername", lit("newname"))
+      .localCheckpoint(true)
+    val evDir = java.nio.file.Files.createTempDirectory("graft-evrename")
+    val (q, state) = graft.streaming.CdcStream.startStreaming(
+      spark, pre, () => users, evDir.toString, conf)
+    // one benutzername-change event arrives
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"${TestSpark.refData}/eventlog01.csv"))
+    val lines = src.split("\n")
+    java.nio.file.Files.writeString(evDir.resolve("ev.csv"),
+      lines.head + "\n" +
+        lines(1).replaceAll("pk_uniqueid=[0-9]+", "pk_uniqueid=321") + "\n")
+    q.processAllAvailable(); q.stop()
+    val dns = state.get().collect().map(_.dn).toSet
+    assert(dns.contains(s"cn=newname,$base"), dns.toString)
+    assert(dns.contains(s"cn=newname,$base15"),
+      s"rename must cascade into ph15 in streaming mode: $dns")
+    assert(!dns.contains(s"cn=oldname,$base15"), dns.toString)
   }
 }
 
