@@ -49,11 +49,16 @@ object Cdc {
       if (conf.isPh15) snapshot0
       else SyncEngine.garbageCollect(snapshot0, conf)
 
-    // S3 — bounded work-queue scan (status flags are the offsets)
-    val batch = eventlog
+    // S3 — bounded work-queue scan (status flags are the offsets). An
+    // unbounded batch (Int.MaxValue) skips the global sort entirely —
+    // the cap exists only to emulate the reference's cycle batching,
+    // and a top-2^31 sort would be pure waste on a process-everything
+    // scan.
+    val pendingEv = eventlog
       .filter(trimEq(col("status"), "N") || trimEq(col("status"), "E"))
-      .orderBy("record_id")
-      .limit(maxRecords)
+    val batch =
+      if (maxRecords == Int.MaxValue) pendingEv
+      else pendingEv.orderBy("record_id").limit(maxRecords)
 
     // P3 — validation with error routing (etl.py:615–652). NULL fields
     // must fail validation, not slip through a null-valued when():

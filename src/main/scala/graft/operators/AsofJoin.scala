@@ -54,7 +54,9 @@ object AsofJoin {
     val nullLeft = lcols.map(c =>
       lit(null).cast(left.schema(c).dataType).as(c))
     val r = right
-      .filter(col(rightKey).isNotNull)
+      // join semantics: a null key or null time can never match (a null
+      // time would sort before every timestamp and fabricate matches)
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(nullLeft ++ Seq(
         col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(rightOrd).as("__ord"),

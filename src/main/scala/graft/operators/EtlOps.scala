@@ -19,12 +19,14 @@ object EtlOps {
     * each query still *means* what its name says — q_etl_cdc_batch
     * measures a CDC cycle, not a repeated initial load.
     */
+  // keyed by the session object itself (identity equality): no hash
+  // collision can hand a checkpoint from a stopped context to a new
+  // session; retention is bounded by the number of sessions in the JVM
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.Dataset[Directory.Entry]]()
+    (SparkSession, String), org.apache.spark.sql.Dataset[Directory.Entry]]()
   private def memoized(s: SparkSession, key: String)(
       f: => org.apache.spark.sql.Dataset[Directory.Entry]) =
-    memo.computeIfAbsent((System.identityHashCode(s), key),
-      _ => f.localCheckpoint(true))
+    memo.computeIfAbsent((s, key), _ => f.localCheckpoint(true))
 
   /** Full initial_load against the reference fixtures; returns the
     * canonical dump as one row per directory entry (deterministic).
@@ -189,9 +191,12 @@ object EtlOps {
       lit(null).cast("string").as("error_message"),
       lit(1.0).as("attempt"),
       lit("N  ").as("admin_notify_flag"))
+    // unbounded batch: the scale query processes every event, and the
+    // oracle asserts a verdict per event — a finite cap would silently
+    // under-report at a large enough sf
     val r = Cdc.cycle(snap, users, ev,
       scaleConf.copy(etlTimestamp = "20170101000300Z"),
-      maxRecords = 10000000)
+      maxRecords = Int.MaxValue)
     r.eventUpdates.select(col("record_id"), col("new_status"))
       .orderBy("record_id")
   }
@@ -261,7 +266,7 @@ object EtlOps {
         |ORDER BY dn""".stripMargin,
     "q_etl_convert" ->
       s"""SELECT benutzername,
-         |  CAST(CAST(CAST(pk_uniqueid AS DOUBLE) AS BIGINT) AS VARCHAR) AS uid,
+         |  CAST(CAST(trunc(CAST(pk_uniqueid AS DOUBLE)) AS BIGINT) AS VARCHAR) AS uid,
          |  CASE WHEN geburtsdatum IS NOT NULL
          |    THEN strftime(strptime(geburtsdatum, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') || '.0' END AS geb,
          |  CASE WHEN funktionen IS NOT NULL AND trim(funktionen) <> ''

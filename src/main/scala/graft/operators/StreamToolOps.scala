@@ -24,7 +24,7 @@ object StreamToolOps {
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .start()
-    q.processAllAvailable(); q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
 
@@ -143,13 +143,15 @@ object StreamToolOps {
       "SELECT DISTINCT user_id, event_type FROM events",
     // the watermark only bounds state, never drops rows here: the
     // fixture is one file = one in-order batch, so the drained stream
-    // join equals the batch interval join exactly
+    // join equals the batch interval join exactly. The oracle compares
+    // at µs precision (epoch_ns // 1000) because Spark timestamps are
+    // µs — an ns-precision compare would diverge on sub-µs boundaries.
     "q_stream_join" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id
         |FROM events l JOIN events r
         |  ON r.user_id = l.user_id
-        |  AND epoch_ns(r.ts) >= epoch_ns(l.ts) - 60000000000
-        |  AND epoch_ns(r.ts) < epoch_ns(l.ts)""".stripMargin,
+        |  AND (epoch_ns(r.ts) // 1000) >= (epoch_ns(l.ts) // 1000) - 60000000
+        |  AND (epoch_ns(r.ts) // 1000) < (epoch_ns(l.ts) // 1000)""".stripMargin,
     // the compare output is fixture-bound and deterministic: the two
     // trees differ exactly by the deluids pair (reference testdata)
     "q_j4_compare_trees" ->

@@ -38,8 +38,11 @@ object Compare {
     else if (v.size == 1) v.head
     else v.map(pyRepr).mkString("[", ", ", "]")
 
+  /** String twin of ConvertF.shortDn (same ","+base-strip semantics,
+    * reference ldaptest.py:142–146) — keep the two in lockstep.
+    */
   private def shortDn(dn: String, base: String): String =
-    dn.stripSuffix(base).toLowerCase
+    dn.stripSuffix("," + base).toLowerCase
 
   /** Compare two trees; returns diff lines in DFS order (empty ⇒ equal).
     */

@@ -16,9 +16,14 @@ object CsvTools {
     */
   def cutoffUsers(users: DataFrame, eventlog: DataFrame,
       cutoff: java.sql.Timestamp): DataFrame = {
+    // null-safe key parse (ConvertF.tableKeyParse): a malformed
+    // table_key must drop out, not throw under ANSI mode — the
+    // reference tolerates them (routes to 'F')
     val ids = eventlog
       .filter(col("event_time") > lit(cutoff))
-      .select(expr("CAST(split(table_key, '=', 2)[1] AS DOUBLE)").as("id"))
+      .select(graft.functions.ConvertF.tableKeyParse(col("table_key"))
+        .cast("double").as("id"))
+      .filter(col("id").isNotNull)
       .distinct()
     users.join(ids, users("pk_uniqueid") === col("id"), "left_semi")
   }
