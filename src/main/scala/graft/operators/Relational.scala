@@ -253,7 +253,24 @@ object Relational {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** A12 — explicit GROUPING SETS (finer control than rollup/cube):
+    * per-(flag,status), per-flag, and grand-total rows in one pass,
+    * with grouping() flags disambiguating NULL group keys.
+    */
+  def sqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_a12_grouping_sets" -> (sqlGroupingSets _),
     "q_s1_scan_project" -> (s1ScanProject _),
     "q_s2_range_scan" -> (s2RangeScan _),
     "q_s3_event_scan" -> (s3EventScan _),
@@ -377,6 +394,15 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "q_a12_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
