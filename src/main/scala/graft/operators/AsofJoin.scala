@@ -72,37 +72,43 @@ object AsofJoin {
   }
 
   /** J7-ext — attribution as-of: for every event, the id of the user's
-    * most recent strictly-earlier purchase event.
+    * most recent strictly-earlier purchase event. Times compare at µs
+    * (ts_ns div 1000): DuckDB reads the parquet TIMESTAMP(NANOS) column
+    * at µs precision, so the oracle can only see µs — an ns-precision
+    * compare here would diverge on sub-µs orderings.
     */
   def j7Asof(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
     asof(
       left = ev.drop("event_type"),
       right = ev.filter(col("event_type") === "purchase"),
       leftKey = "user_id", rightKey = "user_id",
-      leftTime = "ts_ns", rightTime = "ts_ns",
+      leftTime = "ts_us", rightTime = "ts_us",
       payload = "event_id", payloadAlias = "last_purchase_id")
       .select("event_id", "user_id", "last_purchase_id")
   }
 
-  private val windowNs = 60000000000L // 60 s
+  private val windowUs = 60000000L // 60 s in µs
 
   /** J8-ext — bounded range join: per event, how many events of the
-    * same user happened in the strictly-preceding 60 seconds.
+    * same user happened in the strictly-preceding 60 seconds. Times
+    * compare at µs for the same oracle-parity reason as j7Asof.
     */
   def j8Range(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts_ns"))
-    val l = ev.withColumn("b", expr(s"ts_ns div $windowNs"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val l = ev.withColumn("b", expr(s"ts_us div $windowUs"))
     // each right row covers its own bucket and the next one — the 60 s
     // look-back from any left time touches at most those two
-    val r = ev.select(col("user_id").as("rk"), col("ts_ns").as("rts"))
+    val r = ev.select(col("user_id").as("rk"), col("ts_us").as("rts"))
       .withColumn("b", explode(array(
-        expr(s"rts div $windowNs"), expr(s"rts div $windowNs + 1"))))
+        expr(s"rts div $windowUs"), expr(s"rts div $windowUs + 1"))))
     l.join(r,
       l("user_id") === r("rk") && l("b") === r("b") &&
-        col("rts") >= col("ts_ns") - windowNs && col("rts") < col("ts_ns"),
+        col("rts") >= col("ts_us") - windowUs && col("rts") < col("ts_us"),
       "left_outer")
       .groupBy(col("event_id"))
       .agg(count(col("rts")).as("n_prior_minute"))

@@ -37,15 +37,14 @@ object FunctionOps {
   /** F8 — key=value parse with null-on-malformed (events.props JSON-ish
     * field).
     */
-  def fParse(s: SparkSession, d: String): DataFrame = {
-    // regexp_extract yields "" on no-match, and casting "" throws under
-    // ANSI mode — guard so malformed props become NULL (the contract),
-    // mirroring the oracle's TRY_CAST
-    val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
-    events(s, d).select(
-      col("event_id"),
-      when(raw =!= "", raw).cast("long").as("k"))
-  }
+  def fParse(s: SparkSession, d: String): DataFrame =
+    // regexp_extract yields "" on no-match, and a digits-only value can
+    // still overflow LONG — try_cast turns both into NULL (the
+    // contract), exactly mirroring the oracle's TRY_CAST
+    events(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("_raw"))
+      .select(col("event_id"), expr("try_cast(_raw AS LONG)").as("k"))
 
   /** A10 — exact interpolated percentiles (median/p90) per group. */
   def percentiles(s: SparkSession, d: String): DataFrame =

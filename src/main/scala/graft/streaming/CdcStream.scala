@@ -169,8 +169,10 @@ object CdcStream {
       st = st.copy(cyclesRun = st.cyclesRun + 1)
       // reuse the per-source backlog counts gathered above (one scan per
       // source per cycle, not two); eventlogs without a source row this
-      // cycle are unreachable and excluded by construction
-      done = backlog.values.forall(_ == 0L) && backlog.nonEmpty
+      // cycle are unreachable and excluded by construction. An empty
+      // source list has no work by definition — terminate immediately.
+      done = sources.isEmpty ||
+        (backlog.nonEmpty && backlog.values.forall(_ == 0L))
       if (!done && !anyFull) { // drain rule: full batch ⇒ no sleep
         sleeper()
         st = st.copy(sleeps = st.sleeps + 1)

@@ -65,11 +65,12 @@ class AsofJoinSpec extends AnyFunSuite {
     val total = df.agg(sum(col("n_prior_minute"))).head().getLong(0)
     val viaSql = {
       val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
-        .select(col("event_id"), col("user_id"), col("ts_ns"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"))
       ev.alias("e").join(ev.alias("r"),
           col("r.user_id") === col("e.user_id") &&
-            col("r.ts_ns") >= col("e.ts_ns") - 60000000000L &&
-            col("r.ts_ns") < col("e.ts_ns"))
+            col("r.ts_us") >= col("e.ts_us") - 60000000L &&
+            col("r.ts_us") < col("e.ts_us"))
         .count()
     }
     assert(total == viaSql, s"bucketed count $total != naive count $viaSql")
