@@ -85,10 +85,50 @@ object TpchStyle {
       .limit(100)
   }
 
+  /** Q7 shape — volume shipping between two nations, either direction,
+    * by year.
+    */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val n1 = nation(s, d).select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    supplier(s, d)
+      .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q14 shape — promo revenue share for one month (scalar aggregate
+    * over a fact-dim join).
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1996-02-01 00:00:00").cast("timestamp"))
+      .join(part(s, d), col("p_partkey") === col("l_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO",
+          dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double"), 6).as("promo_revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> (q3Shipping _),
     "q_tpch_q5" -> (q5Region _),
+    "q_tpch_q7" -> (q7Volume _),
     "q_tpch_q10" -> (q10Returns _),
+    "q_tpch_q14" -> (q14Promo _),
     "q_tpch_q18" -> (q18BigOrders _),
   )
 
@@ -117,6 +157,29 @@ object TpchStyle {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |  6) AS promo_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
