@@ -35,14 +35,23 @@ object Bench {
 
     // Per-query timing with explicit failure tracking: a query that
     // throws is listed under "failed" so a regression can never
-    // masquerade as a fast run. Timings round to ms so the single JSON
-    // line stays short enough for log-tail capture.
+    // masquerade as a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** The driver-contract line: ONE JSON object. Timings round to ms so
+    * the line stays short enough for log-tail capture (the round-1
+    * full-precision line overflowed the driver's tail buffer and
+    * failed to parse); Locale.ROOT because a comma-decimal default
+    * locale would corrupt the JSON.
+    */
+  def renderJson(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
@@ -50,7 +59,6 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 }
