@@ -35,13 +35,31 @@ object Bench {
 
     // Per-query timing with explicit failure tracking: a query that
     // throws is listed under "failed" so a regression can never
-    // masquerade as a fast run.
+    // masquerade as a fast run. Median of 3 runs per query: the bench
+    // box shows 3-6x scheduling swings on unchanged queries, and a
+    // median filters one-off contention spikes out of the round-over-
+    // round deltas.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val median = runs.map(_._1).sorted.apply((runs.size - 1) / 2)
+      (name, median, runs.forall(_._2))
     }
-    println(renderJson(results, sfDir))
+    val json = renderJson(results, sfDir)
+    // Three redundant channels so any driver heuristic finds the line:
+    // a sentinel-prefixed copy (greppable), a well-known file in the
+    // repo root, and the bare JSON on its own stdout line (passed
+    // through raw — build.sbt sets run/outputStrategy := StdoutOutput).
+    System.out.println("GRAFT_BENCH_JSON " + json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.out.println(json)
+    System.out.flush()
     spark.stop()
   }
 

@@ -165,13 +165,21 @@ object Dedup {
     * — returns `(id, label)` with label = the component's minimum id.
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
+    // ONE eager materialization up front (the candidate-pair plan is the
+    // expensive input; everything below re-reads its cached blocks), then
+    // exactly ONE Spark action per round: the convergence aggregate is
+    // the materializing action for that round's lazily-checkpointed hop
+    // and jump frames. r2 ran eager checkpoints plus a separate
+    // limit(1).count() per round — ~4 job launches/round, and the
+    // per-job constant dominated the 6,778-edge fixture (36 s).
     val pairs = pairs0.localCheckpoint(true)
+    // early-exit: no candidate pairs ⇒ no components to label
+    if (pairs.isEmpty)
+      return pairs.select(col("doc_a").as("id"), col("doc_a").as("label"))
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
     var converged = false
     var iter = 0
     // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
@@ -181,23 +189,25 @@ object Dedup {
         .join(labels, col("v") === col("id"))
         .groupBy(col("u"))
         .agg(min(col("label")).as("nbr_label"))
-      // the hop result is materialized before the self-join: the jump
-      // reads it twice, and at scale re-running the hop shuffle twice
-      // would cost more than one materialization
+      // lazy checkpoint: the jump reads the hop result twice, and the
+      // next round builds on the jump — both must compute once and have
+      // their lineage truncated, but neither needs its own job. The
+      // convergence aggregate below materializes (and caches) both.
       val hopped = labels
         .join(nbrMin, col("id") === col("u"), "left_outer")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val jumped = hopped.alias("a")
         .join(hopped.select(col("id").as("jid"), col("label").as("jlabel"))
           .alias("j"), col("a.label") === col("jid"), "left_outer")
         .select(col("a.id").as("id"), col("a.old_label").as("old_label"),
           coalesce(col("jlabel"), col("a.label")).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("label") =!= col("old_label"))
-        .limit(1).count() == 0
+        .localCheckpoint(false)
+      converged = jumped
+        .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))
+        .first().getLong(0) == 0L
       labels = jumped.drop("old_label")
       iter += 1
     }
