@@ -15,23 +15,142 @@ import graft.Tables._
   */
 object Multimodal {
 
-  /** Deterministic fake "decode": derives pseudo width/height/channel
-    * features from an md5 of the payload bytes. STUB — replace with a
-    * real codec; md5-derived so a SQL oracle can mirror the exact
-    * values (the Spark-side plumbing is what's under test).
+  /** Pluggable per-partition decode kernel — the seam between the
+    * Spark-side plumbing (schema, partitioning, batch shape — real and
+    * tested) and the media codec (environment-dependent). Implementations
+    * must be deterministic per payload so replays converge.
     */
-  private def decodeKernel(md: java.security.MessageDigest,
-      payload: Array[Byte]): (Int, Int, Int, Double) = {
-    md.reset()
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    def part(from: Int, len: Int): Long =
-      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
-    val w = 64 + (part(0, 4) % 1024).toInt
-    val h = 64 + (part(4, 4) % 1024).toInt
-    val c = 1 + (part(8, 2) % 3).toInt
-    val mean = (part(10, 6) % 25600) / 100.0
-    (w, h, c, mean)
+  sealed trait MediaDecoder extends Serializable {
+    def name: String
+    /** Open once per partition, map the batch, release on exhaustion —
+      * the mapInPandas/mapInArrow batch contract expressed in Scala.
+      */
+    def decodePartition(batch: Iterator[Array[Byte]])
+        : Iterator[(Int, Int, Int, Double)]
   }
+
+  /** Deterministic fake "decode": derives pseudo width/height/channel
+    * features from an md5 of the payload bytes. STUB for environments
+    * without media codecs; md5-derived so a SQL oracle can mirror the
+    * exact values (the Spark-side plumbing is what's under test).
+    */
+  case object StubDecoder extends MediaDecoder {
+    val name = "stub"
+    def decodePartition(batch: Iterator[Array[Byte]])
+        : Iterator[(Int, Int, Int, Double)] = {
+      val md = java.security.MessageDigest.getInstance("MD5") // per-batch setup
+      batch.map { payload =>
+        md.reset()
+        val hex = md.digest(payload).map("%02x".format(_)).mkString
+        def part(from: Int, len: Int): Long =
+          java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+        (64 + (part(0, 4) % 1024).toInt, 64 + (part(4, 4) % 1024).toInt,
+          1 + (part(8, 2) % 3).toInt, (part(10, 6) % 25600) / 100.0)
+      }
+    }
+  }
+
+  /** Real-codec seam: one external Python worker per partition, payloads
+    * streamed as length-prefixed frames on stdin, features read back one
+    * line per payload — the process-isolation shape of mapInArrow (batch
+    * amortizes interpreter startup; executors never link the codec). The
+    * worker uses PIL when importable and falls back to the SAME md5
+    * arithmetic as StubDecoder otherwise, so the subprocess round-trip
+    * is verifiable in codec-less environments and the oracle stays valid
+    * in both modes.
+    */
+  final case class PythonProcessDecoder(python: String = "python3")
+      extends MediaDecoder {
+    val name = "python"
+    def decodePartition(batch: Iterator[Array[Byte]])
+        : Iterator[(Int, Int, Int, Double)] = {
+      if (batch.isEmpty) return Iterator.empty
+      val pb = new ProcessBuilder(python, "-c", PythonProcessDecoder.worker)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val payloads = batch.toVector // bounded by partition sizing
+      val writer = new Thread(() => {
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(proc.getOutputStream))
+        try {
+          payloads.foreach { p => out.writeInt(p.length); out.write(p) }
+          out.flush()
+        } finally out.close()
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      val results = payloads.map { _ =>
+        val line = in.readLine()
+        require(line != null, s"$python worker died mid-batch")
+        val Array(w, h, c, m) = line.trim.split(" ")
+        (w.toInt, h.toInt, c.toInt, m.toDouble)
+      }
+      writer.join()
+      proc.waitFor()
+      require(proc.exitValue == 0, s"$python worker exit ${proc.exitValue}")
+      results.iterator
+    }
+  }
+
+  object PythonProcessDecoder {
+    /** stdin: 4-byte big-endian length + payload per frame; stdout: one
+      * "w h c mean" line per frame. %.17g round-trips IEEE doubles.
+      */
+    val worker: String =
+      """import sys, struct, hashlib
+        |try:
+        |    import io
+        |    from PIL import Image
+        |    def feat(b):
+        |        im = Image.open(io.BytesIO(b)); im.load()
+        |        w, h = im.size
+        |        c = len(im.getbands())
+        |        hist = im.convert('L').histogram()
+        |        n = sum(hist) or 1
+        |        mean = sum(i * v for i, v in enumerate(hist)) / n
+        |        return w, h, c, mean
+        |except ImportError:
+        |    def feat(b):
+        |        x = hashlib.md5(b).hexdigest()
+        |        return (64 + int(x[0:4], 16) % 1024,
+        |                64 + int(x[4:8], 16) % 1024,
+        |                1 + int(x[8:10], 16) % 3,
+        |                (int(x[10:16], 16) % 25600) / 100.0)
+        |inp = sys.stdin.buffer
+        |while True:
+        |    hdr = inp.read(4)
+        |    if len(hdr) < 4:
+        |        break
+        |    (n,) = struct.unpack('>i', hdr)
+        |    b = inp.read(n)
+        |    w, h, c, m = feat(b)
+        |    sys.stdout.write('%d %d %d %.17g\n' % (w, h, c, m))
+        |    sys.stdout.flush()
+        |""".stripMargin
+  }
+
+  /** Decoder dispatch: explicit `GRAFT_MM_DECODER` (stub|python) wins;
+    * otherwise the python path is selected only when a codec-capable
+    * interpreter (python3 with PIL) answers the probe — bare python3
+    * without codecs adds process overhead for identical stub output, so
+    * it is not auto-selected.
+    */
+  def resolveDecoder(env: Map[String, String] = sys.env): MediaDecoder =
+    env.get("GRAFT_MM_DECODER") match {
+      case Some("stub") => StubDecoder
+      case Some("python") => PythonProcessDecoder()
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown decoder: $other")
+      case None => if (codecProbe()) PythonProcessDecoder() else StubDecoder
+    }
+
+  def codecProbe(python: String = "python3"): Boolean =
+    try {
+      val p = new ProcessBuilder(python, "-c", "import PIL").start()
+      p.waitFor() == 0
+    } catch { case _: java.io.IOException => false }
 
   val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -46,7 +165,11 @@ object Multimodal {
     * kernel sees an iterator of rows per partition, amortizing any
     * per-batch model/codec setup).
     */
-  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    mediaFeaturesWith(s, d, resolveDecoder())
+
+  def mediaFeaturesWith(s: SparkSession, d: String, decoder: MediaDecoder)
+      : DataFrame = {
     val withPayload = documents(s, d)
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
@@ -55,13 +178,14 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
     withPayload.mapPartitions { it =>
-      // per-batch setup (codec init, model load) — here the digest
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, c, m) = decodeKernel(md, payload)
-        Row(r.getAs[Long]("doc_id"), payload.length, w, h, c, m)
-      }
+      // one decoder session per partition (codec init amortized);
+      // payload and id streams stay aligned by construction
+      val rows = it.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"))).toVector
+      decoder.decodePartition(rows.iterator.map(_._2)).zip(rows.iterator)
+        .map { case ((w, h, c, m), (id, payload)) =>
+          Row(id, payload.length, w, h, c, m)
+        }
     }(enc)
   }
 

@@ -31,6 +31,31 @@ class CdcScenarioSpec extends AnyFunSuite {
       e.dn == base || e.dn.endsWith("," + base)))
   }
 
+  /** Reference-derived per-event verdict matrix (etl.py:689–718): a
+    * processed event is S unless a warning fired (W) or the kernel
+    * errored (E/F). Scenarios 01–06 and 08 sync rows that exist → all
+    * S. Scenario 07's DB row is deleted before the cycle, so its two
+    * update events warn "not existing" (etl.py:684–688) while the
+    * delete event itself runs clean.
+    */
+  private val expectedVerdicts: Map[String, Map[Long, (String, Option[String])]] = {
+    def allS(ids: Long*) = ids.map(_ -> ("S", None: Option[String])).toMap
+    Map(
+      "01" -> allS(1000003330127L, 1000003330129L, 1000003330130L,
+        1000003330131L),
+      "02" -> allS(1000003330132L, 1000003330133L),
+      "03" -> allS(398530L, 1000003330134L, 1000003330135L, 1000003330136L),
+      "04" -> allS(1000003330138L),
+      "05" -> allS(1000003330147L, 1000003330148L),
+      "06" -> allS(1000003330149L, 1000003330150L, 1000003330151L,
+        1000003330152L, 1000003330153L, 1000003330154L),
+      "07" -> Map(
+        1000003330155L -> ("W", Some("Record 4715 not existing in DB")),
+        1000003330157L -> ("W", Some("Record 4715 not existing in DB")),
+        1000003330159L -> ("S", None)),
+      "08" -> allS(1000003330166L))
+  }
+
   test("CDC scenarios 01–08 reproduce the golden dumps") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -75,6 +100,25 @@ class CdcScenarioSpec extends AnyFunSuite {
       // no events may remain in 'N' (wait_for_sync)
       assert(elog.filter(rtrim(col("status")) === "N").count() == 0,
         s"scenario $nn left N events")
+
+      // full per-event status matrix (C8): status AND message must match
+      // the reference-derived expectation; attempts stay untouched and
+      // read_time is stamped for every processed (non-F) event
+      val got0 = r.eventUpdates.orderBy("record_id").collect().map { x =>
+        x.getDouble(0).toLong ->
+          ((x.getString(1), Option(x.getString(2)), Option(x.get(3)),
+            Option(x.get(4))))
+      }.toMap
+      val want0 = expectedVerdicts(nn)
+      assert(got0.keySet == want0.keySet,
+        s"scenario $nn verdicted events ${got0.keySet} != ${want0.keySet}")
+      want0.foreach { case (rid, (st, err)) =>
+        val (gSt, gErr, gAttempt, gRead) = got0(rid)
+        assert(gSt == st && gErr == err,
+          s"scenario $nn event $rid: got ($gSt, $gErr), want ($st, $err)")
+        assert(gAttempt.isEmpty, s"scenario $nn event $rid bumped attempt")
+        assert(gRead.nonEmpty, s"scenario $nn event $rid missing read_time")
+      }
 
       val got = dumpSubtree(snap, "ou=ph08,o=BMUKK")
       val want = TestSpark.golden(s"ldap$nn.txt")

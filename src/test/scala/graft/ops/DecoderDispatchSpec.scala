@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSpark
+import Multimodal._
+
+/** The multimodal decode seam: dispatch picks the right kernel for the
+  * environment, and the external-process path produces identical output
+  * to the stub (its worker falls back to the same md5 arithmetic when
+  * no codec is importable) — so q_mm_features is green in BOTH modes
+  * wherever python3 exists, codecs or not.
+  */
+class DecoderDispatchSpec extends AnyFunSuite {
+
+  private def python3Available: Boolean =
+    try new ProcessBuilder("python3", "-c", "pass").start().waitFor() == 0
+    catch { case _: java.io.IOException => false }
+
+  test("explicit env override wins; unknown names fail loudly") {
+    assert(resolveDecoder(Map("GRAFT_MM_DECODER" -> "stub")) == StubDecoder)
+    assert(resolveDecoder(Map("GRAFT_MM_DECODER" -> "python")) ==
+      PythonProcessDecoder())
+    intercept[IllegalArgumentException] {
+      resolveDecoder(Map("GRAFT_MM_DECODER" -> "gpu"))
+    }
+  }
+
+  test("auto-dispatch selects the stub when no codec answers the probe") {
+    // this container ships no PIL: the probe must fail and dispatch must
+    // land on the stub (a codec-capable env flips both, legitimately)
+    if (!codecProbe()) assert(resolveDecoder(Map.empty) == StubDecoder)
+    else assert(resolveDecoder(Map.empty) == PythonProcessDecoder())
+  }
+
+  test("python worker round-trip equals the stub kernel payload-for-payload") {
+    assume(python3Available, "no python3 on PATH")
+    val payloads = Seq("hello", "wörld ß 密", "", "x" * 10000)
+      .map(_.getBytes("UTF-8"))
+    val stub = StubDecoder.decodePartition(payloads.iterator).toSeq
+    val ext = PythonProcessDecoder().decodePartition(payloads.iterator).toSeq
+    assert(ext == stub)
+  }
+
+  test("q_mm_features is identical under both decoders (end-to-end)") {
+    assume(python3Available, "no python3 on PATH")
+    val spark = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val a = Multimodal.mediaFeaturesWith(spark, d, StubDecoder)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = Multimodal.mediaFeaturesWith(spark, d, PythonProcessDecoder())
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.length > 0 && a.sameElements(b))
+  }
+}
