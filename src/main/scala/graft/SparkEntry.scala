@@ -27,6 +27,7 @@ object SparkEntry {
       (ops.Similarity.queries, ops.Similarity.oracles),
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracles),
       (ops.Multimodal.queries, ops.Multimodal.oracles),
+      (ops.Curation.queries, ops.Curation.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

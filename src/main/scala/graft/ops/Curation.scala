@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Training-data curation operators beyond dedup/similarity: the
+  * corpus-hygiene passes a large-scale pipeline runs between raw crawl
+  * and tokenizer — boilerplate detection, PII redaction, deterministic
+  * sampling, and token-budget shard packing. Each is a bounded-shuffle
+  * DataFrame plan with a DuckDB oracle.
+  */
+object Curation {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  /** Corpus-level boilerplate detection: word bigrams occurring in many
+    * distinct documents are boilerplate (the n-gram form of "this line
+    * appears on every page"); report each document's boilerplate load.
+    * Shape at 100 TB: one explode + one count shuffle to build the
+    * common set — which is SMALL by construction (high-df n-grams are
+    * bounded by vocabulary, not corpus size) — then a join back that AQE
+    * turns into a broadcast. Never a doc×doc comparison.
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    // split ONCE into a staged column: an inlined split(text) inside the
+    // transform lambda re-tokenizes the whole document per bigram
+    // (O(tokens²) character work — measured 3s at sf0.1, plan-visible
+    // as split() nested under the lambda)
+    val base = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = array_distinct(transform(
+      sequence(lit(0), size(col("t")) - 2),
+      i => concat_ws(" ", element_at(col("t"), i + 1),
+        element_at(col("t"), i + 2))))
+    val sh = base.select(col("doc_id"), explode(bigrams).as("sh"))
+    // the df threshold is RELATIVE (≥5% of docs) so the operator means
+    // the same thing at every corpus size — an absolute count silently
+    // degrades to all-match (or no-match) as the corpus scales. The
+    // 1-row total broadcasts; no driver action.
+    val total = documents(s, d).agg(count(lit(1)).as("n_total"))
+    val common = sh.groupBy("sh")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(total))
+      .filter(col("n_docs") >= col("n_total") * 0.05)
+      .select("sh")
+    sh.join(common, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bp"))
+  }
+
+  /** PII redaction + pseudonymization: digit runs replaced with a
+    * placeholder, the join key replaced by a deterministic hash
+    * pseudonym — row-local regex/hash, zero shuffle, stays inside
+    * whole-stage codegen (the scan is the cost at 100 TB).
+    */
+  def redact(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("name_red"),
+      md5(col("c_name")).as("pseudonym"))
+
+  /** Deterministic hash sampling (~10%), stratified implicitly by being
+    * content-keyed: the same document always lands the same side of the
+    * cut, across runs and clusters — reproducible corpus snapshots
+    * without storing a sample list. Narrow (no shuffle).
+    */
+  def sample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 1000 < 100)
+      .select(col("doc_id"), col("lang"))
+
+  /** Token-budget shard packing: running token count per language
+    * stream, shard = prefix-sum DIV budget — the deterministic
+    * assignment step of sequence packing. One window shuffle keyed on
+    * the stratum. At 100 TB a 5-value stratum key would bottleneck a
+    * single reducer per language: pre-shard the window key
+    * (lang, doc_id DIV chunk) and run the prefix sum hierarchically —
+    * the per-chunk offsets then combine associatively (documented
+    * trade-off; at bench scale the direct window is the honest plan).
+    */
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks(col("text")))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cur_boilerplate" -> (boilerplate _),
+    "q_cur_redact" -> (redact _),
+    "q_cur_sample" -> (sample _),
+    "q_cur_pack" -> (pack _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cur_boilerplate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))) AS sh
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) x
+        |  WHERE len(t) >= 2),
+        |common AS (SELECT sh FROM sh GROUP BY sh
+        |           HAVING count(*) >= 0.05 * (SELECT count(*) FROM documents))
+        |SELECT doc_id, count(*) AS n_bp
+        |FROM sh JOIN common USING (sh)
+        |GROUP BY doc_id""".stripMargin,
+    "q_cur_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,
+        |  md5(c_name) AS pseudonym
+        |FROM customer""".stripMargin,
+    "q_cur_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 100""".stripMargin,
+    "q_cur_pack" ->
+      """SELECT doc_id, lang,
+        |  len(str_split(text, ' '))::BIGINT AS n_tokens,
+        |  CAST(floor((sum(len(str_split(text, ' '))::BIGINT)
+        |      OVER (PARTITION BY lang ORDER BY doc_id)
+        |    - len(str_split(text, ' '))::BIGINT) / 2048) AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
+  )
+}

@@ -36,9 +36,13 @@ object Dedup {
     * banding below; this query verifies the similarity kernel itself).
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // tokenize once into a staged column — shingles() reads its token
+    // array per element inside a transform lambda, and an inlined
+    // split(text) there re-tokenizes the document per shingle (O(n²))
     val base = documents(s, d)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t")).as("sh"))
     val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -19,7 +19,8 @@ class RegistrySpec extends AnyFunSuite {
       ops.Dedup.queries.keySet,
       ops.Similarity.queries.keySet,
       ops.TextAnalysis.queries.keySet,
-      ops.Multimodal.queries.keySet)
+      ops.Multimodal.queries.keySet,
+      ops.Curation.queries.keySet)
     val total = perModule.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       s"name collision: modules declare $total, registry has ${SparkEntry.queries.size}")

@@ -60,4 +60,31 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 shuffle (union+window), got $exchanges:\n$p")
   }
+
+  test("q7 pushes the nation pair into the dim scans (no post-join filter plan)") {
+    val p = plan("q_tpch_q7")
+    // both nation scans must carry the two-nation predicate — the r2
+    // plan applied the disjunction above all joins and paid the full
+    // fact join for 23/25 discarded nations
+    val pushed = p.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("NATION_1")).size
+    assert(pushed >= 2, s"nation IN-filter not pushed to both dim scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("curation redact/sample are narrow (zero shuffle)") {
+    Seq("q_cur_redact", "q_cur_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+    }
+  }
+
+  test("token packing runs one window pass over one stratum shuffle") {
+    val p = plan("q_cur_pack")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(exchanges == 1 && windows == 1,
+      s"expected 1 shuffle + 1 window, got $exchanges/$windows:\n$p")
+  }
 }
