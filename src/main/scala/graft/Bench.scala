@@ -39,7 +39,10 @@ object Bench {
     // box shows 3-6x scheduling swings on unchanged queries, and a
     // median filters one-off contention spikes out of the round-over-
     // round deltas.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // malformed env must not kill the bench — a crash here re-creates
+    // the parsed:null failure this contract exists to prevent
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

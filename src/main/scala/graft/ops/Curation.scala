@@ -13,7 +13,7 @@ import graft.Tables._
   */
 object Curation {
 
-  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+  private def toks(c: org.apache.spark.sql.Column) = Dedup.tokens(c)
 
   /** Corpus-level boilerplate detection: word bigrams occurring in many
     * distinct documents are boilerplate (the n-gram form of "this line
@@ -25,17 +25,14 @@ object Curation {
     */
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     // split ONCE into a staged column: an inlined split(text) inside the
-    // transform lambda re-tokenizes the whole document per bigram
+    // n-gram transform lambda re-tokenizes the whole document per bigram
     // (O(tokens²) character work — measured 3s at sf0.1, plan-visible
     // as split() nested under the lambda)
     val base = documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val bigrams = array_distinct(transform(
-      sequence(lit(0), size(col("t")) - 2),
-      i => concat_ws(" ", element_at(col("t"), i + 1),
-        element_at(col("t"), i + 2))))
-    val sh = base.select(col("doc_id"), explode(bigrams).as("sh"))
+    val sh = base.select(col("doc_id"),
+      explode(Dedup.ngrams(col("t"), 2)).as("sh"))
     // the df threshold is RELATIVE (≥5% of docs) so the operator means
     // the same thing at every corpus size — an absolute count silently
     // degrades to all-match (or no-match) as the corpus scales. The

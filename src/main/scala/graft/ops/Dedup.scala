@@ -14,7 +14,22 @@ import graft.Tables._
   */
 object Dedup {
 
-  private def tokens(c: Column): Column = split(c, " ")
+  /** Whitespace tokenizer — shared across the ops modules so dedup,
+    * text analysis, and curation cannot silently disagree on what a
+    * token is.
+    */
+  private[ops] def tokens(c: Column): Column = split(c, " ")
+
+  /** Deduplicated word n-grams over an ALREADY-TOKENIZED column. Takes
+    * the token array (not the raw text) deliberately: inlining split()
+    * here would re-tokenize the document per produced n-gram inside the
+    * transform lambda — O(tokens²) character work.
+    */
+  private[ops] def ngrams(t: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ",
+        (1 to n).map(k => element_at(t, i + k)): _*)))
 
   /** Exact dedup by content hash: one group per distinct text, survivor
     * = lowest doc_id. groupBy(hash) ⇒ a single shuffle on the hash key.
@@ -25,11 +40,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
   /** Word 3-gram shingle set, deduped. */
-  private def shingles(t: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-        element_at(t, i + 3))))
+  private def shingles(t: Column): Column = ngrams(t, 3)
 
   /** n-gram Jaccard similarity between adjacent doc pairs (a linear
     * "candidate chain" — the general pairwise case goes through LSH

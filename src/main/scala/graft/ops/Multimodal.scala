@@ -54,70 +54,95 @@ object Multimodal {
     * streamed as length-prefixed frames on stdin, features read back one
     * line per payload — the process-isolation shape of mapInArrow (batch
     * amortizes interpreter startup; executors never link the codec). The
-    * worker uses PIL when importable and falls back to the SAME md5
-    * arithmetic as StubDecoder otherwise, so the subprocess round-trip
-    * is verifiable in codec-less environments and the oracle stays valid
-    * in both modes.
+    * worker uses PIL per frame when importable AND the payload actually
+    * decodes; any other payload falls back to the SAME md5 arithmetic as
+    * StubDecoder. That per-frame fallback is load-bearing: it makes the
+    * decoder total (a text corpus run in a codec-capable environment
+    * still succeeds and still matches the md5 oracle) instead of dying
+    * on the first non-image byte string.
+    *
+    * Payloads stream through in bounded chunks (never a whole-partition
+    * buffer); chunk size is small enough that the result lines of one
+    * chunk fit the OS pipe buffer, so writer and reader cannot deadlock.
+    * Worker stderr is inherited (no unread pipe to fill and block on);
+    * the process is destroyed on any failure path.
     */
   final case class PythonProcessDecoder(python: String = "python3")
       extends MediaDecoder {
     val name = "python"
+    private val chunkRows = 64
+
     def decodePartition(batch: Iterator[Array[Byte]])
         : Iterator[(Int, Int, Int, Double)] = {
-      if (batch.isEmpty) return Iterator.empty
+      if (!batch.hasNext) return Iterator.empty
       val pb = new ProcessBuilder(python, "-c", PythonProcessDecoder.worker)
-      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
-      val payloads = batch.toVector // bounded by partition sizing
-      val writer = new Thread(() => {
-        val out = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(proc.getOutputStream))
-        try {
-          payloads.foreach { p => out.writeInt(p.length); out.write(p) }
-          out.flush()
-        } finally out.close()
-      })
-      writer.setDaemon(true)
-      writer.start()
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(proc.getOutputStream))
       val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
-      val results = payloads.map { _ =>
-        val line = in.readLine()
-        require(line != null, s"$python worker died mid-batch")
-        val Array(w, h, c, m) = line.trim.split(" ")
-        (w.toInt, h.toInt, c.toInt, m.toDouble)
+      def fail(msg: String): Nothing = {
+        proc.destroyForcibly()
+        throw new IllegalStateException(msg)
       }
-      writer.join()
-      proc.waitFor()
-      require(proc.exitValue == 0, s"$python worker exit ${proc.exitValue}")
-      results.iterator
+      val decoded = batch.grouped(chunkRows).flatMap { chunk =>
+        try {
+          chunk.foreach { p => out.writeInt(p.length); out.write(p) }
+          out.flush()
+        } catch {
+          case e: java.io.IOException => fail(s"$python worker write: $e")
+        }
+        chunk.map { _ =>
+          val line = in.readLine()
+          if (line == null) fail(s"$python worker died mid-batch")
+          val Array(w, h, c, m) = line.trim.split(" ")
+          (w.toInt, h.toInt, c.toInt, m.toDouble)
+        }
+      }
+      // concluding step: close stdin, require a clean worker exit
+      decoded ++ {
+        out.close()
+        proc.waitFor()
+        if (proc.exitValue != 0) fail(s"$python worker exit ${proc.exitValue}")
+        Iterator.empty
+      }
     }
   }
 
   object PythonProcessDecoder {
     /** stdin: 4-byte big-endian length + payload per frame; stdout: one
       * "w h c mean" line per frame. %.17g round-trips IEEE doubles.
+      * PIL is tried PER FRAME; undecodable payloads use the stub
+      * arithmetic, so output is total and oracle-consistent for
+      * non-media corpora regardless of installed codecs.
       */
     val worker: String =
       """import sys, struct, hashlib
         |try:
         |    import io
         |    from PIL import Image
-        |    def feat(b):
-        |        im = Image.open(io.BytesIO(b)); im.load()
-        |        w, h = im.size
-        |        c = len(im.getbands())
-        |        hist = im.convert('L').histogram()
-        |        n = sum(hist) or 1
-        |        mean = sum(i * v for i, v in enumerate(hist)) / n
-        |        return w, h, c, mean
+        |    HAVE_PIL = True
         |except ImportError:
-        |    def feat(b):
-        |        x = hashlib.md5(b).hexdigest()
-        |        return (64 + int(x[0:4], 16) % 1024,
-        |                64 + int(x[4:8], 16) % 1024,
-        |                1 + int(x[8:10], 16) % 3,
-        |                (int(x[10:16], 16) % 25600) / 100.0)
+        |    HAVE_PIL = False
+        |def feat_hash(b):
+        |    x = hashlib.md5(b).hexdigest()
+        |    return (64 + int(x[0:4], 16) % 1024,
+        |            64 + int(x[4:8], 16) % 1024,
+        |            1 + int(x[8:10], 16) % 3,
+        |            (int(x[10:16], 16) % 25600) / 100.0)
+        |def feat(b):
+        |    if HAVE_PIL:
+        |        try:
+        |            im = Image.open(io.BytesIO(b)); im.load()
+        |            w, h = im.size
+        |            c = len(im.getbands())
+        |            hist = im.convert('L').histogram()
+        |            n = sum(hist) or 1
+        |            return w, h, c, sum(i * v for i, v in enumerate(hist)) / n
+        |        except Exception:
+        |            pass
+        |    return feat_hash(b)
         |inp = sys.stdin.buffer
         |while True:
         |    hdr = inp.read(4)
@@ -178,11 +203,16 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
     withPayload.mapPartitions { it =>
-      // one decoder session per partition (codec init amortized);
-      // payload and id streams stay aligned by construction
-      val rows = it.map(r =>
-        (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload"))).toVector
-      decoder.decodePartition(rows.iterator.map(_._2)).zip(rows.iterator)
+      // one decoder session per partition (codec init amortized),
+      // STREAMING: extract fields eagerly per row (UnsafeRow reuse makes
+      // buffering raw rows unsafe), then duplicate the pair stream —
+      // zip keeps decode output and ids aligned, and the duplicate
+      // buffer holds only the decoder's read-ahead (1 row for the stub,
+      // one chunk for the subprocess), never the partition
+      val pairs = it.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("payload")))
+      val (ids, payloads) = pairs.duplicate
+      decoder.decodePartition(payloads.map(_._2)).zip(ids)
         .map { case ((w, h, c, m), (id, payload)) =>
           Row(id, payload.length, w, h, c, m)
         }
