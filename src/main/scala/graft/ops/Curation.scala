@@ -72,20 +72,37 @@ object Curation {
 
   /** Token-budget shard packing: running token count per language
     * stream, shard = prefix-sum DIV budget — the deterministic
-    * assignment step of sequence packing. One window shuffle keyed on
-    * the stratum. At 100 TB a 5-value stratum key would bottleneck a
-    * single reducer per language: pre-shard the window key
-    * (lang, doc_id DIV chunk) and run the prefix sum hierarchically —
-    * the per-chunk offsets then combine associatively (documented
-    * trade-off; at bench scale the direct window is the honest plan).
+    * assignment step of sequence packing.
+    *
+    * The prefix sum is HIERARCHICAL: a naive window keyed on the
+    * stratum alone funnels each language through ONE reducer — the
+    * classic low-cardinality window bottleneck at 100 TB. Instead:
+    * per-(lang, chunk) totals aggregate in parallel, a window over the
+    * tiny chunk-totals table produces each chunk's starting offset, and
+    * the intra-chunk prefix sums run in parallel per (lang, chunk).
+    * Addition is associative, so the bins are bit-identical to the flat
+    * window (the oracle is the flat formulation). Parallelism scales
+    * with chunk count, not stratum count.
     */
   def pack(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(toks(col("text")))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-    documents(s, d)
-      .select(col("doc_id"), col("lang"), nTok.cast("long").as("n_tokens"))
-      .withColumn("bin",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048))
+    val chunkDocs = 1000
+    val base = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("chunk", floor(col("doc_id") / chunkDocs))
+    val chunkTotals = base.groupBy("lang", "chunk")
+      .agg(sum(col("n_tokens")).as("chunk_sum"))
+    val wc = Window.partitionBy("lang").orderBy("chunk")
+    val offsets = chunkTotals
+      .withColumn("offset",
+        sum(col("chunk_sum")).over(wc) - col("chunk_sum"))
+      .drop("chunk_sum")
+    val wi = Window.partitionBy("lang", "chunk").orderBy("doc_id")
+    base.join(broadcast(offsets), Seq("lang", "chunk"))
+      .withColumn("bin", floor(
+        (col("offset") + sum(col("n_tokens")).over(wi) - col("n_tokens"))
+          / 2048))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

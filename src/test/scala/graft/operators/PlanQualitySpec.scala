@@ -80,11 +80,16 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("token packing runs one window pass over one stratum shuffle") {
+  test("token packing is a hierarchical prefix sum, not a per-stratum funnel") {
     val p = plan("q_cur_pack")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    // two windows: the tiny cross-chunk offset pass (keyed on lang) and
+    // the parallel intra-chunk pass (keyed on lang+chunk); the offsets
+    // side must broadcast — a single flat window keyed on lang alone
+    // would single-reduce each language at scale
     val windows = "\\bWindow\\b".r.findAllIn(p).size
-    assert(exchanges == 1 && windows == 1,
-      s"expected 1 shuffle + 1 window, got $exchanges/$windows:\n$p")
+    assert(windows == 2, s"expected 2 window passes, got $windows:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets should broadcast:\n$p")
+    assert(p.contains("hashpartitioning(lang#") &&
+      p.contains("chunk#"), s"intra-chunk window must key on (lang, chunk):\n$p")
   }
 }
