@@ -84,8 +84,9 @@ object Curation {
     * window (the oracle is the flat formulation). Parallelism scales
     * with chunk count, not stratum count.
     */
-  def pack(s: SparkSession, d: String): DataFrame = {
-    val chunkDocs = 1000
+  def pack(s: SparkSession, d: String): DataFrame = pack(s, d, 1000)
+
+  def pack(s: SparkSession, d: String, chunkDocs: Int): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(toks(col("text"))).cast("long").as("n_tokens"))
@@ -109,7 +110,7 @@ object Curation {
     "q_cur_boilerplate" -> (boilerplate _),
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
-    "q_cur_pack" -> (pack _),
+    "q_cur_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

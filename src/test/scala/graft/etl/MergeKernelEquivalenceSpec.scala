@@ -13,14 +13,17 @@ class MergeKernelEquivalenceSpec extends AnyFunSuite {
 
   private val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
     cryptoIvHex = Some("ab" * 16), etlTimestamp = "20200101000000Z")
+  // ph15 conf exercises the notSyncedPh15 field exclusion in the loop
+  private val conf15 = conf.copy(baseDn = "ou=user,ou=ph15,o=BMUKK")
   private val base = conf.baseDn
 
-  private def assertEquivalent(ins: Seq[MatchIn], label: String): Unit = {
+  private def assertEquivalent(ins: Seq[MatchIn], label: String,
+      c: EtlConf = conf): Unit = {
     val spark = TestSpark.spark
     import spark.implicits._
     val df = spark.createDataset(ins).toDF.localCheckpoint(true)
-    val typed = SyncEngine.mergeRowsTyped(df, conf).collect()
-    val plan = SyncEngine.mergeRowsPlan(df, conf).as[MergeRow].collect()
+    val typed = SyncEngine.mergeRowsTyped(df, c).collect()
+    val plan = SyncEngine.mergeRowsPlan(df, c).as[MergeRow].collect()
     assert(typed.length == plan.length, s"$label: row count")
     typed.zip(plan).zipWithIndex.foreach { case ((t, p), i) =>
       assert(p == t, s"$label row $i diverged:\n typed=$t\n plan =$p\n in=${ins(i)}")
@@ -176,5 +179,8 @@ class MergeKernelEquivalenceSpec extends AnyFunSuite {
         uidAmbiguous = rnd.nextInt(10) == 0)
     }
     assertEquivalent(rows, "random")
+    // same sweep under the ph15 conf: the notSyncedPh15 exclusion must
+    // unroll identically (emailadresse_st never diffs, never deletes)
+    assertEquivalent(rows, "random-ph15", conf15)
   }
 }
