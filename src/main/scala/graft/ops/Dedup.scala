@@ -99,6 +99,28 @@ object Dedup {
     */
   val maxBucket = 64
 
+  /** Bucket-local pair generation over a collected id array: ids sorted
+    * ⇒ doc_a < doc_b by construction. Shared by the MinHash-LSH and
+    * SimHash banding paths.
+    */
+  private def pairsInBucket =
+    flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2),
+        greatest(size(col("ids")) - i - 1, lit(0))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+
+  /** Banded candidate pairs from an exploded (doc_id, band, h) frame:
+    * collect bucket members, drop degenerate buckets, emit bucket-local
+    * pairs — never all-pairs.
+    */
+  private def bandedPairs(bands: DataFrame): DataFrame =
+    bands.groupBy("band", "h")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairsInBucket).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
   /** LSH banding over the MinHash signature (4 bands × 4 rows): docs
     * sharing any band hash become candidate near-dup pairs. Pure
     * hash-bucket join — never all-pairs — with degenerate buckets
@@ -112,20 +134,35 @@ object Dedup {
       md5(concat_ws(",",
         (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
     }: _*)
-    val bands = minhashSig(s, d)
-      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h")))
-    // bucket members collected once; pairs generated bucket-locally via
-    // array combinatorics (ids sorted ⇒ doc_a < doc_b by construction)
-    val pairsInBucket = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2),
-        greatest(size(col("ids")) - i - 1, lit(0))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
-    bands.groupBy("band", "h")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairsInBucket).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    bandedPairs(minhashSig(s, d)
+      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h"))))
+  }
+
+  /** SimHash near-dup pairs: block on the two 8-bit halves of the
+    * 16-bit signature (a pair within Hamming distance 3 must agree on
+    * at least one half — pigeonhole over >2 differing bits is not
+    * guaranteed, but ≤1-bit-per-half splits are; the halves blocking is
+    * the standard recall/cost trade), then verify candidates row-local
+    * with an exact popcount. Same bucket-cap discipline as LSH; the
+    * Hamming check never runs outside a shared bucket, so cost stays
+    * O(candidates), not O(docs²).
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash(s, d)
+    val bands = sig.select(col("doc_id"), posexplode(array(
+        col("simhash").bitwiseAND(255),
+        shiftright(col("simhash"), 8))).as(Seq("band", "h")))
+    val cand = bandedPairs(bands)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")),
+        "doc_b")
+      .withColumn("hamming",
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long")
+        .as("hamming"))
   }
 
   /** 16-bit SimHash: per-bit majority vote over word hashes; near-dups
@@ -240,8 +277,25 @@ object Dedup {
     "q_dedup_minhash_sig" -> (minhashSig _),
     "q_dedup_lsh_pairs" -> (lshPairs _),
     "q_dedup_simhash" -> (simhash _),
+    "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_dedup_groups" -> (dupGroups _),
   )
+
+  /** DuckDB mirror of the exploded simhash formulation (shared by the
+    * signature oracle and the pairs oracle).
+    */
+  private val simSql: String = {
+    val bitCols = (0 until 16).map(b =>
+      s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS b$b")
+      .mkString(", ")
+    val sumExpr = (0 until 16).map(b => s"b$b * ${1L << b}").mkString(" + ")
+    s"""WITH wh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+       |        FROM documents) t),
+       |bits AS (SELECT doc_id, $bitCols FROM wh GROUP BY doc_id)
+       |SELECT doc_id, $sumExpr AS simhash FROM bits""".stripMargin
+  }
 
   private val sigSql: String = {
     val mins = minhashSeeds.zipWithIndex
@@ -306,17 +360,24 @@ object Dedup {
          |  SELECT e.u AS id, r.l FROM e JOIN r ON r.id = e.v)
          |SELECT id AS doc_id, min(l) AS dup_group FROM r GROUP BY id""".stripMargin
     },
-    "q_dedup_simhash" -> {
-      val bitCols = (0 until 16).map(b =>
-        s"CASE WHEN SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS b$b")
-        .mkString(", ")
-      val sumExpr = (0 until 16).map(b => s"b$b * ${1L << b}").mkString(" + ")
-      s"""WITH wh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h
-         |  FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
-         |        FROM documents) t),
-         |bits AS (SELECT doc_id, $bitCols FROM wh GROUP BY doc_id)
-         |SELECT doc_id, $sumExpr AS simhash FROM bits""".stripMargin
-    },
+    "q_dedup_simhash" -> simSql,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH sim AS ($simSql),
+         |bands0 AS (
+         |  SELECT doc_id, 0 AS band, simhash & 255 AS h FROM sim
+         |  UNION ALL SELECT doc_id, 1 AS band, simhash >> 8 AS h FROM sim),
+         |small AS (SELECT band, h FROM bands0 GROUP BY band, h
+         |          HAVING count(*) <= $maxBucket),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+         |FROM cand
+         |JOIN sim x ON x.doc_id = cand.doc_a
+         |JOIN sim y ON y.doc_id = cand.doc_b
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
   )
 }
