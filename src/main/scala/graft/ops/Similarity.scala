@@ -78,6 +78,36 @@ object Similarity {
       .limit(5)
   }
 
+  /** Multi-probe LSH ANN: the query probes its own sign bucket PLUS the
+    * 8 buckets at Hamming distance 1 (one hyperplane bit flipped) —
+    * the standard recall knob: a true neighbor that falls on the wrong
+    * side of exactly one hyperplane is still found, at 9/256 of the
+    * corpus instead of 1/256. The probe set stays a tiny broadcast
+    * (9 rows); each corpus vector still lives in exactly one bucket, so
+    * candidates are duplicate-free by construction.
+    */
+  def knnLshMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+      .withColumn("bucket", bucketCol(col("le")))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qb0"), col("le").as("qe"))
+    val probes = array((0 to nPlanes).map { i =>
+      if (i == 0) col("qb0")
+      else concat(
+        substring(col("qb0"), 1, i - 1),
+        when(substring(col("qb0"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("qb0"), i + 1, nPlanes - i))
+    }: _*)
+    val q = q0.select(explode(probes).as("qb"), col("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qb"))
+      .select(col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate join, then
     * exact cosine filter — the approximate-dedup contract (pairs in
     * different buckets are by design not candidates); cost stays
@@ -133,6 +163,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_lsh" -> (knnLsh _),
+    "q_knn_lsh_multiprobe" -> (knnLshMultiProbe _),
     "q_knn_ivf" -> (knnIvf _),
     "q_dedup_embed" -> (embedDupPairs _),
   )
@@ -185,6 +216,31 @@ object Similarity {
          |e AS (SELECT vec_id, le, cell FROM cell WHERE vec_id <> 0)
          |SELECT e.vec_id, round($cosSql, 6) AS sim
          |FROM e, q WHERE e.cell = q.qcell
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q_knn_lsh_multiprobe" ->
+      s"""WITH hp AS (
+         |  SELECT j, list(w ORDER BY d) AS w FROM (
+         |    SELECT j, d,
+         |      (('0x' || substr(md5(j || '_' || d), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w
+         |    FROM range(8) t1(j), range(64) t2(d)) t GROUP BY j),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |      FROM embeddings),
+         |vb AS (
+         |  SELECT v.vec_id, v.le,
+         |    string_agg(CASE WHEN list_inner_product(v.le, hp.w) >= 0
+         |      THEN '1' ELSE '0' END, '' ORDER BY hp.j) AS bucket
+         |  FROM v, hp GROUP BY v.vec_id, v.le),
+         |q0 AS (SELECT bucket AS qb0, le AS qe FROM vb WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT CASE WHEN i = 0 THEN qb0 ELSE
+         |      substr(qb0, 1, i::INT - 1) ||
+         |      (CASE WHEN substr(qb0, i::INT, 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(qb0, i::INT + 1, 8 - i::INT)
+         |    END AS qb, qe
+         |  FROM q0, range(9) t(i)),
+         |e AS (SELECT vec_id, le, bucket FROM vb WHERE vec_id <> 0)
+         |SELECT e.vec_id, round($cosSql, 6) AS sim
+         |FROM e JOIN probes q ON e.bucket = q.qb
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH hp AS (
