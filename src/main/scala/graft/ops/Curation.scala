@@ -86,11 +86,18 @@ object Curation {
     */
   def pack(s: SparkSession, d: String): DataFrame = pack(s, d, 1000)
 
-  def pack(s: SparkSession, d: String, chunkDocs: Int): DataFrame = {
-    val base = documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(toks(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("chunk", floor(col("doc_id") / chunkDocs))
+  def pack(s: SparkSession, d: String, chunkDocs: Int): DataFrame =
+    packFrom(
+      documents(s, d).select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tokens")),
+      chunkDocs, budget = 2048)
+
+  /** The hierarchical packer over any prepared (doc_id, lang, n_tokens)
+    * frame — reused by the standalone query and the composed pipeline.
+    */
+  def packFrom(prepared: DataFrame, chunkDocs: Int, budget: Int)
+      : DataFrame = {
+    val base = prepared.withColumn("chunk", floor(col("doc_id") / chunkDocs))
     val chunkTotals = base.groupBy("lang", "chunk")
       .agg(sum(col("n_tokens")).as("chunk_sum"))
     val wc = Window.partitionBy("lang").orderBy("chunk")
@@ -102,8 +109,30 @@ object Curation {
     base.join(broadcast(offsets), Seq("lang", "chunk"))
       .withColumn("bin", floor(
         (col("offset") + sum(col("n_tokens")).over(wi) - col("n_tokens"))
-          / 2048))
+          / budget))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+  }
+
+  /** The composed curation pipeline in ONE declarative plan — the flow a
+    * training-data run executes between raw corpus and tokenizer:
+    * quality gate → exact dedup (lowest doc_id survives) → deterministic
+    * 50% content-keyed sample → token-budget packing → per-shard stats.
+    * Catalyst sees the whole chain, so filters fold into the scan and
+    * nothing materializes between stages.
+    */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).filter(col("n_chars") >= 100)
+    val keep = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val survivors = base.join(keep, "doc_id")
+      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 1000 < 500)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+    packFrom(survivors, chunkDocs = 1000, budget = 1024)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,6 +140,7 @@ object Curation {
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
     "q_cur_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
+    "q_cur_pipeline" -> (curationPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,6 +163,21 @@ object Curation {
     "q_cur_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 100""".stripMargin,
+    "q_cur_pipeline" ->
+      """WITH base AS (SELECT * FROM documents WHERE n_chars >= 100),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+        |surv AS (
+        |  SELECT b.doc_id, b.lang,
+        |    len(str_split(b.text, ' '))::BIGINT AS n_tokens
+        |  FROM base b JOIN keep USING (doc_id)
+        |  WHERE ('0x' || substr(md5(b.text), 1, 8))::BIGINT % 1000 < 500),
+        |packed AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |      - n_tokens) / 1024) AS BIGINT) AS bin
+        |  FROM surv)
+        |SELECT lang, bin, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
+        |FROM packed GROUP BY lang, bin""".stripMargin,
     "q_cur_pack" ->
       """SELECT doc_id, lang,
         |  len(str_split(text, ' '))::BIGINT AS n_tokens,
