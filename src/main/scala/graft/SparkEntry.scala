@@ -22,6 +22,7 @@ object SparkEntry {
       (operators.Windows.queries, operators.Windows.oracles),
       (operators.StreamToolOps.queries, operators.StreamToolOps.oracles),
       (operators.AsofJoin.queries, operators.AsofJoin.oracles),
+      (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
       (operators.FunctionOps.queries, operators.FunctionOps.oracles),
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),

@@ -104,8 +104,26 @@ object Windows {
       .drop("ts_ns")
   }
 
+  /** O7 — rolling (bounded rows-frame) aggregate: 3-event moving sum
+    * per user — the resampling/smoothing primitive for time-series
+    * features. The frame is ROWS-bounded, so execution is a single
+    * partitioned sort with an O(frame) running state, never a
+    * re-aggregation per row; the sum runs in decimal so partial order
+    * cannot perturb the double result.
+    */
+  def rolling(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      .rowsBetween(-2, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("roll_sum", sum(dec(col("value"))).over(w).cast("double"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .drop("ts_ns", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_w_ranks" -> (ranks _),
+    "q_w_rolling" -> (rolling _),
     "q_w_tumbling" -> (tumbling _),
     "q_w_sliding" -> (sliding _),
     "q_w_session" -> (sessionize _),
@@ -123,6 +141,13 @@ object Windows {
         |  percent_rank() OVER w AS pr
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))""".stripMargin,
+    "q_w_rolling" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS n_win
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_w_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,

@@ -70,6 +70,45 @@ object Curation {
         .cast("long") % 1000 < 100)
       .select(col("doc_id"), col("lang"))
 
+  /** Stratified deterministic sampling: per-language rates (25% for
+    * 'en', 10% otherwise) applied through the same content-keyed hash
+    * cut as `sample` — so the operator is NARROW (zero shuffle beyond
+    * the final stats aggregation) and reproducible across runs and
+    * clusters. This is how a corpus rebalances language mix at 100 TB
+    * without a per-stratum sort or an exact-N window funnel.
+    */
+  def stratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 1000 <
+        when(col("lang") === "en", 250).otherwise(100))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+
+  /** Percentile length gate: keep documents whose n_chars lies within
+    * the corpus [p05, p95] band — the standard outlier trim before
+    * tokenization. Uses the EXACT percentile aggregate, which is safe
+    * here because n_chars has bounded cardinality (the aggregation
+    * state is a value→count map, O(distinct lengths), not O(rows));
+    * for unbounded-cardinality columns the scale path is
+    * approx_percentile with an accuracy knob. The two bounds broadcast
+    * as a 1-row frame; the gate itself is a narrow scan filter.
+    */
+  def lengthGate(s: SparkSession, d: String): DataFrame = {
+    val bounds = documents(s, d).agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    documents(s, d)
+      .join(broadcast(bounds))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   /** Token-budget shard packing: running token count per language
     * stream, shard = prefix-sum DIV budget — the deterministic
     * assignment step of sequence packing.
@@ -139,6 +178,8 @@ object Curation {
     "q_cur_boilerplate" -> (boilerplate _),
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
+    "q_cur_stratified" -> (stratified _),
+    "q_cur_lengthgate" -> (lengthGate _),
     "q_cur_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "q_cur_pipeline" -> (curationPipeline _),
   )
@@ -163,6 +204,22 @@ object Curation {
     "q_cur_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 100""".stripMargin,
+    "q_cur_stratified" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM documents
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 <
+        |  CASE WHEN lang = 'en' THEN 250 ELSE 100 END
+        |GROUP BY lang""".stripMargin,
+    "q_cur_lengthgate" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |                  quantile_cont(n_chars, 0.95) AS hi
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_kept,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents CROSS JOIN b
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |GROUP BY lang""".stripMargin,
     "q_cur_pipeline" ->
       """WITH base AS (SELECT * FROM documents WHERE n_chars >= 100),
         |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),

@@ -74,6 +74,78 @@ object TextAnalysis {
         size(toks(col("text"))).cast("long").as("ws_tokens"),
         expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").as("bpe_est"))
 
+  /** TF-IDF top-3 terms per document. Shape at 100 TB: one explode +
+    * two keyed aggregations (term-frequency per doc, document-frequency
+    * per term — both with map-side partial aggregation), the corpus
+    * total broadcast as a 1-row frame, and the top-k window partitioned
+    * by doc_id (high cardinality ⇒ parallel, never a single-reducer
+    * funnel). The score is tf·N/df computed in ONE double division —
+    * IEEE-identical in any engine, so the rank (and the oracle hash)
+    * is deterministic; no transcendental log in the ordering.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = documents(s, d).agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy((col("tf") * col("n_total") / col("df")).desc, col("term"))
+    tf.join(df, "term")
+      .join(broadcast(total))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "rk")
+  }
+
+  /** Corpus-wide heavy hitters: the top-20 tokens by total occurrence.
+    * explode → groupBy(term) benefits from map-side combine (the
+    * shuffle carries one row per distinct term per task, not one per
+    * token), and the final top-k is a TakeOrdered, never a full sort.
+    * Ties at the cutoff break on the token itself so the result set is
+    * deterministic at any scale.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  /** Inverted-index build: term → document frequency + the smallest-20
+    * doc_ids of its posting list. The cap is computed HIERARCHICALLY —
+    * per-(term, 1000-doc chunk) capped sorted lists first (parallel,
+    * state bounded by the chunk), then a merge of the per-chunk caps —
+    * because the global top-20 of a union is the top-20 of the per-chunk
+    * top-20s (each global survivor is necessarily in its own chunk's
+    * cap). A flat collect_list per term would build the FULL posting
+    * array for every stopword before truncating — billions of elements
+    * per hot term at corpus scale. On a real web corpus the production
+    * path also gates on relative df (cf. boilerplate); this synthetic
+    * vocabulary is dense, so the query exercises the capped build.
+    */
+  def postings(s: SparkSession, d: String): DataFrame =
+    postings(s, d, chunkDocs = 1000)
+
+  def postings(s: SparkSession, d: String, chunkDocs: Int): DataFrame = {
+    val pairs = documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val chunked = pairs
+      .withColumn("chunk", floor(col("doc_id") / chunkDocs))
+      .groupBy("term", "chunk")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("p"))
+    chunked.groupBy("term")
+      .agg(slice(sort_array(flatten(collect_list(col("p")))), 1, 20)
+        .as("postings"))
+      .join(df, "term")
+      .select("term", "df", "postings")
+  }
+
   /** Composite corpus pipeline: quality filter → exact dedup
     * (first-doc survivor) → per-language counts — the end-to-end shape
     * of a training-data preparation job, as one declarative plan.
@@ -95,6 +167,9 @@ object TextAnalysis {
     "q_text_langid" -> (langId _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_tokens" -> (tokenCount _),
+    "q_text_tfidf" -> (tfidf _),
+    "q_text_heavyhitters" -> (heavyHitters _),
+    "q_text_postings" -> (postings _),
     "q_pipeline_corpus" -> (corpusPipeline _),
   )
 
@@ -140,5 +215,31 @@ object TextAnalysis {
       """SELECT doc_id, len(str_split(text, ' '))::BIGINT AS ws_tokens,
         |  (length(text) + 3) // 4 AS bpe_est
         |FROM documents""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |        FROM documents) x
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT doc_id, term, tf, df, rk FROM (
+        |  SELECT doc_id, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY (tf * n_total / df) DESC, term) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN tot) y
+        |WHERE rk <= 3""".stripMargin,
+    "q_text_heavyhitters" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents) x
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "q_text_postings" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |        FROM documents) x)
+        |SELECT term, count(*) AS df,
+        |  list_sort(list(doc_id))[1:20] AS postings
+        |FROM pairs GROUP BY term""".stripMargin,
   )
 }

@@ -80,6 +80,34 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters combine map-side and avoid a global sort") {
+    val p = plan("q_text_heavyhitters")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("tf-idf top-k window partitions by doc_id (parallel, no funnel)") {
+    val p = plan("q_text_tfidf")
+    assert(p.contains("hashpartitioning(doc_id#"), s"window must key on doc_id:\n$p")
+  }
+
+  test("bloom semi-join evaluates might_contain under the fact scan stage") {
+    val p = plan("q_j10_bloom_semi")
+    assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
+    assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
+  }
+
+  test("salted join takes the shuffle path it is built to exercise") {
+    val p = plan("q_j9_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"salt demo must not broadcast:\n$p")
+  }
+
+  test("stratified sample is narrow up to the final stats aggregation") {
+    val p = plan("q_cur_stratified")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the final agg shuffle:\n$p")
+  }
+
   test("token packing is a hierarchical prefix sum, not a per-stratum funnel") {
     val p = plan("q_cur_pack")
     // two windows: the tiny cross-chunk offset pass (keyed on lang) and

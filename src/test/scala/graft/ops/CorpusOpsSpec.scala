@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSpark
+import graft.Tables._
+
+/** Internal-consistency invariants for the corpus operators — the
+  * properties the DuckDB hash gate can't see (it pins one dataset; these
+  * pin the algebra).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("postings carry the smallest min(df,20) doc_ids, sorted unique") {
+    val spark = TestSpark.spark
+    val rows = TextAnalysis.postings(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val posting = r.getSeq[Long](2)
+      assert(posting.size == math.min(df, 20L), s"df=$df size=${posting.size}")
+      assert(posting == posting.sorted && posting.distinct == posting,
+        s"postings must be sorted unique doc_ids: $posting")
+    }
+  }
+
+  test("hierarchical posting cap is invariant in the chunk size") {
+    // top-20 of the per-chunk top-20s == global top-20, for any chunking
+    val spark = TestSpark.spark
+    def snap(c: Int) = TextAnalysis.postings(spark, dir, c).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](2)).sortBy(_._1).toSeq
+    val flat = snap(Int.MaxValue)
+    Seq(1, 7, 1000).foreach { c =>
+      assert(snap(c) == flat, s"chunkDocs=$c diverged")
+    }
+  }
+
+  test("tf-idf emits at most 3 dense-ranked terms per document") {
+    val spark = TestSpark.spark
+    val byDoc = TextAnalysis.tfidf(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rs) =>
+      val rks = rs.map(_.getInt(4)).sorted.toSeq
+      assert(rks == (1 to rs.length), s"doc $doc ranks not dense: $rks")
+      assert(rs.length <= 3, s"doc $doc has ${rs.length} rows")
+    }
+  }
+
+  test("length gate keeps the central ~90% of the corpus") {
+    val spark = TestSpark.spark
+    val kept = Curation.lengthGate(spark, dir).agg(sum("n_kept")).head.getLong(0)
+    val total = documents(spark, dir).count()
+    assert(kept <= total && kept >= (total * 0.8).toLong,
+      s"kept $kept of $total — percentile band is wrong")
+  }
+
+  test("stratified sample is a superset-rate refinement of the flat sample") {
+    // with the 'en' rate at 250 and the flat sample at 100, every
+    // non-'en' stratified doc must also be in a rate-100 cut of its
+    // stratum — i.e. counts per lang obey n(rate100) <= n(stratified)
+    val spark = TestSpark.spark
+    val strat = Curation.stratified(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = Curation.sample(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    flat.foreach { case (lang, n) =>
+      assert(strat.getOrElse(lang, 0L) >= n,
+        s"stratified($lang)=${strat.get(lang)} < flat $n")
+    }
+  }
+}
