@@ -49,37 +49,71 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val median = runs.map(_._1).sorted.apply((runs.size - 1) / 2)
-      (name, median, runs.forall(_._2))
+      (name, median(runs.map(_._1)), runs.forall(_._2))
     }
-    val json = renderJson(results, sfDir)
-    // Three redundant channels so any driver heuristic finds the line:
-    // a sentinel-prefixed copy (greppable), a well-known file in the
-    // repo root, and the bare JSON on its own stdout line (passed
-    // through raw — build.sbt sets run/outputStrategy := StdoutOutput).
-    System.out.println("GRAFT_BENCH_JSON " + json)
-    java.nio.file.Files.write(
+    val full = renderJson(results, sfDir)
+    val short = renderShortJson(results, sfDir)
+    // Redundant channels so any driver heuristic finds a parseable
+    // line. The stdout copies are the SHORT rendering: rounds 1-3 all
+    // shipped parsed:null because the 88-query line (~2.3 KB) overflows
+    // the driver's log-tail capture window — the r3 tail visibly starts
+    // mid-JSON. The full per-query map goes to BENCH_LAST.json in the
+    // repo root; stdout carries the total plus the slowest queries,
+    // bounded well under the window.
+    System.out.println("GRAFT_BENCH_JSON " + short)
+    // file write must not break the stdout channels (read-only cwd etc.)
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.out.println(json)
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_LAST.json write failed: $e") }
+    System.out.println(short)
     System.out.flush()
     spark.stop()
   }
 
-  /** The driver-contract line: ONE JSON object. Timings round to ms so
-    * the line stays short enough for log-tail capture (the round-1
-    * full-precision line overflowed the driver's tail buffer and
-    * failed to parse); Locale.ROOT because a comma-decimal default
-    * locale would corrupt the JSON.
+  /** Median that averages the two middle elements for even n — the
+    * lower-middle pick would bias even rep counts slightly fast.
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private def r3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def queriesObj(results: Seq[(String, Double, Boolean)]): String =
+    results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+
+  private def failedArr(results: Seq[(String, Double, Boolean)]): String =
+    results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+
+  /** The complete per-query map — every registered query priced.
+    * Written to BENCH_LAST.json (too long for reliable log-tail
+    * capture at the current query count). Timings round to ms;
+    * Locale.ROOT because a comma-decimal default locale would corrupt
+    * the JSON.
     */
   def renderJson(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"failed":${failedArr(results)},"sf":"$sfDir"}"""
+  }
+
+  /** The driver-contract stdout line: ONE JSON object, bounded-length.
+    * "value" is the total over ALL queries; "queries" carries only the
+    * `top` slowest (name-sorted) so the line stays inside the driver's
+    * tail window; "n_all" records the full count; "failed" is never
+    * truncated — it is the alarm channel.
+    */
+  def renderShortJson(results: Seq[(String, Double, Boolean)], sfDir: String,
+                      top: Int = 30): String = {
+    val total = results.map(_._2).sum
+    val head = results.sortBy(-_._2).take(top).sortBy(_._1)
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(head)},"n_all":${results.size},"failed":${failedArr(results)},"sf":"$sfDir"}"""
   }
 }

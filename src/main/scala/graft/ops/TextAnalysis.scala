@@ -140,7 +140,11 @@ object TextAnalysis {
       .groupBy("term", "chunk")
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("p"))
     chunked.groupBy("term")
-      .agg(slice(sort_array(flatten(collect_list(col("p")))), 1, 20)
+      // The list is emitted as a comma-joined string: the verify gate's
+      // column-sorted compare requires scalar cells, and a stable text
+      // rendering of an integral list is engine-portable.
+      .agg(array_join(
+        slice(sort_array(flatten(collect_list(col("p")))), 1, 20), ",")
         .as("postings"))
       .join(df, "term")
       .select("term", "df", "postings")
@@ -239,7 +243,7 @@ object TextAnalysis {
         |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
         |        FROM documents) x)
         |SELECT term, count(*) AS df,
-        |  list_sort(list(doc_id))[1:20] AS postings
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         |FROM pairs GROUP BY term""".stripMargin,
   )
 }

@@ -12,19 +12,52 @@ class BenchContractSpec extends AnyFunSuite {
 
   private def allNames = SparkEntry.queries.keys.toSeq.sorted
 
-  test("rendered line is bounded, complete, and structurally sound") {
+  test("full rendering is complete and structurally sound") {
     val results = allNames.zipWithIndex.map { case (n, i) =>
       (n, 1234.5678 + i, i % 7 != 0)
     }
     val line = Bench.renderJson(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
-    assert(line.length < 3000, s"line too long for tail capture: ${line.length}")
     assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
     allNames.foreach(n => assert(line.contains("\"" + n + "\":"), n))
     assert(line.contains("\"failed\":[\"" + allNames.head + "\""))
     // ms-rounded values only — no full-precision doubles
     assert(line.contains("\"" + allNames.head + "\":1234.568"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("short stdout line fits the driver tail window at any query count") {
+    val results = allNames.zipWithIndex.map { case (n, i) =>
+      (n, 1234.5678 + i, true)
+    }
+    val line = Bench.renderShortJson(results, "/root/testdata/sf0.1")
+    assert(!line.contains("\n"))
+    // rounds 1-3 shipped parsed:null: the ~2.3 KB full line overflowed
+    // the driver's ~2.2 KB tail capture. Keep ample margin.
+    assert(line.length < 1500, s"line too long for tail capture: ${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":"))
+    assert(line.contains("\"n_all\":" + allNames.size))
+    // total is over ALL queries, not just the reported subset
+    val expectedTotal = results.map(_._2).sum
+    assert(line.contains("\"value\":" + f"$expectedTotal%.3f"))
+    // the slowest query is always present; the fastest is elided
+    val slowest = results.maxBy(_._2)._1
+    val fastest = results.minBy(_._2)._1
+    assert(line.contains("\"" + slowest + "\":"))
+    assert(!line.contains("\"" + fastest + "\":") || allNames.size <= 30)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("short line never truncates the failed list") {
+    val results = allNames.zipWithIndex.map { case (n, i) => (n, i.toDouble, false) }
+    val line = Bench.renderShortJson(results, "sf")
+    allNames.foreach(n => assert(line.contains("\"" + n + "\""), n))
+  }
+
+  test("median averages the two middle elements for even n") {
+    assert(Bench.median(Seq(1.0, 2.0, 4.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 4.0, 9.0)) == 3.0)
+    assert(Bench.median(Nil) == 0.0)
   }
 
   test("rendering is locale-independent (no decimal commas)") {
