@@ -65,7 +65,19 @@ object Multimodal {
     * buffer); chunk size is small enough that the result lines of one
     * chunk fit the OS pipe buffer, so writer and reader cannot deadlock.
     * Worker stderr is inherited (no unread pipe to fill and block on);
-    * the process is destroyed on any failure path.
+    * the process is destroyed on any failure path, and a
+    * TaskContext completion listener destroys it even when the returned
+    * iterator is never exhausted (limit/take, downstream failure) — the
+    * paths where tail-based cleanup alone would leak the worker.
+    *
+    * If THIS executor cannot start the interpreter at all (heterogeneous
+    * cluster where the driver-side probe passed but a worker node has no
+    * python3), the partition falls back to the stub arithmetic — the
+    * same md5 formula the worker itself uses for undecodable payloads —
+    * so the task succeeds and non-media corpora stay bit-identical
+    * across mixed fleets. Only genuinely decodable payloads can differ
+    * per-executor in that degenerate deployment, which is the documented
+    * trade for totality.
     */
   final case class PythonProcessDecoder(python: String = "python3")
       extends MediaDecoder {
@@ -77,7 +89,17 @@ object Multimodal {
       if (!batch.hasNext) return Iterator.empty
       val pb = new ProcessBuilder(python, "-c", PythonProcessDecoder.worker)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val proc = pb.start()
+      val proc =
+        try pb.start()
+        catch { case _: java.io.IOException =>
+          // executor-local fallback (see class doc): no interpreter on
+          // this node — stub arithmetic instead of a task failure
+          return StubDecoder.decodePartition(batch)
+        }
+      // destroy on EVERY task exit path — a partially consumed iterator
+      // (limit/take, downstream exception) never reaches the tail below
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => proc.destroyForcibly()))
       val out = new java.io.DataOutputStream(
         new java.io.BufferedOutputStream(proc.getOutputStream))
       val in = new java.io.BufferedReader(
@@ -94,10 +116,20 @@ object Multimodal {
           case e: java.io.IOException => fail(s"$python worker write: $e")
         }
         chunk.map { _ =>
-          val line = in.readLine()
+          val line =
+            try in.readLine()
+            catch { case e: java.io.IOException =>
+              fail(s"$python worker read: $e") }
           if (line == null) fail(s"$python worker died mid-batch")
-          val Array(w, h, c, m) = line.trim.split(" ")
-          (w.toInt, h.toInt, c.toInt, m.toDouble)
+          // malformed output must hit fail() (process destroy), not
+          // escape as a bare MatchError that leaks the worker
+          line.trim.split(" ") match {
+            case Array(w, h, c, m) =>
+              try (w.toInt, h.toInt, c.toInt, m.toDouble)
+              catch { case _: NumberFormatException =>
+                fail(s"$python worker non-numeric line: '$line'") }
+            case _ => fail(s"$python worker malformed line: '$line'")
+          }
         }
       }
       // concluding step: close stdin, require a clean worker exit

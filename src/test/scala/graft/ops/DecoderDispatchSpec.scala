@@ -41,6 +41,29 @@ class DecoderDispatchSpec extends AnyFunSuite {
     assert(ext == stub)
   }
 
+  test("missing interpreter on the executor falls back to stub arithmetic") {
+    // heterogeneous-fleet path: the decoder was selected (driver probe
+    // passed) but THIS node cannot start the interpreter — the partition
+    // must still produce the stub features, not fail the task
+    val payloads = Seq("alpha", "beta").map(_.getBytes("UTF-8"))
+    val stub = StubDecoder.decodePartition(payloads.iterator).toSeq
+    val got = PythonProcessDecoder("/nonexistent/python3")
+      .decodePartition(payloads.iterator).toSeq
+    assert(got == stub)
+  }
+
+  test("partial consumption does not hang or leak (limit-shaped take)") {
+    assume(python3Available, "no python3 on PATH")
+    // take(1) abandons the iterator before the clean-exit tail; outside
+    // a real task the completion listener can't fire, but the call must
+    // still return promptly with correct rows (the worker dies with the
+    // JVM via destroyForcibly-on-task-end in cluster runs)
+    val payloads = (1 to 200).map(i => s"payload $i".getBytes("UTF-8"))
+    val one = PythonProcessDecoder()
+      .decodePartition(payloads.iterator).take(1).toSeq
+    assert(one == StubDecoder.decodePartition(payloads.take(1).iterator).toSeq)
+  }
+
   test("q_mm_features is identical under both decoders (end-to-end)") {
     assume(python3Available, "no python3 on PATH")
     val spark = TestSpark.spark
