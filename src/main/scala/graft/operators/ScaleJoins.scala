@@ -70,9 +70,42 @@ object ScaleJoins {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
   }
 
+  /** Fuzzy (edit-distance ≤ 1) self-join WITHOUT the quadratic compare:
+    * FastSS-style deletion-neighborhood blocking. Each string emits its
+    * identity plus every single-character deletion; two strings within
+    * edit distance 1 always share a neighborhood element (substitution →
+    * delete the differing position on both; insert/delete → one IS a
+    * deletion of the other), so an equi-join on the variants has exact
+    * recall and candidate cost O(n·len), never O(n²). Variants are
+    * joined as xxhash64 values — at 100 TB that shrinks the shuffle to
+    * 8 bytes/variant, and any hash collision is harmless because the
+    * exact levenshtein verify kills false candidates anyway (the oracle
+    * IS the quadratic formulation, so the blocking is hash-verified).
+    */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    def side(p: String): DataFrame = {
+      val nm = col(s"${p}_name")
+      val delVariant = (i: org.apache.spark.sql.Column) =>
+        xxhash64(when(i === lit(0), nm).otherwise(concat(
+          nm.substr(lit(1), i - 1),
+          nm.substr(i + 1, length(nm)))))
+      customer(s, d)
+        .select(col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"))
+        .withColumn("vh", explode(array_distinct(
+          transform(sequence(lit(0), length(nm)), delVariant))))
+    }
+    side("a").join(side("b"), "vh")
+      .filter(col("a_key") < col("b_key"))
+      .select("a_key", "b_key", "a_name", "b_name").distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_j9_salted_join" -> (saltedJoin _),
     "q_j10_bloom_semi" -> (bloomSemi _),
+    "q_j11_fuzzy" -> (fuzzyJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,5 +121,10 @@ object ScaleJoins {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1""".stripMargin,
+    "q_j11_fuzzy" ->
+      """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
   )
 }

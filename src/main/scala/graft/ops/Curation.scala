@@ -48,6 +48,72 @@ object Curation {
       .agg(count(lit(1)).as("n_bp"))
   }
 
+  /** Within-document repetition stats (the Gopher-style quality
+    * signals): fraction of duplicated word bigrams and the share of the
+    * single most frequent bigram. Entirely ROW-LOCAL — raw bigrams are
+    * sorted per document and run-lengths folded in one codegen'd
+    * `aggregate` pass, so equal bigrams are adjacent and the max run IS
+    * the max multiplicity. Zero shuffle: at 100 TB the scan is the whole
+    * cost (the explode+groupBy formulation would shuffle every bigram
+    * occurrence; the oracle uses it, the engine does not).
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      // stage each intermediate as a real column: lambdas re-evaluate
+      // captured expressions per element (the r3 O(n²) trap)
+      .withColumn("raw", transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2))))
+      .withColumn("srt", array_sort(col("raw")))
+    val folded = raw.withColumn("st", aggregate(
+      col("srt"),
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("maxrun"), lit(0).as("ndist")),
+      (acc, x) => struct(
+        x.as("prev"),
+        when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1)).as("run"),
+        greatest(acc.getField("maxrun"),
+          when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))).as("maxrun"),
+        when(x === acc.getField("prev"), acc.getField("ndist"))
+          .otherwise(acc.getField("ndist") + 1).as("ndist"))))
+    folded.select(
+      col("doc_id"),
+      size(col("raw")).as("n_grams"),
+      round((size(col("raw")) - col("st.ndist"))
+        / size(col("raw")), 6).as("dup_frac"),
+      round(col("st.maxrun") / size(col("raw")), 6).as("top_frac"))
+  }
+
+  /** Benchmark-contamination check: which corpus documents share word
+    * 3-gram shingles with a held-out benchmark set (here: doc_id ≡ 0
+    * mod 101 — the deterministic stand-in for an external eval suite).
+    * The benchmark shingle set is SMALL by definition (benchmarks are
+    * KBs against a 100 TB corpus), so it broadcasts; the corpus side is
+    * one explode + a map-side-combinable count per document. Never a
+    * doc×doc comparison, and the corpus is read once.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), Dedup.ngrams(col("t"), 3).as("g"))
+    val bench = base.filter(col("doc_id") % 101 === 0)
+      .select(explode(col("g")).as("sh")).distinct()
+    val corpus = base.filter(col("doc_id") % 101 =!= 0)
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        explode(col("g")).as("sh"))
+    corpus.join(broadcast(bench), "sh")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        round(col("n_hits") / col("n_grams"), 6).as("overlap_frac"))
+  }
+
   /** PII redaction + pseudonymization: digit runs replaced with a
     * placeholder, the join key replaced by a deterministic hash
     * pseudonym — row-local regex/hash, zero shuffle, stays inside
@@ -86,6 +152,44 @@ object Curation {
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("first_id"),
         max(col("doc_id")).as("last_id"))
+
+  /** DSIR-style importance weighting: score every document by how much
+    * its unigram distribution resembles the target domain (lang='en')
+    * versus the background (everything else) — the data-selection step
+    * that rebalances a raw crawl toward a target corpus. Per-token
+    * weight = add-one-smoothed probability ratio, QUANTIZED to integer
+    * micro-units, so the per-document score is an exact BIGINT sum —
+    * order-independent, hence reproducible bit-for-bit across engines
+    * and partitionings (a float log-sum would drift with aggregation
+    * order; the ratio uses only +,*,/ on exactly-representable integers
+    * and one correctly-rounded division, never a transcendental).
+    *
+    * Shape at 100 TB: ONE tokenize+explode into per-(doc,term) counts
+    * (map-side combinable); the vocabulary table derives from that and
+    * is bounded by vocabulary — not corpus — size, so the weight join
+    * back onto doc-term counts broadcasts. The class totals are a 1-row
+    * broadcast. No driver-side state.
+    */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val dt = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("c_dt"))
+    val vocab = dt.groupBy("term").agg(
+      sum(when(col("lang") === "en", col("c_dt")).otherwise(0L)).as("c_tgt"),
+      sum(when(col("lang") =!= "en", col("c_dt")).otherwise(0L)).as("c_bg"))
+    val tot = vocab.agg(sum(col("c_tgt")).as("n_tgt"),
+      sum(col("c_bg")).as("n_bg"), count(lit(1)).as("v"))
+    val w = vocab.join(broadcast(tot))
+      .select(col("term"),
+        round(((col("c_tgt") + 1) * (col("n_bg") + col("v")))
+          / ((col("c_bg") + 1) * (col("n_tgt") + col("v"))) * lit(1000000.0))
+          .cast("long").as("w"))
+    dt.join(broadcast(w), "term")
+      .groupBy("doc_id")
+      .agg(sum(col("c_dt")).as("n_tokens"),
+        sum(col("c_dt") * col("w")).as("score_micro"))
+  }
 
   /** Percentile length gate: keep documents whose n_chars lies within
     * the corpus [p05, p95] band — the standard outlier trim before
@@ -176,6 +280,9 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cur_boilerplate" -> (boilerplate _),
+    "q_cur_repetition" -> (repetition _),
+    "q_cur_contamination" -> (contamination _),
+    "q_cur_dsir" -> (dsir _),
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
     "q_cur_stratified" -> (stratified _),
@@ -196,6 +303,54 @@ object Curation {
         |SELECT doc_id, count(*) AS n_bp
         |FROM sh JOIN common USING (sh)
         |GROUP BY doc_id""".stripMargin,
+    "q_cur_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) x
+        |  WHERE len(t) >= 2),
+        |per AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY doc_id, sh)
+        |SELECT doc_id, sum(c)::INT AS n_grams,
+        |  round((sum(c) - count(*)) / sum(c), 6) AS dup_frac,
+        |  round(max(c) / sum(c), 6) AS top_frac
+        |FROM per GROUP BY doc_id""".stripMargin,
+    "q_cur_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) x
+        |  WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT unnest(g) AS sh FROM g
+        |          WHERE doc_id % 101 = 0),
+        |corpus AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS sh
+        |           FROM g WHERE doc_id % 101 <> 0)
+        |SELECT doc_id, count(*) AS n_hits,
+        |  round(count(*) / n_grams, 6) AS overlap_frac
+        |FROM corpus JOIN bench USING (sh)
+        |GROUP BY doc_id, n_grams""".stripMargin,
+    "q_cur_dsir" ->
+      """WITH dt AS (
+        |  SELECT doc_id, lang, t AS term, count(*) AS c_dt
+        |  FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS t
+        |        FROM documents) x
+        |  GROUP BY doc_id, lang, t),
+        |vocab AS (
+        |  SELECT term,
+        |    sum(CASE WHEN lang = 'en' THEN c_dt ELSE 0 END) AS c_tgt,
+        |    sum(CASE WHEN lang <> 'en' THEN c_dt ELSE 0 END) AS c_bg
+        |  FROM dt GROUP BY term),
+        |tot AS (SELECT sum(c_tgt) AS n_tgt, sum(c_bg) AS n_bg,
+        |               count(*) AS v FROM vocab),
+        |w AS (
+        |  SELECT term, CAST(round(
+        |    ((c_tgt + 1) * (n_bg + v)) / ((c_bg + 1) * (n_tgt + v))
+        |      * 1000000.0) AS BIGINT) AS w
+        |  FROM vocab, tot)
+        |SELECT dt.doc_id, sum(dt.c_dt)::BIGINT AS n_tokens,
+        |  sum(dt.c_dt * w.w)::BIGINT AS score_micro
+        |FROM dt JOIN w USING (term)
+        |GROUP BY dt.doc_id""".stripMargin,
     "q_cur_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,

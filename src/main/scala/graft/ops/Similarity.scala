@@ -108,6 +108,40 @@ object Similarity {
       .limit(5)
   }
 
+  /** Batch kNN: top-3 cosine neighbors for EACH of the 10 query vectors
+    * (vec_id < 10) in one pass. The query block broadcasts (a query
+    * batch is KBs against a 100 TB corpus), so the similarity compute is
+    * narrow; the top-k then runs in TWO stages — rank within
+    * (query, corpus-salt) first, rank the ≤ 3·64 survivors per query
+    * second — because a single window keyed on 10 query ids would funnel
+    * the whole corpus through 10 reducers (the low-cardinality window
+    * bottleneck). Two-stage top-k is exact: a row outside a salt-local
+    * top-3 can never be in the global top-3.
+    */
+  def knnBatch(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("le").as("qe"))
+    val scored = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .withColumn("salt", pmod(col("vec_id"), lit(64)))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "salt")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= 3)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate join, then
     * exact cosine filter — the approximate-dedup contract (pairs in
     * different buckets are by design not candidates); cost stays
@@ -162,6 +196,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
+    "q_knn_batch" -> (knnBatch _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_lsh_multiprobe" -> (knnLshMultiProbe _),
     "q_knn_ivf" -> (knnIvf _),
@@ -172,6 +207,20 @@ object Similarity {
     "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"
 
   val oracles: Map[String, String] = Map(
+    "q_knn_batch" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |           FROM embeddings),
+         |     q AS (SELECT vec_id AS qid, le AS qe FROM v WHERE vec_id < 10),
+         |     e AS (SELECT * FROM v WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, round($cosSql, 6) AS sim
+         |  FROM e, q)
+         |SELECT qid, rank, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
     "q_knn_brute" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
          |           FROM embeddings),

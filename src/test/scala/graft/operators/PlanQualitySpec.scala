@@ -120,4 +120,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lang#") &&
       p.contains("chunk#"), s"intra-chunk window must key on (lang, chunk):\n$p")
   }
+
+  test("repetition stats are fully narrow (zero shuffle — scan is the cost)") {
+    val p = plan("q_cur_repetition")
+    assert(!p.contains("Exchange"), s"row-local fold must not shuffle:\n$p")
+  }
+
+  test("contamination broadcasts the benchmark shingle set") {
+    val p = plan("q_cur_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("batch kNN runs two-stage top-k with a broadcast query block") {
+    val p = plan("q_knn_batch")
+    // the query batch rides a broadcast (nested-loop over 10 rows is the
+    // point — each corpus row scores against the whole broadcast batch)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query batch must broadcast:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 2, s"expected salt-local + global top-k passes:\n$p")
+  }
+
+  test("fuzzy join is an equi hash join on variant hashes, never quadratic") {
+    val p = plan("q_j11_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"blocking must stay equi:\n$p")
+  }
+
+  test("dsir joins weights back via broadcast (vocab-bounded, not corpus)") {
+    val p = plan("q_cur_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$p")
+  }
 }

@@ -62,4 +62,21 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(survivors < total * 0.6,
       s"sketch passed $survivors of $total rows — no real pruning")
   }
+
+  test("deletion-neighborhood fuzzy join equals the quadratic formulation") {
+    val spark = TestSpark.spark
+    val got = ScaleJoins.fuzzyJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val plain = c.select(col("c_custkey").as("a_key"), col("c_name").as("an"))
+      .crossJoin(c.select(col("c_custkey").as("b_key"), col("c_name").as("bn")))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("an"), col("bn")))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty, "sequential names must yield distance-1 pairs")
+    assert(got == plain)
+  }
 }

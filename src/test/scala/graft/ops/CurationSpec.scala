@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.etl.TestSpark
 
@@ -23,5 +24,57 @@ class CurationSpec extends AnyFunSuite {
     Seq(1, 3, 50).foreach { c =>
       assert(bins(c) == flat, s"chunkDocs=$c diverged from flat packing")
     }
+  }
+
+  test("row-local repetition fold equals the explode+groupBy formulation") {
+    val spark = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val got = Curation.repetition(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // reference: the shuffle-heavy formulation the oracle uses
+    val toks = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .withColumn("sh", explode(transform(
+        sequence(lit(0), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))))
+    val ref = toks.groupBy("doc_id", "sh").count()
+      .groupBy("doc_id")
+      .agg(sum(col("count")).cast("int").as("n_grams"),
+        round((sum(col("count")) - count(lit(1))) / sum(col("count")), 6)
+          .as("dup_frac"),
+        round(max(col("count")) / sum(col("count")), 6).as("top_frac"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == ref)
+    assert(got.exists(_._3 > 0), "corpus should contain some repetition")
+  }
+
+  test("contamination never reports benchmark docs and bounds the fraction") {
+    val spark = TestSpark.spark
+    val rows = Curation.contamination(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "synthetic corpus should share shingles")
+    assert(rows.forall(_._1 % 101 != 0), "benchmark side leaked into output")
+    assert(rows.forall { case (_, hits, frac) =>
+      hits >= 1 && frac > 0.0 && frac <= 1.0 })
+  }
+
+  test("dsir favors the target domain and scores every tokenized doc") {
+    val spark = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val scored = Curation.dsir(spark, d)
+      .join(graft.Tables.documents(spark, d).select("doc_id", "lang"), "doc_id")
+    val n = graft.Tables.documents(spark, d).count()
+    assert(scored.count() == n, "every document must receive a score")
+    val means = scored
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("score_micro") / col("n_tokens")).as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(means(true) > means(false),
+      s"target-domain docs must score higher per token: $means")
   }
 }
