@@ -191,6 +191,26 @@ object Relational {
         sum(col("pv")).cast("double").as("sum_value"))
   }
 
+  // A13 — equi-width histogram: 10 buckets spanning [min, max], edge
+  // value folded into the last bucket. The bounds are a 1-row broadcast
+  // (no driver round-trip); the bucketing itself is a narrow map +
+  // one map-side-combinable count shuffle — the profile-a-column
+  // primitive that stays this shape at any corpus size.
+  def a13Histogram(s: SparkSession, d: String): DataFrame = {
+    val b = lineitem(s, d).agg(
+      min(col("l_extendedprice")).as("mn"),
+      max(col("l_extendedprice")).as("mx"))
+    lineitem(s, d)
+      .join(broadcast(b))
+      .withColumn("bucket", least(lit(9), floor(
+        (col("l_extendedprice") - col("mn")) * 10 / (col("mx") - col("mn"))))
+        .cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+  }
+
   // A5 — distinct key set.
   def a5Distinct(s: SparkSession, d: String): DataFrame =
     orders(s, d).select("o_orderpriority").distinct()
@@ -290,6 +310,7 @@ object Relational {
     "q_a4_exists" -> (a4Exists _),
     "q_a7_rollup" -> (a7Rollup _),
     "q_a9_salted_agg" -> (a9SaltedAgg _),
+    "q_a13_histogram" -> (a13Histogram _),
     "q_a8_cube" -> (a8Cube _),
     "q_a5_distinct" -> (a5Distinct _),
     "q_a6_topn_group" -> (a6TopNGroup _),
@@ -366,6 +387,14 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_a13_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn,
+        |                  max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT least(9, floor((l_extendedprice - mn) * 10 / (mx - mn)))::INT
+        |    AS bucket,
+        |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem, b
+        |GROUP BY 1""".stripMargin,
     "q_a7_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -191,6 +191,23 @@ object Curation {
         sum(col("c_dt") * col("w")).as("score_micro"))
   }
 
+  /** Source-level reputation rollup: per provenance bucket, the volume,
+    * target-language share, exact-dup rate, and mean length — the
+    * signals a curation run uses to up/down-weight whole sources before
+    * touching individual documents. One map-side-combinable aggregation
+    * keyed on `source`; mean and rates are single divisions over exact
+    * integer sums (order-independent, engine-identical).
+    */
+  def sources(s: SparkSession, d: String): DataFrame =
+    documents(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      countDistinct(md5(col("text"))).as("n_uniq"),
+      sum(col("n_chars").cast("long")).as("sum_chars"))
+    .select(col("source"), col("n_docs"), col("n_en"),
+      round((col("n_docs") - col("n_uniq")) / col("n_docs"), 6).as("dup_frac"),
+      round(col("sum_chars") / col("n_docs"), 6).as("mean_chars"))
+
   /** Percentile length gate: keep documents whose n_chars lies within
     * the corpus [p05, p95] band — the standard outlier trim before
     * tokenization. Uses the EXACT percentile aggregate, which is safe
@@ -283,6 +300,7 @@ object Curation {
     "q_cur_repetition" -> (repetition _),
     "q_cur_contamination" -> (contamination _),
     "q_cur_dsir" -> (dsir _),
+    "q_cur_sources" -> (sources _),
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
     "q_cur_stratified" -> (stratified _),
@@ -351,6 +369,13 @@ object Curation {
         |  sum(dt.c_dt * w.w)::BIGINT AS score_micro
         |FROM dt JOIN w USING (term)
         |GROUP BY dt.doc_id""".stripMargin,
+    "q_cur_sources" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+        |  round((count(*) - count(DISTINCT md5(text))) / count(*), 6)
+        |    AS dup_frac,
+        |  round(sum(n_chars) / count(*), 6) AS mean_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q_cur_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,

@@ -15,6 +15,7 @@ class RegistrySpec extends AnyFunSuite {
       operators.Windows.queries.keySet,
       operators.StreamToolOps.queries.keySet,
       operators.AsofJoin.queries.keySet,
+      operators.ScaleJoins.queries.keySet,
       operators.FunctionOps.queries.keySet,
       ops.Dedup.queries.keySet,
       ops.Similarity.queries.keySet,

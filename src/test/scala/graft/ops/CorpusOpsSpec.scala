@@ -18,7 +18,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1)
-      val posting = r.getSeq[Long](2)
+      // postings render as a comma-joined string (scalar cell for the
+      // verify gate's column compare) — parse it back for the invariants
+      val posting = r.getString(2).split(",").toSeq.map(_.toLong)
       assert(posting.size == math.min(df, 20L), s"df=$df size=${posting.size}")
       assert(posting == posting.sorted && posting.distinct == posting,
         s"postings must be sorted unique doc_ids: $posting")
@@ -29,7 +31,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     // top-20 of the per-chunk top-20s == global top-20, for any chunking
     val spark = TestSpark.spark
     def snap(c: Int) = TextAnalysis.postings(spark, dir, c).collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](2)).sortBy(_._1).toSeq
+      .map(r => r.getString(0) -> r.getString(2)).sortBy(_._1).toSeq
     val flat = snap(Int.MaxValue)
     Seq(1, 7, 1000).foreach { c =>
       assert(snap(c) == flat, s"chunkDocs=$c diverged")
