@@ -89,17 +89,32 @@ object ScaleJoins {
         xxhash64(when(i === lit(0), nm).otherwise(concat(
           nm.substr(lit(1), i - 1),
           nm.substr(i + 1, length(nm)))))
+      // array_distinct is load-bearing: names with character runs emit
+      // the same deletion variant from every position in the run, and
+      // without the dedup the equi join multiplies matches by run² per
+      // colliding pair (measured 3× the total runtime)
+      // the dim fits one parquet split, which would serialize the
+      // variant explosion, the join probe and the per-candidate
+      // levenshtein on a single core (measured 3.5 of 4.7 s). The
+      // EXPLICIT partition count matters: a bare repartition(col) gets
+      // AQE-coalesced straight back to one partition because the
+      // pre-explode rows are tiny — parallelism here is for the work
+      // DOWNSTREAM of the fan-out, which AQE cannot see. At 100 TB the
+      // input arrives in many splits and this exchange is layout noise.
       customer(s, d)
         .select(col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"))
+        .repartition(32, col(s"${p}_key"))
         .withColumn("vh", explode(array_distinct(
           transform(sequence(lit(0), length(nm)), delVariant))))
     }
+    // dist is computed and filtered BEFORE the dedup so the distinct
+    // shuffles ~⅓ the rows, all numeric — not candidate pairs dragging
+    // two string columns
     side("a").join(side("b"), "vh")
       .filter(col("a_key") < col("b_key"))
-      .select("a_key", "b_key", "a_name", "b_name").distinct()
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("dist") <= 1)
-      .select(col("a_key"), col("b_key"), col("dist"))
+      .select("a_key", "b_key", "dist").distinct()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
