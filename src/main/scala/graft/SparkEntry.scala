@@ -23,6 +23,7 @@ object SparkEntry {
       (operators.StreamToolOps.queries, operators.StreamToolOps.oracles),
       (operators.AsofJoin.queries, operators.AsofJoin.oracles),
       (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
+      (operators.GraphOps.queries, operators.GraphOps.oracles),
       (operators.FunctionOps.queries, operators.FunctionOps.oracles),
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),

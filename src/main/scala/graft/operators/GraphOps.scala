@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Distributed graph analytics over a derived co-occurrence graph —
+  * the triangle-counting pattern every large-scale relationship
+  * pipeline (spam rings, community structure, link farms) runs, built
+  * purely from joins/aggregations so Catalyst owns the physical plan.
+  *
+  * Graph: supplier affinity — an edge between two suppliers whose
+  * co-occurrence count across orders is ≥ 1.25× the corpus mean (a
+  * RELATIVE threshold, like the boilerplate detector, so the operator
+  * means the same thing at every scale; an absolute cutoff silently
+  * degrades to all-edges or no-edges as the fact table grows).
+  */
+object GraphOps {
+
+  /** Undirected affinity edges (sa < sb), thresholded on relative
+    * co-occurrence. One self-equi-join on the order key (bounded fan-out:
+    * items per order is schema-bounded, so pairs-per-order is too), one
+    * count shuffle, and a 1-row broadcast for the mean.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_suppkey"))
+    val a = li.select(col("ok"), col("l_suppkey").as("sa"))
+    val b = li.select(col("ok"), col("l_suppkey").as("sb"))
+    val co = a.join(b, Seq("ok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("cnt"))
+    val thr = co.agg(avg(col("cnt")).as("mean_cnt"))
+    co.join(broadcast(thr))
+      .filter(col("cnt") >= lit(1.25) * col("mean_cnt"))
+      .select("sa", "sb")
+  }
+
+  /** Triangle count with DEGREE ORIENTATION — the standard trick that
+    * makes distributed triangle counting survive skew: orient every
+    * edge from its lower-(degree, id) endpoint, which bounds out-degree
+    * by O(√m) regardless of how hot a hub vertex is, so the wedge join
+    * (out-neighbor pairs per source) never explodes quadratically in a
+    * hub's degree the way an id-oriented enumeration does. Each
+    * triangle has exactly ONE vertex with out-edges to the other two
+    * under a total order, so every triangle is counted once. The count
+    * is orientation-invariant — the oracle enumerates by id order
+    * (a<b<c) and must agree exactly.
+    */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d) // sa < sb
+    val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("sa"), col("deg").as("da"))
+    val db = deg.select(col("v").as("sb"), col("deg").as("db"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("sa") < col("sb"))
+    val dE = e.join(da, "sa").join(db, "sb")
+      .select(when(lowFirst, col("sa")).otherwise(col("sb")).as("src"),
+        when(lowFirst, col("sb")).otherwise(col("sa")).as("dst"))
+    // The wedge fan-out multiplies the edge list by out-degree — the
+    // parallelism that matters is DOWNSTREAM of this join, which AQE
+    // cannot see from the tiny pre-join row counts (it coalesces the
+    // probe side to one partition and the enumeration runs on one
+    // core). Pin an explicit partition count on the probe side and
+    // broadcast the build sides: wedge generation and the closing
+    // probe then stay narrow and fully parallel.
+    val wedges = dE.repartition(32, col("src"))
+      .select(col("src"), col("dst").as("v"))
+      .join(broadcast(dE.select(col("src"), col("dst").as("w"))), "src")
+      .filter(col("v") < col("w"))
+    val closed = wedges.join(broadcast(e),
+      col("sa") === col("v") && col("sb") === col("w"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_triangles"), col("n_edges"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_g1_triangles" -> (triangles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_g1_triangles" ->
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT sa, sb FROM co
+        |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co))
+        |SELECT
+        |  (SELECT count(*) FROM pairs e1
+        |     JOIN pairs e2 ON e1.sb = e2.sa
+        |     JOIN pairs e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS n_triangles,
+        |  (SELECT count(*) FROM pairs) AS n_edges""".stripMargin,
+  )
+}

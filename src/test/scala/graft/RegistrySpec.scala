@@ -16,6 +16,7 @@ class RegistrySpec extends AnyFunSuite {
       operators.StreamToolOps.queries.keySet,
       operators.AsofJoin.queries.keySet,
       operators.ScaleJoins.queries.keySet,
+      operators.GraphOps.queries.keySet,
       operators.FunctionOps.queries.keySet,
       ops.Dedup.queries.keySet,
       ops.Similarity.queries.keySet,

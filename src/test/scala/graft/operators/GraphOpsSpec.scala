@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.TestSpark
+
+/** Triangle counting must be orientation-invariant: the degree-oriented
+  * enumeration (the O(√m)-bounded scale path) has to agree exactly with
+  * the id-oriented enumeration (the oracle's formulation) — same
+  * total, different wedge sets.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  // sf0.001's 10-supplier graph has no above-threshold triangles; the
+  // sf0.01 graph has hundreds, so the equality is non-vacuous there
+  private val dir = "/root/testdata/sf0.01"
+
+  test("degree-oriented triangle count equals the id-oriented count") {
+    val spark = TestSpark.spark
+    val got = GraphOps.triangles(spark, dir).collect().head
+    val (nTri, nEdges) = (got.getLong(0), got.getLong(1))
+
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+    val co = li.select(col("ok"), col("l_suppkey").as("sa"))
+      .join(li.select(col("ok"), col("l_suppkey").as("sb")), Seq("ok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("cnt"))
+    val e = co.join(broadcast(co.agg(avg(col("cnt")).as("m"))))
+      .filter(col("cnt") >= lit(1.25) * col("m"))
+      .select("sa", "sb")
+    assert(e.count() == nEdges)
+    // id-oriented: triangles a<b<c as (a,b)(b,c)(a,c)
+    val e1 = e.select(col("sa").as("a"), col("sb").as("b"))
+    val e2 = e.select(col("sa").as("b"), col("sb").as("c"))
+    val e3 = e.select(col("sa").as("a"), col("sb").as("c"))
+    val idCount = e1.join(e2, "b").join(e3, Seq("a", "c")).count()
+    assert(nTri == idCount, s"degree-oriented $nTri vs id-oriented $idCount")
+    assert(nTri > 0, "fixture graph should contain triangles")
+  }
+}
