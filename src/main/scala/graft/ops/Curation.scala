@@ -29,6 +29,9 @@ object Curation {
     // (O(tokens²) character work — measured 3s at sf0.1, plan-visible
     // as split() nested under the lambda)
     val base = documents(s, d)
+      // spread the single-split scan before the bigram fan-out — the
+      // explode work is invisible to AQE's pre-shuffle row counts
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val sh = base.select(col("doc_id"),

@@ -84,7 +84,12 @@ object TextAnalysis {
     * is deterministic; no transcendental log in the ordering.
     */
   def tfidf(s: SparkSession, d: String): DataFrame = {
+    // the corpus fits a handful of parquet splits, which would serialize
+    // the token explode + partial aggregation on as few cores; the
+    // explicit partition count survives AQE (which sizes off the tiny
+    // pre-explode rows and would coalesce right back)
     val tf = documents(s, d)
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
