@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst predicate: `editWithin(a, b, k)` ⇔ levenshtein(a, b)
+  * ≤ k, computed with Ukkonen's banded DP — O(k·min(|a|,|b|)) cells and
+  * an early exit as soon as every cell in a band row exceeds k, instead
+  * of the O(|a|·|b|) full matrix that `levenshtein(a, b) <= k` pays
+  * before throwing the distance away. For the fuzzy-join verify step
+  * (k=1, candidate volume ~1M per 15k names) that is an ~order-of-
+  * magnitude cut in comparison work; at 100 TB the verify is the only
+  * per-candidate cost left after blocking, so its constant IS the join
+  * cost.
+  *
+  * Ships real `doGenCode`: whole-stage codegen calls the static kernel
+  * directly instead of falling back to interpreted eval.
+  */
+case class EditWithinExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 0, s"k must be non-negative, got $k")
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"editWithin expects (string, string), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    EditWithinExpr.kernel(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.EditWithinExpr.kernel($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditWithinExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_edit_within"
+}
+
+object EditWithinExpr {
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Char-based (UTF-16 code units), matching the comparison unit of
+    * the engine's own levenshtein for all BMP text.
+    */
+  def kernel(aU: UTF8String, bU: UTF8String, k: Int): Boolean = {
+    val a = aU.toString
+    val b = bU.toString
+    val n = a.length
+    val m = b.length
+    if (math.abs(n - m) > k) return false
+    if (k == 0) return a == b
+    val inf = k + 1
+    val width = 2 * k + 1
+    // prev(d) = D(i-1, (i-1)+(d-k)); cur(d) = D(i, i+(d-k))
+    var prev = new Array[Int](width)
+    var cur = new Array[Int](width)
+    var d = 0
+    while (d < width) {
+      val j = d - k
+      prev(d) = if (j >= 0 && j <= m) j else inf
+      d += 1
+    }
+    var i = 1
+    while (i <= n) {
+      var rowMin = inf
+      d = 0
+      while (d < width) {
+        val j = i + d - k
+        if (j < 0 || j > m) cur(d) = inf
+        else if (j == 0) cur(d) = i
+        else {
+          val sub = prev(d) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1)
+          val del = if (d + 1 < width) prev(d + 1) + 1 else inf
+          val ins = if (d > 0) cur(d - 1) + 1 else inf
+          var v = if (sub < del) sub else del
+          if (ins < v) v = ins
+          cur(d) = if (v > inf) inf else v
+        }
+        if (cur(d) < rowMin) rowMin = cur(d)
+        d += 1
+      }
+      if (rowMin > k) return false // the whole band exceeded k: no path back
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    val dd = m - n + k
+    dd >= 0 && dd < width && prev(dd) <= k
+  }
+
+  /** Column form (Spark 4: Column↔Expression via the sql-package bridge). */
+  def editWithin(a: Column, b: Column, k: Int): Column =
+    GraftBridge.column(EditWithinExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), k))
+
+  /** SQL registration: `… WHERE graft_edit_within(a, b, 1)` (k must be
+    * a foldable integer literal).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_edit_within",
+      exprs => EditWithinExpr(exprs(0), exprs(1), exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case x => throw new IllegalArgumentException(
+            s"graft_edit_within: k must be an integer literal, got $x")
+        }
+      }),
+      "built-in")
+}

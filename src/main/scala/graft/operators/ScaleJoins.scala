@@ -107,13 +107,16 @@ object ScaleJoins {
         .withColumn("vh", explode(array_distinct(
           transform(sequence(lit(0), length(nm)), delVariant))))
     }
-    // dist is computed and filtered BEFORE the dedup so the distinct
-    // shuffles ~⅓ the rows, all numeric — not candidate pairs dragging
-    // two string columns
+    // the verify step runs the native banded predicate (O(k·len) with
+    // early exit) over EVERY candidate, then prices the full levenshtein
+    // only for survivors; filtering before the dedup also means the
+    // distinct shuffles ~⅓ the rows, all numeric — not candidate pairs
+    // dragging two string columns
     side("a").join(side("b"), "vh")
       .filter(col("a_key") < col("b_key"))
+      .filter(graft.functions.EditWithinExpr.editWithin(
+        col("a_name"), col("b_name"), 1))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= 1)
       .select("a_key", "b_key", "dist").distinct()
   }
 
