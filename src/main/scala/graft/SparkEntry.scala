@@ -24,9 +24,11 @@ object SparkEntry {
       (operators.AsofJoin.queries, operators.AsofJoin.oracles),
       (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
       (operators.GraphOps.queries, operators.GraphOps.oracles),
+      (operators.DataQuality.queries, operators.DataQuality.oracles),
       (operators.FunctionOps.queries, operators.FunctionOps.oracles),
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),
+      (ops.Clustering.queries, ops.Clustering.oracles),
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracles),
       (ops.Multimodal.queries, ops.Multimodal.oracles),
       (ops.Curation.queries, ops.Curation.oracles),
