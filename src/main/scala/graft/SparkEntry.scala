@@ -14,7 +14,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q1Pricing(spark, "/root/testdata/sf0.001")
 
-  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.TpchStyle.queries, operators.TpchStyle.oracles),

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored row for the bounded top-k aggregate. */
+case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k UDAF (SURVEY §2.10 surface): keeps at most k
+  * (score, id) pairs in every partial buffer, so the map-side combine
+  * ships O(k) per group per task — the aggregation-shaped alternative
+  * to a window rank when only the cap is wanted. At 100 TB a window
+  * top-k shuffles EVERY row to its group's reducer first; this
+  * aggregator reduces each partition to k rows before the exchange.
+  *
+  * Total order (score desc, id asc) makes the result deterministic
+  * under any partitioning; `finish` renders the ids as a comma-joined
+  * string (scalar cell for the oracle compare).
+  */
+class TopKIds(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
+    s.sortWith(better).take(k)
+  def zero: Seq[ScoredId] = Seq.empty
+  def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = trim(b :+ a)
+  def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] = trim(x ++ y)
+  def finish(r: Seq[ScoredId]): String = trim(r).map(_.id).mkString(",")
+  def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}

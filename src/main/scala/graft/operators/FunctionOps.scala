@@ -72,6 +72,18 @@ object FunctionOps {
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_num"))
 
+  /** §2.10 UDAF surface — the bounded top-k Aggregator: top-3 order
+    * keys by total price per priority class, with map-side-capped
+    * partial state (see TopKIds). The window-rank formulation is the
+    * oracle; the aggregate is the one that scales.
+    */
+  def topkUdaf(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKIds(3))
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top_keys"))
+  }
+
   /** A11 — grouped ordered array aggregation (deterministic: sorted,
     * distinct, joined).
     */
@@ -100,11 +112,21 @@ object FunctionOps {
     "q_a10_percentiles" -> (percentiles _),
     "q_f14_strings" -> (stringFns _),
     "q_f15_json" -> (jsonExtract _),
+    "q_f16_topk_udaf" -> (topkUdaf _),
     "q_a11_group_arrays" -> (groupArrays _),
     "q_t5_intersect" -> (intersectKeys _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_f16_topk_udaf" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY rn) AS top_keys
+        |FROM r WHERE rn <= 3 GROUP BY o_orderpriority""".stripMargin,
     "q_f15_json" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,

@@ -79,6 +79,28 @@ object StreamToolOps {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Streaming gap-sessionization: `session_window` (30-min inactivity
+    * gap) with a watermark. State is per (user, open-session), merged
+    * as events arrive and evicted as the watermark passes session ends
+    * — the only sessionization shape that survives an unbounded
+    * stream. Drained in complete mode so the final table carries every
+    * merged session (append would withhold sessions still inside the
+    * watermark at end-of-input); the result equals batch
+    * sessionization (the oracle). Timestamps compare at µs as BIGINT
+    * (Spark timestamps are µs; DuckDB keeps ns).
+    */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStream.readEvents(s, d).withWatermark("ts", "0 seconds")
+    drain(s,
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events")),
+      "stream_session", "complete")
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+  }
+
   /** J4/T1–T3 — ordered tree compare of the reference's two golden
     * states (the deluids delta must surface as lhs-only lines).
     */
@@ -121,6 +143,7 @@ object StreamToolOps {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_session" -> (streamSession _),
     "q_j4_compare_trees" -> (compareTrees _),
     "q_s6_csv_source" -> (csvSource _),
     "q_s7_csv_cutoff" -> (csvCutoff _),
@@ -141,6 +164,25 @@ object StreamToolOps {
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // gap-sessionization islands at µs precision; session end = last
+    // event + gap (Spark windows are [start, end), so a gap exactly
+    // equal to 30 min starts a new session on both sides)
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |m AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(tus) AS start_us,
+        |  max(tus) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the watermark only bounds state, never drops rows here: the
     // fixture is one file = one in-order batch, so the drained stream
     // join equals the batch interval join exactly. The oracle compares

@@ -58,6 +58,30 @@ object Windows {
         max(col("sess_events")).as("max_session_events"))
   }
 
+  /** SCD Type-2 dimension build from the event log: per user, compress
+    * consecutive events with the same tracked attribute (event_type)
+    * into one version, then stamp each version with its validity
+    * interval [valid_from, valid_to) via lead(); the open version has
+    * NULL valid_to. Both window passes share the same partitioning and
+    * sort, so the plan pays ONE shuffle + ONE sort for the whole build
+    * — the shape that makes SCD2 maintenance a single keyed pass at
+    * 100 TB. Timestamps are emitted as µs BIGINTs (engine-portable).
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val versions = events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    versions
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", expr("ts_ns DIV 1000"))
+      .withColumn("valid_to_us", lead(expr("ts_ns DIV 1000"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** O5 — last event per user (CDC "latest state wins" compaction). */
   def lastPerUser(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
@@ -128,6 +152,7 @@ object Windows {
     "q_w_sliding" -> (sliding _),
     "q_w_session" -> (sessionize _),
     "q_o5_last_per_user" -> (lastPerUser _),
+    "q_etl_scd2" -> (scd2 _),
     "q_t1_array_setops" -> (arraySetOps _),
   )
 
@@ -183,6 +208,20 @@ object Windows {
         |  sum(sess_events)::BIGINT AS n_events,
         |  max(sess_events)::BIGINT AS max_session_events
         |FROM per_sess GROUP BY 1""".stripMargin,
+    "q_etl_scd2" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT user_id,
+        |  row_number() OVER w AS version, event_type,
+        |  tus AS valid_from_us,
+        |  lead(tus) OVER w AS valid_to_us,
+        |  lead(tus) OVER w IS NULL AS is_current
+        |FROM v
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin,
     "q_o5_last_per_user" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

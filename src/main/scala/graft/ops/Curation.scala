@@ -218,6 +218,44 @@ object Curation {
       round((col("n_docs") - col("n_uniq")) / col("n_docs"), 6).as("dup_frac"),
       round(col("sum_chars") / col("n_docs"), 6).as("mean_chars"))
 
+  /** Exact-quota sampling: the N lowest-hash documents per stratum
+    * (here: 50 per language) — when a run needs an exact per-stratum
+    * count, not a rate. The rank is content-keyed (same hash as
+    * `sample`), so the quota set is reproducible across runs and
+    * engines. The window partitions by stratum — fine when quotas are
+    * per-language (a handful of reducers each bounded by its stratum);
+    * for millions of strata the same plan parallelizes by the
+    * partition key. The rate-based `stratified` is the narrow
+    * (zero-shuffle) alternative when an exact N is not required.
+    */
+  def quota(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Incremental dedup: a new ingest batch (doc_id ≡ 4 mod 5 — a
+    * deterministic 20% stand-in for the fresh crawl at every SF) is
+    * admitted only if its content hash exists neither in the
+    * accumulated corpus NOR earlier in the batch itself (lowest doc_id
+    * wins within the batch). At 100 TB the accumulated side is a
+    * fingerprint TABLE (16-byte hash per doc, not the corpus)
+    * maintained across ingests; both steps are hash-keyed joins with
+    * map-side-combinable aggregation, no rescan of old text.
+    */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val seen = base.filter(col("doc_id") % 5 =!= 4).select("h").distinct()
+    base.filter(col("doc_id") % 5 === 4)
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .join(seen, Seq("h"), "left_anti")
+      .select("doc_id", "h")
+  }
+
   /** Percentile length gate: keep documents whose n_chars lies within
     * the corpus [p05, p95] band — the standard outlier trim before
     * tokenization. Uses the EXACT percentile aggregate, which is safe
@@ -314,6 +352,8 @@ object Curation {
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
     "q_cur_stratified" -> (stratified _),
+    "q_cur_quota" -> (quota _),
+    "q_cur_incremental" -> (incrementalDedup _),
     "q_cur_lengthgate" -> (lengthGate _),
     "q_cur_pack" -> ((s: SparkSession, d: String) => pack(s, d)),
     "q_cur_pipeline" -> (curationPipeline _),
@@ -401,6 +441,21 @@ object Curation {
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 <
         |  CASE WHEN lang = 'en' THEN 250 ELSE 100 END
         |GROUP BY lang""".stripMargin,
+    "q_cur_quota" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(text), 1, 8))::BIGINT, doc_id)::BIGINT AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10""".stripMargin,
+    "q_cur_incremental" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |seen AS (SELECT DISTINCT h FROM base WHERE doc_id % 5 <> 4),
+        |batch AS (
+        |  SELECT h, min(doc_id) AS doc_id FROM base
+        |  WHERE doc_id % 5 = 4 GROUP BY h)
+        |SELECT doc_id, h FROM batch
+        |WHERE h NOT IN (SELECT h FROM seen)""".stripMargin,
     "q_cur_lengthgate" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
         |                  quantile_cont(n_chars, 0.95) AS hi

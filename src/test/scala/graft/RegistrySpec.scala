@@ -8,22 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("no query name collides across modules") {
-    val perModule = Seq(
-      operators.Relational.queries.keySet,
-      operators.TpchStyle.queries.keySet,
-      operators.EtlOps.queries.keySet,
-      operators.Windows.queries.keySet,
-      operators.StreamToolOps.queries.keySet,
-      operators.AsofJoin.queries.keySet,
-      operators.ScaleJoins.queries.keySet,
-      operators.GraphOps.queries.keySet,
-      operators.FunctionOps.queries.keySet,
-      ops.Dedup.queries.keySet,
-      ops.Similarity.queries.keySet,
-      ops.TextAnalysis.queries.keySet,
-      ops.Multimodal.queries.keySet,
-      ops.Curation.queries.keySet)
-    val total = perModule.map(_.size).sum
+    // derived from the registry's own module list so adding a module
+    // cannot silently shadow another's query names
+    val total = SparkEntry.modules.map(_._1.size).sum
     assert(total == SparkEntry.queries.size,
       s"name collision: modules declare $total, registry has ${SparkEntry.queries.size}")
   }
