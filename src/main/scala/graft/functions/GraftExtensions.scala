@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Library packaging for the native Catalyst expressions: a
+  * `SparkSessionExtensions` hook, so a user enables everything with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`), and `graft_simhash` /
+  * `graft_edit_within` resolve in ANY session of that application —
+  * including sessions created on executors' behalf by thrift/connect
+  * servers — without a per-session `register` call. The per-session
+  * `SimHashExpr.register`/`EditWithinExpr.register` helpers stay for
+  * ad-hoc use; this is the deployment path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(tokens) - 16-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => SimHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_edit_within"),
+      info("graft_edit_within",
+        "graft_edit_within(a, b, k) - true if levenshtein(a, b) <= k"),
+      (exprs: Seq[Expression]) => EditWithinExpr(exprs(0), exprs(1),
+        exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case x => throw new IllegalArgumentException(
+              s"graft_edit_within: k must be an integer literal, got $x")
+          }
+        })))
+  }
+}

@@ -152,4 +152,33 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q_cur_dsir")
     assert(p.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$p")
   }
+
+  test("scd2 pays one shuffle + one sort for both window passes") {
+    val p = plan("q_etl_scd2")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val sorts = "\\bSort\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle for the whole build:\n$p")
+    assert(sorts == 1, s"lag and lead passes must share the sort:\n$p")
+  }
+
+  test("column profile reads the table once (Expand-based multi-distinct)") {
+    val p = plan("q_dq_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must not rescan per column:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct should compile to Expand:\n$p")
+  }
+
+  test("int8 ANN candidate and rescore phases are both TakeOrdered") {
+    val p = plan("q_knn_int8")
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(topk == 2, s"expected candidate + rescore TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quota sampling windows by stratum and keeps scans pruned") {
+    val p = plan("q_cur_quota")
+    assert(p.contains("hashpartitioning(lang#"), s"window must key on lang:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"only the 3 referenced columns should be read:\n$p")
+  }
 }
