@@ -79,6 +79,21 @@ object StreamToolOps {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Watermark-bounded streaming dedup — the 100 TB form of
+    * `streamDedup`: `dropDuplicatesWithinWatermark` keeps dedup state
+    * only for keys seen inside the watermark horizon, so state size is
+    * bounded by the horizon's key arrival rate instead of the stream's
+    * lifetime key count. On the single-batch fixture (no duplicate
+    * arrives outside the horizon) it equals batch DISTINCT exactly.
+    */
+  def streamDedupWm(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      EventStream.readEvents(s, d)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      "stream_dedup_wm", "append")
+
   /** Streaming gap-sessionization: `session_window` (30-min inactivity
     * gap) with a watermark. State is per (user, open-session), merged
     * as events arrive and evicted as the watermark passes session ends
@@ -144,6 +159,7 @@ object StreamToolOps {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
+    "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_j4_compare_trees" -> (compareTrees _),
     "q_s6_csv_source" -> (csvSource _),
     "q_s7_csv_cutoff" -> (csvCutoff _),
@@ -163,6 +179,8 @@ object StreamToolOps {
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // gap-sessionization islands at µs precision; session end = last
     // event + gap (Spark windows are [start, end), so a gap exactly

@@ -155,6 +155,80 @@ object TextAnalysis {
       .select("term", "df", "postings")
   }
 
+  /** Count-based bigram language model: conditional probability
+    * P(w2 | w1) for every bigram seen ≥ 5 times, as integer micro-units
+    * (round(c12 * 1e6 / c1) — one correctly-rounded division, exact
+    * BIGINT everywhere else, so the table is bit-identical under any
+    * partitioning). The training shape at 100 TB: ONE explode into
+    * bigram pairs, two map-side-combinable counts, and a join that
+    * stays keyed on w1 (vocabulary-bounded, AQE-broadcast when the
+    * vocab fits). This one plan IS the inner loop of n-gram LM
+    * training; perplexity scoring replays it with the roles swapped.
+    */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    // explode_outer: the size(t) >= 2 guard already proves the bigram
+    // array non-empty; a plain explode would let
+    // InferFiltersFromGenerate re-substitute the transform under a
+    // size()>0 filter and build every array twice (the contamination
+    // lesson, SCALING.md)
+    val pairs = base.select(explode_outer(
+        expr("transform(sequence(0, size(t) - 2)," +
+          " i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c12.filter(col("c12") >= 5)
+      .join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("c12") * lit(1000000L) / col("c1")).cast("long")
+          .as("p_micro"))
+  }
+
+  /** One BPE training step at corpus scale: the 20 most frequent
+    * adjacent symbol pairs (here: character pairs inside whitespace
+    * tokens — the starting alphabet of byte-pair encoding). The real
+    * trainer LOOPS this exact plan, merging the winner into the symbol
+    * stream each round; each round is one explode + one combinable
+    * count + a TakeOrdered — never a sort of the pair universe.
+    */
+  def bpeStep(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode_outer(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  /** Per-language Simpson diversity of the token distribution:
+    * 1 − Σc²/N² in integer micro-units — the corpus-mix diagnostic
+    * (low diversity = crawl full of templated text). Exact BIGINT
+    * sums; ONE double division at the end, so the index is
+    * engine-identical — the log-free alternative to Shannon entropy,
+    * whose transcendental sum would drift across partition orders.
+    */
+  def diversity(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("lang"), col("n_tokens"), col("n_terms"),
+        round((lit(1.0) - col("sum_c2")
+          / (col("n_tokens") * col("n_tokens"))) * 1000000.0)
+          .cast("long").as("simpson_micro"))
+
   /** Composite corpus pipeline: quality filter → exact dedup
     * (first-doc survivor) → per-language counts — the end-to-end shape
     * of a training-data preparation job, as one declarative plan.
@@ -179,6 +253,9 @@ object TextAnalysis {
     "q_text_tfidf" -> (tfidf _),
     "q_text_heavyhitters" -> (heavyHitters _),
     "q_text_postings" -> (postings _),
+    "q_text_bigram_lm" -> (bigramLm _),
+    "q_text_bpe_step" -> (bpeStep _),
+    "q_text_diversity" -> (diversity _),
     "q_pipeline_corpus" -> (corpusPipeline _),
   )
 
@@ -242,6 +319,38 @@ object TextAnalysis {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents) x
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "q_text_bigram_lm" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS t FROM documents
+        |           WHERE len(str_split(text, ' ')) >= 2),
+        |pairs AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, generate_subscripts(t, 1) AS i FROM t) z
+        |  WHERE i < len(t)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
+        |FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5""".stripMargin,
+    "q_text_bpe_step" ->
+      """SELECT pair, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, i::INT, 2))) AS pair
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) x
+        |  WHERE length(w) >= 2) y
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q_text_diversity" ->
+      """WITH c AS (
+        |  SELECT lang, term, count(*) AS c
+        |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS term
+        |        FROM documents) x
+        |  GROUP BY 1, 2),
+        |g AS (SELECT lang, sum(c)::BIGINT AS n_tokens,
+        |             count(*) AS n_terms, sum(c * c)::BIGINT AS sum_c2
+        |      FROM c GROUP BY lang)
+        |SELECT lang, n_tokens, n_terms,
+        |  CAST(round((1.0 - sum_c2::DOUBLE / (n_tokens * n_tokens))
+        |    * 1000000.0) AS BIGINT) AS simpson_micro
+        |FROM g""".stripMargin,
     "q_text_postings" ->
       """WITH pairs AS (
         |  SELECT DISTINCT doc_id, term

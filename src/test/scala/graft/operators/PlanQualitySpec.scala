@@ -175,6 +175,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bigram LM and BPE step never rebuild their arrays in an inferred filter") {
+    // the InferFiltersFromGenerate + pushdown trap (SCALING.md): a
+    // re-substituted generator input shows up as size(transform(...))
+    // in a Filter and doubles the array-building work
+    Seq("q_text_bigram_lm", "q_text_bpe_step").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("size(transform"), s"$q rebuilds its array:\n$p")
+    }
+  }
+
   test("quota sampling windows by stratum and keeps scans pruned") {
     val p = plan("q_cur_quota")
     assert(p.contains("hashpartitioning(lang#"), s"window must key on lang:\n$p")
