@@ -289,8 +289,39 @@ object Relational {
         |  (l_returnflag), ())""".stripMargin)
   }
 
+  /** A14 — PIVOT: per user bucket, one count column per event type.
+    * The value list is explicit, so the plan is a single aggregation
+    * pass with conditional aggregates (no value-discovery job — at
+    * 100 TB an implicit pivot first runs a distinct over the pivot
+    * column; the explicit list is the production form).
+    */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      .groupBy("bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
+  /** A15 — UNPIVOT/melt: the lineitem measures as (measure, value)
+    * pairs, re-aggregated to exact per-measure totals. Narrow row
+    * explosion (no shuffle until the final aggregate), decimal-exact
+    * sums.
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).cast("double").as("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_a12_grouping_sets" -> (sqlGroupingSets _),
+    "q_a14_pivot" -> (pivotEvents _),
+    "q_a15_unpivot" -> (unpivotMeasures _),
     "q_s1_scan_project" -> (s1ScanProject _),
     "q_s2_range_scan" -> (s2RangeScan _),
     "q_s3_event_scan" -> (s3EventScan _),
@@ -432,6 +463,24 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())""".stripMargin,
+    "q_a14_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_a15_unpivot" ->
+      """SELECT 'l_quantity' AS measure, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |UNION ALL SELECT 'l_discount', count(*),
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem
+        |UNION ALL SELECT 'l_tax', count(*),
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM lineitem""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -128,6 +128,25 @@ object Windows {
       .drop("ts_ns")
   }
 
+  /** O8 — navigation-function breadth: first/last/nth event and
+    * cumulative distribution per user stream, with EXPLICIT rows
+    * frames (the default RANGE frame makes last_value mean "current
+    * row" — the classic silent-wrong-answer; pinning the frame is the
+    * production form and keeps engines agreeing).
+    */
+  def navigation(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val whole = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_ns"))
+      .withColumn("first_id", first(col("event_id")).over(whole))
+      .withColumn("last_id", last(col("event_id")).over(whole))
+      .withColumn("second_id", nth_value(col("event_id"), 2).over(whole))
+      .withColumn("cd", cume_dist().over(w))
+      .drop("ts_ns")
+  }
+
   /** O7 — rolling (bounded rows-frame) aggregate: 3-event moving sum
     * per user — the resampling/smoothing primitive for time-series
     * features. The frame is ROWS-bounded, so execution is a single
@@ -153,6 +172,7 @@ object Windows {
     "q_w_session" -> (sessionize _),
     "q_o5_last_per_user" -> (lastPerUser _),
     "q_etl_scd2" -> (scd2 _),
+    "q_w_navigation" -> (navigation _),
     "q_t1_array_setops" -> (arraySetOps _),
   )
 
@@ -166,6 +186,17 @@ object Windows {
         |  percent_rank() OVER w AS pr
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))""".stripMargin,
+    "q_w_navigation" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_id) OVER wf AS first_id,
+        |  last_value(event_id) OVER wf AS last_id,
+        |  nth_value(event_id, 2) OVER wf AS second_id,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_w_rolling" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,

@@ -152,9 +152,29 @@ object Clustering {
       .limit(5)
   }
 
+  /** Class-conditional embedding statistics over the labeled corpus:
+    * per label, member count plus exact integer fingerprints of the
+    * class centroid (component sum) and the second moment (norm²
+    * sum) — the dataset-QA pass that catches collapsed or mislabeled
+    * embedding classes before training. ONE map-side-combinable
+    * aggregation; all sums are exact BIGINTs over micro-unit vectors.
+    */
+  def labelStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        microVec(col("embedding")).as("m"))
+      .select(col("label"),
+        aggregate(col("m"), lit(0L), (a, x) => a + x).as("csum"),
+        aggregate(col("m"), lit(0L), (a, x) => a + x * x).as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("csum")).as("comp_sum"),
+        sum(col("n2")).as("norm2_sum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_kmeans" -> (kmeans _),
     "q_knn_int8" -> (knnInt8 _),
+    "q_knn_label_stats" -> (labelStats _),
   )
 
   /** The k-means oracle replays both Lloyd iterations in SQL — exact
@@ -197,6 +217,16 @@ object Clustering {
          |SELECT g.cluster::BIGINT AS cluster, g.n_members,
          |  list_sum(c.c)::BIGINT AS centroid_sum
          |FROM g JOIN c2 c ON c.cid = g.cluster""".stripMargin,
+    "q_knn_label_stats" ->
+      s"""WITH m AS (SELECT label::BIGINT AS label, $microSql AS m
+         |           FROM embeddings),
+         |per AS (
+         |  SELECT label, list_sum(m)::BIGINT AS csum,
+         |    CAST(list_inner_product(m, m) AS BIGINT) AS n2
+         |  FROM m)
+         |SELECT label, count(*) AS n_vecs, sum(csum)::BIGINT AS comp_sum,
+         |  sum(n2)::BIGINT AS norm2_sum
+         |FROM per GROUP BY label""".stripMargin,
     "q_knn_int8" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
