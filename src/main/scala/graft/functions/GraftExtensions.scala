@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteLevenshteinGuard)
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash",

@@ -20,6 +20,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // keep LocalRelation filters visible in the optimized plan, so
+      // the rewrite assertions below can see the predicate at all
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
@@ -34,6 +38,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val ns = spark.newSession()
       assert(ns.sql("SELECT graft_edit_within('a', 'a', 1) AS ok")
         .collect()(0).getBoolean(0))
+      // the injected optimizer rule rewrites levenshtein guards into
+      // the banded predicate — and preserves results incl. null rows
+      import spark.implicits._
+      val df = Seq(("kitten", "sitten"), ("kitten", "sitting"),
+        (null, "x")).toDF("a", "b")
+      val guarded = df.filter(org.apache.spark.sql.functions
+        .expr("levenshtein(a, b) <= 1"))
+      assert(guarded.queryExecution.optimizedPlan.toString
+        .contains("graft_edit_within"),
+        guarded.queryExecution.optimizedPlan.toString)
+      assert(guarded.collect().map(r => (r.getString(0), r.getString(1)))
+        .toSeq == Seq(("kitten", "sitten")))
+      // strict form shifts the threshold; negative thresholds are left
+      // to constant-ish evaluation untouched
+      val strict = df.filter(org.apache.spark.sql.functions
+        .expr("levenshtein(a, b) < 2"))
+      assert(strict.queryExecution.optimizedPlan.toString
+        .contains("graft_edit_within"))
+      assert(strict.collect().length == 1)
+      val neg = df.filter(org.apache.spark.sql.functions
+        .expr("levenshtein(a, b) <= -1"))
+      assert(!neg.queryExecution.optimizedPlan.toString
+        .contains("graft_edit_within"))
+      assert(neg.collect().isEmpty)
     } finally {
       // do not stop(): the SparkContext is shared with the other suites
       SparkSession.clearActiveSession()
