@@ -47,7 +47,16 @@ object GraphOps {
     * (a<b<c) and must agree exactly.
     */
   def triangles(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d) // sa < sb
+    // materialize the thresholded edge list ONCE: it feeds the degree
+    // table (twice), the orientation join, the closing probe, and the
+    // edge count. Exchange reuse already dedups some consumers, but
+    // the broadcast subtrees re-plan the self-join per use; the eager
+    // checkpoint removes that (measured ~0.4 s at sf0.1) and, more
+    // importantly at 100 TB, guarantees the fact-table join runs once
+    // regardless of how the consumers are planned. The edge list
+    // itself is tiny after the relative threshold — the
+    // materialization is O(edges), never O(fact table).
+    val e = coEdges(s, d).localCheckpoint(true) // sa < sb
     val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val da = deg.select(col("v").as("sa"), col("deg").as("da"))
