@@ -25,6 +25,7 @@ object SparkEntry {
       (operators.ScaleJoins.queries, operators.ScaleJoins.oracles),
       (operators.GraphOps.queries, operators.GraphOps.oracles),
       (operators.DataQuality.queries, operators.DataQuality.oracles),
+      (operators.Behavior.queries, operators.Behavior.oracles),
       (operators.FunctionOps.queries, operators.FunctionOps.oracles),
       (ops.Dedup.queries, ops.Dedup.oracles),
       (ops.Similarity.queries, ops.Similarity.oracles),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Behavioral sequence analytics over the event log — the funnel and
+  * cohort-retention queries every product/experiment pipeline runs.
+  * Both are exact-integer µs arithmetic end to end.
+  */
+object Behavior {
+
+  private def tus: Column = expr("ts_ns DIV 1000")
+
+  /** Ordered funnel signup → click → purchase: how many users reach
+    * each stage, where each stage must happen STRICTLY after the
+    * previous one. Computed in ONE shuffle: the per-user event stream
+    * is collected sorted (events-per-user is bounded in any real
+    * product-analytics store) and the stage progression folds
+    * row-locally in a single codegen'd `aggregate` pass — the
+    * first-qualifying-transition semantics the three-join SQL
+    * formulation (the oracle) expresses relationally. At 100 TB the
+    * fold scales with users×events-per-user, and the single shuffle
+    * keys on the (uniform) user id.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val arr = events(s, d)
+      .select(col("user_id"),
+        struct(tus.as("t"), col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+    val nil = lit(null).cast("long")
+    val folded = arr.select(aggregate(
+      col("seq"),
+      struct(nil.as("s1"), nil.as("s2"), nil.as("s3")),
+      (acc, x) => {
+        val t = x.getField("t")
+        val ty = x.getField("event_type")
+        struct(
+          when(acc.getField("s1").isNull && ty === "signup", t)
+            .otherwise(acc.getField("s1")).as("s1"),
+          when(acc.getField("s2").isNull && acc.getField("s1").isNotNull &&
+            ty === "click" && t > acc.getField("s1"), t)
+            .otherwise(acc.getField("s2")).as("s2"),
+          when(acc.getField("s3").isNull && acc.getField("s2").isNotNull &&
+            ty === "purchase" && t > acc.getField("s2"), t)
+            .otherwise(acc.getField("s3")).as("s3"))
+      }).as("f"))
+    folded.agg(
+      sum(when(col("f.s1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("f.s2").isNotNull, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("f.s3").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-activity week, counted
+    * in each subsequent week they were active. Two map-side-combinable
+    * aggregations plus one join keyed on user — the cohort table is
+    * one row per user (AQE broadcasts it when it fits). Weeks are
+    * exact integer division of the µs timestamp.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = events(s, d)
+      .select(col("user_id"),
+        expr(s"(ts_ns DIV 1000) DIV $weekUs").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_beh_funnel" -> (funnel _),
+    "q_beh_cohort" -> (cohortRetention _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_beh_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_click,
+        |       (SELECT count(*) FROM s3) AS n_purchase""".stripMargin,
+    "q_beh_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (epoch_ns(ts) // 1000) // (7 * 86400 * 1000000::BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, e.week - c.cohort AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+  )
+}
