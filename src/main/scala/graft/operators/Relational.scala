@@ -318,10 +318,37 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("v"))).cast("double").as("total"))
 
+  /** O9 — Z-order (Morton) clustering key over (l_partkey, l_suppkey):
+    * the multi-dimensional layout key that makes min/max data skipping
+    * work for BOTH keys at once when the table is written sorted by it
+    * (a single-column sort only skips on that column). Pure exact bit
+    * interleaving — codegen'd shifts/ors, no UDF. The query reports
+    * per-zbucket row counts and morton ranges: contiguous buckets =
+    * the file-level clustering a z-ordered write would produce.
+    */
+  def zorderKey(s: SparkSession, d: String): DataFrame = {
+    val morton = (0 until 16).map { i =>
+      shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(1), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    val z = lineitem(s, d).select(morton.as("morton"))
+    // 64 equal-width cells over the OBSERVED morton range (a fixed
+    // bit-shift bucketing degenerates to one cell at small key ranges
+    // and 2^k cells at large ones; the relative form means the same
+    // thing at every scale — cf. the boilerplate threshold)
+    val hi = z.agg(max(col("morton")).as("z_top"))
+    z.join(broadcast(hi))
+      .groupBy(expr("morton * 64 DIV (z_top + 1)").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("morton")).as("z_min"), max(col("morton")).as("z_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_a12_grouping_sets" -> (sqlGroupingSets _),
     "q_a14_pivot" -> (pivotEvents _),
     "q_a15_unpivot" -> (unpivotMeasures _),
+    "q_o9_zorder" -> (zorderKey _),
     "q_s1_scan_project" -> (s1ScanProject _),
     "q_s2_range_scan" -> (s2RangeScan _),
     "q_s3_event_scan" -> (s3EventScan _),
@@ -463,6 +490,16 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())""".stripMargin,
+    "q_o9_zorder" -> {
+      val morton = (0 until 16).map { i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i + 1}) | (((l_suppkey >> $i) & 1) << ${2 * i})"
+      }.mkString(" | ")
+      s"""WITH z AS (SELECT ($morton) AS morton FROM lineitem),
+         |hi AS (SELECT max(morton) AS z_top FROM z)
+         |SELECT morton * 64 // (z_top + 1) AS zbucket, count(*) AS n,
+         |  min(morton) AS z_min, max(morton) AS z_max
+         |FROM z, hi GROUP BY 1""".stripMargin
+    },
     "q_a14_pivot" ->
       """SELECT user_id % 10 AS bucket,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
