@@ -15,9 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev filter: GRAFT_VERIFY_ONLY=q_a,q_b runs just those queries
+    // dev filter: GRAFT_VERIFY_ONLY=q_a,q_b runs just those queries;
+    // unknown names fail loudly (a typo must not report success by
+    // silently running nothing)
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY: empty or unknown queries: ${unknown.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

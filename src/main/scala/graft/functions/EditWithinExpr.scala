@@ -104,20 +104,32 @@ object EditWithinExpr {
     GraftBridge.column(EditWithinExpr(
       GraftBridge.expression(a), GraftBridge.expression(b), k))
 
+  /** k from the third SQL argument: requires a FOLDABLE non-negative
+    * integer (a column reference would hit eval(null) with an opaque
+    * UnsupportedOperationException; reject it with a real message).
+    */
+  def kFromExpr(e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"graft_edit_within: k must be a constant integer, got ${e.sql}")
+    val k = e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => throw new IllegalArgumentException(
+        s"graft_edit_within: k must be an integer literal, got $x")
+    }
+    if (k < 0)
+      throw new IllegalArgumentException(
+        s"graft_edit_within: k must be non-negative, got $k")
+    k
+  }
+
   /** SQL registration: `… WHERE graft_edit_within(a, b, 1)` (k must be
-    * a foldable integer literal).
+    * a foldable non-negative integer).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_edit_within",
-      exprs => EditWithinExpr(exprs(0), exprs(1), exprs(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => other.eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case x => throw new IllegalArgumentException(
-            s"graft_edit_within: k must be an integer literal, got $x")
-        }
-      }),
+      exprs => EditWithinExpr(exprs(0), exprs(1), kFromExpr(exprs(2))),
       "built-in")
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Library packaging for the native Catalyst expressions: a
   * `SparkSessionExtensions` hook, so a user enables everything with
@@ -36,14 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_edit_within",
         "graft_edit_within(a, b, k) - true if levenshtein(a, b) <= k"),
       (exprs: Seq[Expression]) => EditWithinExpr(exprs(0), exprs(1),
-        exprs(2) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case x => throw new IllegalArgumentException(
-              s"graft_edit_within: k must be an integer literal, got $x")
-          }
-        })))
+        EditWithinExpr.kFromExpr(exprs(2)))))
   }
 }

@@ -19,8 +19,13 @@ case class ScoredId(score: Double, id: Long)
   * string (scalar cell for the oracle compare).
   */
 class TopKIds(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare, not >: IEEE > is not a strict weak order
+  // when NaN appears (sortWith could throw or order nondeterministically);
+  // under compare, NaN ranks above every number, deterministically
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
   private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
     s.sortWith(better).take(k)
   def zero: Seq[ScoredId] = Seq.empty

@@ -50,13 +50,15 @@ object GraphOps {
     // materialize the thresholded edge list ONCE: it feeds the degree
     // table (twice), the orientation join, the closing probe, and the
     // edge count. Exchange reuse already dedups some consumers, but
-    // the broadcast subtrees re-plan the self-join per use; the eager
+    // the broadcast subtrees re-plan the self-join per use; the
     // checkpoint removes that (measured ~0.4 s at sf0.1) and, more
     // importantly at 100 TB, guarantees the fact-table join runs once
-    // regardless of how the consumers are planned. The edge list
-    // itself is tiny after the relative threshold — the
-    // materialization is O(edges), never O(fact table).
-    val e = coEdges(s, d).localCheckpoint(true) // sa < sb
+    // regardless of how the consumers are planned. LAZY (eager=false):
+    // building the DataFrame must not launch a job — the edge RDD
+    // materializes with the query's own action and is shared from
+    // there. The edge list itself is tiny after the relative
+    // threshold — the materialization is O(edges), never O(fact table).
+    val e = coEdges(s, d).localCheckpoint(false) // sa < sb
     val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val da = deg.select(col("v").as("sa"), col("deg").as("da"))

@@ -295,12 +295,18 @@ object Relational {
     * 100 TB an implicit pivot first runs a distinct over the pivot
     * column; the explicit list is the production form).
     */
-  def pivotEvents(s: SparkSession, d: String): DataFrame =
+  def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
     events(s, d)
       .withColumn("bucket", pmod(col("user_id"), lit(10)))
       .groupBy("bucket")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .agg(count(lit(1)))
+      // a pivot cell with no rows surfaces as NULL; the relational
+      // meaning (and the oracle's count(CASE ...)) is 0
+      .select(col("bucket") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+  }
 
   /** A15 — UNPIVOT/melt: the lineitem measures as (measure, value)
     * pairs, re-aggregated to exact per-measure totals. Narrow row
@@ -327,7 +333,12 @@ object Relational {
     * the file-level clustering a z-ordered write would produce.
     */
   def zorderKey(s: SparkSession, d: String): DataFrame = {
-    val morton = (0 until 16).map { i =>
+    // 32 bits per key → 64-bit morton: covers keys to 2^32 (a 16-bit
+    // interleave would silently alias keys ≥ 65536 at production
+    // scale); keys ≥ 2^31 would set the sign bit, where truncating vs
+    // flooring division diverges across engines — out of range for any
+    // TPC-H-shaped key
+    val morton = (0 until 32).map { i =>
       shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(1), 2 * i + 1)
         .bitwiseOR(
           shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(1), 2 * i))
@@ -491,7 +502,7 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())""".stripMargin,
     "q_o9_zorder" -> {
-      val morton = (0 until 16).map { i =>
+      val morton = (0 until 32).map { i =>
         s"(((l_partkey >> $i) & 1) << ${2 * i + 1}) | (((l_suppkey >> $i) & 1) << ${2 * i})"
       }.mkString(" | ")
       s"""WITH z AS (SELECT ($morton) AS morton FROM lineitem),

@@ -241,7 +241,8 @@ object Windows {
         |FROM per_sess GROUP BY 1""".stripMargin,
     "q_etl_scd2" ->
       """WITH v AS (
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS tus,
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+        |    epoch_ns(ts) // 1000 AS tus,
         |    lag(event_type) OVER (PARTITION BY user_id
         |      ORDER BY epoch_ns(ts), event_id) AS prev_type
         |  FROM events)
@@ -252,7 +253,9 @@ object Windows {
         |  lead(tus) OVER w IS NULL AS is_current
         |FROM v
         |WHERE prev_type IS NULL OR prev_type <> event_type
-        |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)""".stripMargin,
+        |-- order by full-ns time (the engine orders by ts_ns): a µs-level
+        |-- tie with inverted event_ids would otherwise flip versions
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)""".stripMargin,
     "q_o5_last_per_user" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -62,6 +62,11 @@ object Clustering {
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
         .sortBy(_._1).toSeq
+      // fail loudly rather than silently run k' < k clusters: the seed
+      // rule (and the oracle) assume vec_ids 0..k-1 exist exactly once
+      require(centroids.map(_._1) == (0 until k),
+        s"kmeans seed expects distinct vec_ids 0..${k - 1}, " +
+          s"got ${centroids.map(_._1)}")
 
       def assigned: DataFrame = {
         // argmin over k literal centroids: array_min on (d2, cid)

@@ -219,7 +219,7 @@ object Curation {
       round(col("sum_chars") / col("n_docs"), 6).as("mean_chars"))
 
   /** Exact-quota sampling: the N lowest-hash documents per stratum
-    * (here: 50 per language) — when a run needs an exact per-stratum
+    * (here: 10 per language) — when a run needs an exact per-stratum
     * count, not a rate. The rank is content-keyed (same hash as
     * `sample`), so the quota set is reproducible across runs and
     * engines. The window partitions by stratum — fine when quotas are
@@ -455,7 +455,7 @@ object Curation {
         |  SELECT h, min(doc_id) AS doc_id FROM base
         |  WHERE doc_id % 5 = 4 GROUP BY h)
         |SELECT doc_id, h FROM batch
-        |WHERE h NOT IN (SELECT h FROM seen)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = batch.h)""".stripMargin,
     "q_cur_lengthgate" ->
       """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
         |                  quantile_cont(n_chars, 0.95) AS hi

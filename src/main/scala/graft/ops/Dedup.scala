@@ -139,13 +139,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: block on the two 8-bit halves of the
-    * 16-bit signature (a pair within Hamming distance 3 must agree on
-    * at least one half — pigeonhole over >2 differing bits is not
-    * guaranteed, but ≤1-bit-per-half splits are; the halves blocking is
-    * the standard recall/cost trade), then verify candidates row-local
-    * with an exact popcount. Same bucket-cap discipline as LSH; the
-    * Hamming check never runs outside a shared bucket, so cost stays
-    * O(candidates), not O(docs²).
+    * 16-bit signature, then verify candidates row-local with an exact
+    * popcount. Recall is guaranteed only for Hamming distance ≤ 1 (one
+    * half is then untouched); distance-2/3 pairs surface only when all
+    * differing bits land in the same half — the standard recall/cost
+    * trade of half-signature blocking. Same bucket-cap discipline as
+    * LSH; the Hamming check never runs outside a shared bucket, so
+    * cost stays O(candidates), not O(docs²).
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = simhash(s, d)

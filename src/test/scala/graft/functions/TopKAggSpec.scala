@@ -24,6 +24,16 @@ class TopKAggSpec extends AnyFunSuite {
     assert(agg.finish(whole) == "3,4,6")
   }
 
+  test("NaN scores sort deterministically (total order, no contract violation)") {
+    val agg = new TopKIds(2)
+    val items = Seq(ScoredId(Double.NaN, 7L), ScoredId(1.0, 1L),
+      ScoredId(Double.NaN, 3L), ScoredId(2.0, 2L))
+    val r = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+    // under Double.compare NaN ranks above every number; ties on id
+    assert(r == "3,7")
+    assert(agg.finish(items.reverse.foldLeft(agg.zero)(agg.reduce)) == r)
+  }
+
   test("udaf equals the window-rank formulation on the fixture") {
     val spark = TestSpark.spark
     val d = "/root/testdata/sf0.001"
