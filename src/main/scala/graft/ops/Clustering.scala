@@ -176,10 +176,26 @@ object Clustering {
         sum(col("csum")).as("comp_sum"),
         sum(col("n2")).as("norm2_sum"))
 
+  /** Embedding-corpus audit — the sanity pass before any vector work:
+    * dimension consistency (a ragged corpus breaks every dot product),
+    * zero-vector count (cosine is undefined on them), and the exact
+    * norm² range in micro-units. ONE narrow scan + a 1-row aggregate.
+    */
+  def embeddingAudit(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(size(col("embedding")).cast("long").as("dims"),
+        aggregate(microVec(col("embedding")), lit(0L),
+          (a, x) => a + x * x).as("n2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("dims_min"), max(col("dims")).as("dims_max"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("norm2_min"), max(col("n2")).as("norm2_max"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_kmeans" -> (kmeans _),
     "q_knn_int8" -> (knnInt8 _),
     "q_knn_label_stats" -> (labelStats _),
+    "q_knn_audit" -> (embeddingAudit _),
   )
 
   /** The k-means oracle replays both Lloyd iterations in SQL — exact
@@ -222,6 +238,15 @@ object Clustering {
          |SELECT g.cluster::BIGINT AS cluster, g.n_members,
          |  list_sum(c.c)::BIGINT AS centroid_sum
          |FROM g JOIN c2 c ON c.cid = g.cluster""".stripMargin,
+    "q_knn_audit" ->
+      s"""WITH m AS (SELECT len(embedding)::BIGINT AS dims,
+         |  CAST(list_inner_product($microSql, $microSql) AS BIGINT) AS n2
+         |  FROM embeddings)
+         |SELECT count(*) AS n_vecs,
+         |  min(dims) AS dims_min, max(dims) AS dims_max,
+         |  sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+         |  min(n2) AS norm2_min, max(n2) AS norm2_max
+         |FROM m""".stripMargin,
     "q_knn_label_stats" ->
       s"""WITH m AS (SELECT label::BIGINT AS label, $microSql AS m
          |           FROM embeddings),
