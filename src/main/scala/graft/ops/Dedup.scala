@@ -213,6 +213,30 @@ object Dedup {
     connectedComponents(lshPairs(s, d))
       .select(col("id").as("doc_id"), col("label").as("dup_group"))
 
+  /** Canonical-document selection — the "keep one per cluster" step
+    * that turns dup GROUPS into a dedup DECISION: within each
+    * transitive near-dup group the longest document survives
+    * (`n_chars` desc, `doc_id` asc tie-break — the standard
+    * best-version heuristic: near-dups are usually truncations of one
+    * another). One extra shuffle over `dupGroups` (a per-group argmax
+    * via max-of-struct, so the reduction is map-side partial — no
+    * window funnel over group keys).
+    */
+  def canonical(s: SparkSession, d: String): DataFrame = {
+    val groups = dupGroups(s, d)
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val g = groups.join(docs, "doc_id")
+    // argmax(n_chars desc, doc_id asc) as max-of-struct: negate the id
+    // so lexicographic struct max encodes the full tie-break
+    val winners = g.groupBy("dup_group")
+      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+        .as("b"))
+      .select(col("dup_group"), (-col("b.nid")).as("canonical_id"))
+    g.join(winners, "dup_group")
+      .select(col("doc_id"), col("dup_group"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
   /** Connected components over an undirected pair list `(doc_a, doc_b)`
     * — returns `(id, label)` with label = the component's minimum id.
     */
@@ -279,6 +303,7 @@ object Dedup {
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_dedup_groups" -> (dupGroups _),
+    "q_dedup_canonical" -> (canonical _),
   )
 
   /** DuckDB mirror of the exploded simhash formulation (shared by the
@@ -306,6 +331,34 @@ object Dedup {
        |      FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
        |            FROM documents) u) t
        |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Shared recursive-CTE prefix: LSH banding → candidate pairs →
+    * connected components (`groups(doc_id, dup_group)`), mirroring
+    * `dupGroups` — used by the groups oracle and the canonical oracle.
+    */
+  private val groupsCte: String = {
+    val bands = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE sig AS ($sigSql), bands0 AS ($bands),
+       |small AS (SELECT band, h FROM bands0 GROUP BY band, h
+       |          HAVING count(*) <= $maxBucket),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+       |    AND a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r AS (
+       |  SELECT u AS id, u AS l FROM (SELECT DISTINCT u FROM e) t
+       |  UNION
+       |  SELECT e.u AS id, r.l FROM e JOIN r ON r.id = e.v),
+       |groups AS (SELECT id AS doc_id, min(l) AS dup_group
+       |           FROM r GROUP BY id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -338,28 +391,22 @@ object Dedup {
          |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
          |  AND a.doc_id < b.doc_id""".stripMargin
     },
-    "q_dedup_groups" -> {
-      val bands = (0 until 4).map { b =>
-        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH RECURSIVE sig AS ($sigSql), bands0 AS ($bands),
-         |small AS (SELECT band, h FROM bands0 GROUP BY band, h
-         |          HAVING count(*) <= $maxBucket),
-         |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-         |    AND a.doc_id < b.doc_id),
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |r AS (
-         |  SELECT u AS id, u AS l FROM (SELECT DISTINCT u FROM e) t
-         |  UNION
-         |  SELECT e.u AS id, r.l FROM e JOIN r ON r.id = e.v)
-         |SELECT id AS doc_id, min(l) AS dup_group FROM r GROUP BY id""".stripMargin
-    },
+    "q_dedup_groups" ->
+      s"""$groupsCte
+         |SELECT doc_id, dup_group FROM groups""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""$groupsCte,
+         |gd AS (SELECT g.doc_id, g.dup_group, d.n_chars
+         |       FROM groups g JOIN documents d ON d.doc_id = g.doc_id),
+         |win AS (
+         |  SELECT dup_group, doc_id AS canonical_id FROM (
+         |    SELECT dup_group, doc_id, row_number() OVER (
+         |      PARTITION BY dup_group
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM gd) t WHERE rn = 1)
+         |SELECT gd.doc_id, gd.dup_group, win.canonical_id,
+         |  gd.doc_id = win.canonical_id AS is_canonical
+         |FROM gd JOIN win USING (dup_group)""".stripMargin,
     "q_dedup_simhash" -> simSql,
     "q_dedup_simhash_pairs" ->
       s"""WITH sim AS ($simSql),

@@ -167,23 +167,57 @@ object Similarity {
   private def dist2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
-  /** IVF-style ANN: a fixed 16-cell coarse quantizer (centroids = the
-    * first 16 vectors — deterministic; a trained quantizer would slot
-    * in identically), every vector assigned to its nearest cell once,
-    * queries probe only their own cell. The inverted-list counterpart
-    * to the hyperplane LSH path.
+  /** Nearest-cell assignment for the fixed 16-centroid coarse
+    * quantizer (centroids = the first 16 vectors — deterministic; a
+    * trained quantizer would slot in identically). One broadcast of
+    * the centroid block, one map-side argmin per vector, one shuffle.
+    * Shared by the IVF probe path and the semantic-dedup pruner.
     */
-  def knnIvf(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("le"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("le").as("ce"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("d2", dist2(col("le"), col("ce")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("best"),
         first(col("le")).as("le"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("le"))
+  }
+
+  /** SemDeDup-style semantic pruning: cluster with the coarse
+    * quantizer, compare cosine ONLY within a cell, and prune every
+    * vector that has a lower-id cell-mate above the similarity
+    * threshold (`dup_of` = its lowest-id such witness). Cluster-then-
+    * prune bounds the pairwise work to O(cell²·cells) — the cross-cell
+    * pairs an all-pairs pass would add are by design not candidates —
+    * and each cell's pair block shuffles independently, so the op
+    * scales out with the quantizer's cell count at 100 TB.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssign(s, d)
+    val a = assigned
+      .select(col("cell"), col("vec_id").as("va"), col("le").as("la"))
+    val b = assigned
+      .select(col("cell"), col("vec_id").as("vb"), col("le").as("lb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .select(col("vb"), col("va"),
+        round(cosine(col("la"), col("lb")), 6).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .groupBy(col("vb"))
+      .agg(min(struct(col("va"), col("sim"))).as("w"))
+      .select(col("vb").as("vec_id"), col("w.va").as("dup_of"),
+        col("w.sim").as("sim"))
+  }
+
+  /** IVF-style ANN: every vector assigned to its nearest coarse cell
+    * once, queries probe only their own cell. The inverted-list
+    * counterpart to the hyperplane LSH path.
+    */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssign(s, d)
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("cell").as("qcell"), col("le").as("qe"))
     assigned.filter(col("vec_id") =!= 0)
@@ -201,12 +235,43 @@ object Similarity {
     "q_knn_lsh_multiprobe" -> (knnLshMultiProbe _),
     "q_knn_ivf" -> (knnIvf _),
     "q_dedup_embed" -> (embedDupPairs _),
+    "q_dedup_semantic" -> (semanticDedup _),
   )
+
+  /** DuckDB mirror of `ivfAssign` — nearest coarse cell per vector. */
+  private val cellSql: String =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+      |      FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, le AS ce FROM v WHERE vec_id < 16),
+      |asg AS (
+      |  SELECT v.vec_id, v.le, c.cid,
+      |    list_inner_product(v.le, v.le)
+      |      - 2.0 * list_inner_product(v.le, c.ce)
+      |      + list_inner_product(c.ce, c.ce) AS d2
+      |  FROM v, cents c),
+      |cell AS (
+      |  SELECT vec_id, le, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM asg) t WHERE rn = 1)""".stripMargin
 
   private val cosSql =
     "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      s"""WITH $cellSql,
+         |p AS (
+         |  SELECT x.vec_id AS va, y.vec_id AS vb,
+         |    round(list_inner_product(x.le, y.le) /
+         |      (sqrt(list_inner_product(x.le, x.le)) *
+         |       sqrt(list_inner_product(y.le, y.le))), 6) AS sim
+         |  FROM cell x JOIN cell y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         |SELECT vb AS vec_id, va AS dup_of, sim FROM (
+         |  SELECT vb, va, sim,
+         |    row_number() OVER (PARTITION BY vb ORDER BY va) AS rn
+         |  FROM p WHERE sim >= 0.3) t
+         |WHERE rn = 1""".stripMargin,
     "q_knn_batch" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
          |           FROM embeddings),
