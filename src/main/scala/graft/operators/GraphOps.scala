@@ -86,8 +86,52 @@ object GraphOps {
       .select(col("n_triangles"), col("n_edges"))
   }
 
+  /** Fixed-point scale for PageRank mass: integer micro-units keep the
+    * iteration exact (bit-identical across engines and partitionings —
+    * a double sum would drift with aggregation order), and BIGINT
+    * headroom holds: per-vertex mass ≤ SCALE, 85·SCALE ≪ 2^63.
+    */
+  private val prScale = 1000000000000L
+
+  /** PageRank over the affinity graph, 3 synchronous iterations in
+    * exact integer arithmetic: contrib = pr DIV deg, next =
+    * (15·(SCALE DIV n)) DIV 100 + (85·Σcontrib) DIV 100. Each
+    * iteration is ONE join (edges × current ranks, both hash-
+    * partitioned on the vertex key, so the partitioning is reused
+    * across rounds) + ONE aggregation; lineage is truncated per round
+    * so the plan stays O(1) deep regardless of iteration count — the
+    * property that matters when this runs 20 rounds on a 100 TB edge
+    * list. Every vertex of the undirected graph has deg ≥ 1 and an
+    * in-neighbor, so no dangling-mass term is needed.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    // eager: the edge list feeds the degree count, the vertex count,
+    // and all 3 iterations — recomputing the fact-table self-join per
+    // consumer would dominate the whole query
+    val e = coEdges(s, d).localCheckpoint(true)
+    val edges = e.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val g = edges.join(deg, "u").localCheckpoint(true)
+    val n = g.select(col("u")).distinct().count()
+    val init = prScale / n
+    val base = (15L * init) / 100L
+    var pr = g.select(col("u").as("id")).distinct()
+      .withColumn("pr", lit(init))
+    for (_ <- 1 to 3) {
+      pr = g.join(pr, col("u") === col("id"))
+        .select(col("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v"))
+        .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
+        .select(col("v").as("id"), col("pr"))
+        .localCheckpoint(false)
+    }
+    pr.select(col("id").as("v"), col("pr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_g1_triangles" -> (triangles _),
+    "q_g2_pagerank" -> (pagerank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +148,31 @@ object GraphOps {
         |     JOIN pairs e2 ON e1.sb = e2.sa
         |     JOIN pairs e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS n_triangles,
         |  (SELECT count(*) FROM pairs) AS n_edges""".stripMargin,
+    "q_g2_pagerank" -> {
+      def iter(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT g.v AS id,
+           |    (15 * (SELECT i FROM init)) // 100
+           |      + (85 * sum($prev.pr // g.deg)) // 100 AS pr
+           |  FROM g JOIN $prev ON $prev.id = g.u GROUP BY g.v)"""
+          .stripMargin
+      s"""WITH co AS (
+         |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_suppkey < b.l_suppkey
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT sa, sb FROM co
+         |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co)),
+         |e AS (SELECT sa AS u, sb AS v FROM pairs
+         |      UNION ALL SELECT sb, sa FROM pairs),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |g AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+         |init AS (SELECT ${prScale} // count(DISTINCT u) AS i FROM e),
+         |p0 AS (SELECT u AS id, (SELECT i FROM init) AS pr FROM deg),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT id AS v, pr FROM p3""".stripMargin
+    },
   )
 }

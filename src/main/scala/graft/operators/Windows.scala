@@ -164,7 +164,26 @@ object Windows {
       .drop("ts_ns", "value")
   }
 
+  /** O10 — time-RANGE frame: trailing 10-minute count and sum per
+    * user, keyed on the raw ns timestamp so the frame bound is exact
+    * integer arithmetic. A RANGE frame differs from a ROWS frame
+    * precisely when event spacing is irregular — this is the
+    * rate-limit / trailing-load primitive — and executes as the same
+    * single partitioned sort with a sliding frame state: the engine
+    * advances two pointers, never re-aggregates per row.
+    */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns")
+      .rangeBetween(-600000000000L, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m", sum(dec(col("value"))).over(w).cast("double"))
+      .drop("ts_ns", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_range_frame" -> (rangeFrame _),
     "q_w_ranks" -> (ranks _),
     "q_w_rolling" -> (rolling _),
     "q_w_tumbling" -> (tumbling _),
@@ -177,6 +196,13 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |             RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_w_ranks" ->
       """SELECT event_id, user_id,
         |  lag(event_id) OVER w AS prev_id,

@@ -201,6 +201,33 @@ object Curation {
         sum(col("c_dt") * col("w")).as("score_micro"))
   }
 
+  /** Fixed-weight linear quality classifier — the fastText-style
+    * "keep/drop" gate of a curation run, with the trained weights
+    * frozen as constants (training happens offline; serving is just
+    * this scoring pass). Entirely row-local: two integer micro-unit
+    * features (stopword rate, mean-token-length deviation from the
+    * 4.5-char English center) and one linear score, so the operator is
+    * a zero-shuffle projection that scales with the scan. Integer
+    * arithmetic end-to-end — scores are bit-identical across engines
+    * and partitionings.
+    */
+  def classifier(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("n_chars"), size(col("t")).as("n_toks"),
+        size(filter(col("t"),
+          x => x.isin("the", "a", "of", "and", "is"))).as("n_stop"))
+    base
+      .withColumn("stop_micro",
+        expr("(1000000 * CAST(n_stop AS BIGINT)) DIV n_toks"))
+      .withColumn("len_micro",
+        expr("(1000000 * (n_chars - (n_toks - 1))) DIV n_toks"))
+      .select(col("doc_id"),
+        (lit(10L) * col("stop_micro")
+          - abs(col("len_micro") - lit(4500000L))).as("score_micro"))
+      .withColumn("keep", col("score_micro") >= 450000L)
+  }
+
   /** Source-level reputation rollup: per provenance bucket, the volume,
     * target-language share, exact-dup rate, and mean length — the
     * signals a curation run uses to up/down-weight whole sources before
@@ -345,6 +372,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cur_boilerplate" -> (boilerplate _),
+    "q_cur_classifier" -> (classifier _),
     "q_cur_repetition" -> (repetition _),
     "q_cur_contamination" -> (contamination _),
     "q_cur_dsir" -> (dsir _),
@@ -360,6 +388,20 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cur_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars, str_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    (1000000 * len(list_filter(t,
+        |       x -> x IN ('the', 'a', 'of', 'and', 'is')))) // len(t)
+        |      AS stop_micro,
+        |    (1000000 * (n_chars - (len(t) - 1))) // len(t) AS len_micro
+        |  FROM f)
+        |SELECT doc_id,
+        |  10 * stop_micro - abs(len_micro - 4500000) AS score_micro,
+        |  10 * stop_micro - abs(len_micro - 4500000) >= 450000 AS keep
+        |FROM g""".stripMargin,
     "q_cur_boilerplate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
