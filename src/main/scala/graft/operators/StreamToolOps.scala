@@ -79,6 +79,29 @@ object StreamToolOps {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static dimension snapshot (customer) that Spark re-plans per
+    * micro-batch as an ordinary BROADCAST hash join — no state store
+    * at all, the streaming join shape to prefer whenever one side is a
+    * slowly-changing table rather than a stream. The per-segment
+    * rollup runs in complete mode; drained, it equals the batch twin
+    * (J1's oracle shape).
+    */
+  def streamStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    drain(s,
+      EventStream.readEvents(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"),
+          "left_outer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.Tables.dec(col("value"))).as("sum_dec")),
+      "stream_static", "complete")
+      .select(col("c_mktsegment"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
+
   /** Watermark-bounded streaming dedup — the 100 TB form of
     * `streamDedup`: `dropDuplicatesWithinWatermark` keeps dedup state
     * only for keys seen inside the watermark horizon, so state size is
@@ -159,6 +182,7 @@ object StreamToolOps {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
+    "q_stream_static" -> (streamStatic _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_j4_compare_trees" -> (compareTrees _),
     "q_s6_csv_source" -> (csvSource _),
@@ -182,6 +206,11 @@ object StreamToolOps {
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_static" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin,
     // gap-sessionization islands at µs precision; session end = last
     // event + gap (Spark windows are [start, end), so a gap exactly
     // equal to 30 min starts a new session on both sides)
