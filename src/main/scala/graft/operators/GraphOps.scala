@@ -113,7 +113,9 @@ object GraphOps {
       .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val g = edges.join(deg, "u").localCheckpoint(true)
-    val n = g.select(col("u")).distinct().count()
+    // every vertex has deg ≥ 1, so the degree table's row count IS the
+    // vertex count — no separate distinct() job
+    val n = deg.count()
     val init = prScale / n
     val base = (15L * init) / 100L
     var pr = g.select(col("u").as("id")).distinct()

@@ -21,9 +21,19 @@ object StreamToolOps {
   private def drain(s: SparkSession, df: DataFrame, prefix: String,
       mode: String): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .start()
+    // stateful-operator costs (state stores, checkpoint fsyncs) are
+    // per-shuffle-partition, and the planner pins the partition count
+    // at query start: size the stateful shuffle to the data, not the
+    // CPU count. At real volume this is a capacity knob; on the
+    // fixture it removes pure per-partition setup overhead (~0.3-0.5 s
+    // per streaming query at 32 partitions).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
@@ -63,20 +73,15 @@ object StreamToolOps {
       .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", "10 minutes")
-    // stream-stream join state costs are per-partition (4 state stores
-    // each): size the stateful shuffle to the data, not to the CPU
-    // count — at real volume this is a capacity knob, here it removes
-    // pure setup overhead
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try drain(s,
+    // the stateful-shuffle sizing (stream-stream joins carry 4 state
+    // stores per partition) is handled centrally in drain()
+    drain(s,
       l.join(r,
         col("l_uid") === col("r_uid") &&
           col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
           col("r_ts") < col("l_ts"))
         .select(col("l_id"), col("r_id")),
       "stream_join", "append")
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Stream-static enrichment join: the event stream joined to a

@@ -196,15 +196,21 @@ object Similarity {
     * scales out with the quantizer's cell count at 100 TB.
     */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    // norm computed ONCE per vector before the pair fan-out — inside
+    // the pair expression it would rerun per candidate (2/3 of the
+    // pair kernel's flops for identical values; same expression tree
+    // as the oracle's per-pair sqrt, so values agree bit-for-bit)
     val assigned = ivfAssign(s, d)
-    val a = assigned
-      .select(col("cell"), col("vec_id").as("va"), col("le").as("la"))
-    val b = assigned
-      .select(col("cell"), col("vec_id").as("vb"), col("le").as("lb"))
+      .withColumn("nrm", sqrt(dot(col("le"), col("le"))))
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("le").as("la"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("le").as("lb"), col("nrm").as("nb"))
     a.join(b, Seq("cell"))
       .filter(col("va") < col("vb"))
       .select(col("vb"), col("va"),
-        round(cosine(col("la"), col("lb")), 6).as("sim"))
+        round(dot(col("la"), col("lb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
       .filter(col("sim") >= 0.3)
       .groupBy(col("vb"))
       .agg(min(struct(col("va"), col("sim"))).as("w"))
