@@ -132,7 +132,78 @@ object TpchStyle {
         sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast("double"), 6).as("promo_revenue"))
 
+  /** Q4 shape — order-priority checking: orders in one quarter with at
+    * least one returned lineitem (EXISTS → left-semi join; the
+    * distinct-then-inner-join alternative would shuffle the dedup),
+    * counted per priority bucket. (The reference TPC-H predicate uses
+    * commit/receipt dates the fixture schema doesn't carry; the
+    * returned-line EXISTS keeps the identical plan shape.)
+    */
+  def q4Priority(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Q8 shape — national market share: of the PROMO-part revenue that
+    * EUROPE customers generate, the fraction supplied from NATION_1,
+    * per order year. Seven-way join with three broadcastable dims and
+    * a conditional aggregate; the share is one double division over
+    * two decimal-exact sums.
+    */
+  def q8Share(s: SparkSession, d: String): DataFrame = {
+    val suppNation = nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    region(s, d).filter(col("r_name") === "EUROPE")
+      .join(nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(part(s, d).filter(col("p_type") === "PROMO"),
+        col("p_partkey") === col("l_partkey"))
+      .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_1", vol)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(vol).cast("double"), 6).as("mkt_share"))
+  }
+
+  /** Q22 shape — wealthy inactives: customers whose balance exceeds
+    * the mean positive balance and who have placed no order since the
+    * recency cutoff (churned accounts), rolled up per nation. The mean
+    * is a 1-row broadcast (scalar subquery), the "no recent orders"
+    * test a left-anti join with the date predicate pushed below it —
+    * the two plan features the classic query exists to exercise.
+    */
+  def q22Inactive(s: SparkSession, d: String): DataFrame = {
+    val avgBal = customer(s, d).filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    customer(s, d)
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >=
+            lit("1998-06-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4" -> (q4Priority _),
+    "q_tpch_q8" -> (q8Share _),
+    "q_tpch_q22" -> (q22Inactive _),
     "q_tpch_q3" -> (q3Shipping _),
     "q_tpch_q5" -> (q5Region _),
     "q_tpch_q7" -> (q7Volume _),
@@ -142,6 +213,42 @@ object TpchStyle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(
+        |    CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM region
+        |JOIN nation cn ON cn.n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = cn.n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -157,6 +157,69 @@ object Clustering {
       .limit(5)
   }
 
+  private val nSub = 8
+  private val subDim = 8
+
+  /** Product-quantization ANN — the codebook counterpart to the int8
+    * scalar path: the 64-dim space splits into 8 subspaces of 8 dims,
+    * each sub-vector is encoded as the id of its nearest codeword
+    * (codebook = sub-vectors of the first 16 embeddings; a trained
+    * codebook slots in identically), and query distance is estimated
+    * by ADC — one 8x16 lookup table built from the query, then a sum
+    * of 8 table entries per corpus vector. At 100 TB the candidate
+    * scan reads 8 SMALL code ids per vector (vs 64 floats), and the
+    * LUT join is a broadcast of 128 rows; the exact cosine runs only
+    * on the 32 survivors. All quantized arithmetic is micro-unit
+    * BIGINT — distances are exact integers, so candidate ranking is
+    * bit-identical in any engine.
+    */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      microVec(col("embedding")).as("m"),
+      transform(col("embedding"), x => x.cast("double")).as("le"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("m").as("cm"))
+    def sub(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
+    // encode: per-subspace argmin over the broadcast codebook, all 8
+    // subspaces in one pass (argmin via min-of-struct, cid tie-break)
+    val subAggs = (0 until nSub).map { j =>
+      min(struct(dist2(sub(col("m"), j), sub(col("cm"), j)).as("d"),
+        col("cid").as("cid"))).as(s"c$j")
+    }
+    val codes = e.select(col("vec_id"), col("m"))
+      .crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(subAggs.head, subAggs.tail: _*)
+      .select(col("vec_id"), posexplode(
+        array((0 until nSub).map(j => col(s"c$j.cid")): _*))
+        .as(Seq("j", "code")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("m").as("qm"), col("le").as("qe"))
+    // ADC lookup table: query sub-vector -> every codeword, 8x16 rows
+    val lut = cents.crossJoin(broadcast(q))
+      .select(col("cid").as("code"), posexplode(
+        array((0 until nSub).map(j =>
+          dist2(sub(col("cm"), j), sub(col("qm"), j))): _*))
+        .as(Seq("j", "l")))
+      .select(col("j"), col("code"), col("l"))
+    val dotD = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    codes.join(broadcast(lut), Seq("j", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("l")).as("est"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("est"), col("vec_id"))
+      .limit(32)
+      .join(e.select(col("vec_id"), col("le")), "vec_id")
+      .crossJoin(broadcast(q.select(col("qe"))))
+      .select(col("vec_id"),
+        round(dotD(col("le"), col("qe")) /
+          (sqrt(dotD(col("le"), col("le"))) *
+            sqrt(dotD(col("qe"), col("qe")))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Class-conditional embedding statistics over the labeled corpus:
     * per label, member count plus exact integer fingerprints of the
     * class centroid (component sum) and the second moment (norm²
@@ -194,6 +257,7 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_kmeans" -> (kmeans _),
     "q_knn_int8" -> (knnInt8 _),
+    "q_knn_pq" -> (knnPq _),
     "q_knn_label_stats" -> (labelStats _),
     "q_knn_audit" -> (embeddingAudit _),
   )
@@ -257,6 +321,40 @@ object Clustering {
          |SELECT label, count(*) AS n_vecs, sum(csum)::BIGINT AS comp_sum,
          |  sum(n2)::BIGINT AS norm2_sum
          |FROM per GROUP BY label""".stripMargin,
+    "q_knn_pq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $microSql AS m,
+         |    list_transform(embedding, x -> x::DOUBLE) AS le
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id::INT AS cid, m AS cm FROM v WHERE vec_id < 16),
+         |encd AS (
+         |  SELECT v.vec_id, t.j, c.cid,
+         |    ${d2Sql("list_slice(v.m, t.j*8+1, t.j*8+8)",
+                      "list_slice(c.cm, t.j*8+1, t.j*8+8)")} AS dd
+         |  FROM v, range(8) t(j), cents c),
+         |codes AS (
+         |  SELECT vec_id, j, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |      ORDER BY dd, cid) AS rn
+         |    FROM encd) x WHERE rn = 1),
+         |q AS (SELECT m AS qm, le AS qe FROM v WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT t.j, c.cid AS code,
+         |    ${d2Sql("list_slice(c.cm, t.j*8+1, t.j*8+8)",
+                      "list_slice(q.qm, t.j*8+1, t.j*8+8)")} AS l
+         |  FROM cents c, range(8) t(j), q),
+         |est AS (
+         |  SELECT codes.vec_id, sum(lut.l) AS est
+         |  FROM codes JOIN lut USING (j, code) GROUP BY 1),
+         |top32 AS (
+         |  SELECT vec_id, est FROM est WHERE vec_id <> 0
+         |  ORDER BY est, vec_id LIMIT 32)
+         |SELECT t.vec_id,
+         |  round(list_inner_product(v.le, q.qe) /
+         |    (sqrt(list_inner_product(v.le, v.le)) *
+         |     sqrt(list_inner_product(q.qe, q.qe))), 6) AS sim
+         |FROM top32 t JOIN v ON v.vec_id = t.vec_id, q
+         |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin,
     "q_knn_int8" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le

@@ -188,6 +188,35 @@ object TextAnalysis {
           .as("p_micro"))
   }
 
+  /** LM-based document scoring — the perplexity-filter shape with the
+    * transcendentals removed: each document's bigrams are looked up in
+    * the corpus bigram LM (`bigramLm`) and the integer micro-unit
+    * conditional probabilities summed, plus an OOV count for bigrams
+    * the LM pruned. Exact BIGINT arithmetic end-to-end (a log-prob sum
+    * would drift with partition order); ranking behavior matches the
+    * real filter — templated text scores high, noise scores low with
+    * high OOV. The LM table is vocabulary-bounded, so the lookup join
+    * broadcasts at any corpus scale; the per-doc rollup is one
+    * map-side-combinable aggregation.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val lm = bigramLm(s, d).select(col("w1"), col("w2"), col("p_micro"))
+    val pairs = documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode_outer(
+        expr("transform(sequence(0, size(t) - 2)," +
+          " i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    pairs.join(broadcast(lm), Seq("w1", "w2"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("p_micro").isNull, 1)).as("n_oov"),
+        sum(coalesce(col("p_micro"), lit(0L))).as("score_micro"))
+      .withColumn("avg_micro", expr("score_micro DIV n_bigrams"))
+  }
+
   /** One BPE training step at corpus scale: the 20 most frequent
     * adjacent symbol pairs (here: character pairs inside whitespace
     * tokens — the starting alphabet of byte-pair encoding). The real
@@ -246,6 +275,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lm_score" -> (lmScore _),
     "q_text_stats" -> (textStats _),
     "q_text_langid" -> (langId _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -331,6 +361,27 @@ object TextAnalysis {
         |SELECT c12.w1, c12.w2, c12.c12,
         |  CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
         |FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5""".stripMargin,
+    "q_text_lm_score" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        |           WHERE len(str_split(text, ' ')) >= 2),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM t) z
+        |  WHERE i < len(t)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |lm AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
+        |  FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5),
+        |sc AS (
+        |  SELECT p.doc_id, count(*) AS n_bigrams,
+        |    count(*) FILTER (lm.p_micro IS NULL) AS n_oov,
+        |    sum(COALESCE(lm.p_micro, 0)) AS score_micro
+        |  FROM pairs p LEFT JOIN lm USING (w1, w2)
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, n_bigrams, n_oov, score_micro,
+        |  score_micro // n_bigrams AS avg_micro FROM sc""".stripMargin,
     "q_text_bpe_step" ->
       """SELECT pair, count(*) AS n FROM (
         |  SELECT unnest(list_transform(range(1, length(w)),
