@@ -37,4 +37,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(nTri == idCount, s"degree-oriented $nTri vs id-oriented $idCount")
     assert(nTri > 0, "fixture graph should contain triangles")
   }
+
+  test("pagerank conserves mass up to truncation and is deterministic") {
+    val spark = TestSpark.spark
+    val rows = GraphOps.pagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0L), "every rank positive")
+    // each DIV truncates, so total mass can only shrink from SCALE —
+    // but per-iteration loss is bounded by (n vertices + m edge
+    // contributions) sub-unit remainders: far under 10% here
+    val total = rows.map(x => BigInt(x._2)).sum
+    val scale = BigInt(1000000000000L)
+    assert(total <= scale, s"mass grew: $total")
+    assert(total > scale * 9 / 10, s"mass lost beyond truncation: $total")
+    // exact integer arithmetic ⇒ re-running is bit-identical
+    val again = GraphOps.pagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -37,6 +37,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q4/q8/q22 keep semi/anti joins hash-based, no nested loops") {
+    val semi = plan("q_tpch_q4")
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = plan("q_tpch_q22")
+    assert(anti.contains("LeftAnti"), anti)
+    Seq(semi, plan("q_tpch_q8")).foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // q22's mean-balance threshold is a 1-ROW broadcast compared under
+    // a non-equi predicate — the canonical scalar-subquery plan IS a
+    // BroadcastNestedLoopJoin with a single build row (cost O(probe)),
+    // so only the unbounded shapes are banned here
+    assert(!anti.contains("CartesianProduct"), anti)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(anti).size == 1, anti)
+  }
+
   test("q10/q18 broadcast their small sides and avoid nested loops") {
     Seq("q_tpch_q10", "q_tpch_q18").foreach { q =>
       val p = plan(q)

@@ -71,4 +71,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.head == brute.head,
       s"int8 top-1 ${got.head} != exact top-1 ${brute.head}")
   }
+
+  test("pq rescore agrees with brute force on the top result") {
+    val spark = TestSpark.spark
+    val got = Clustering.knnPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 5)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq)
+    val brute = Similarity.knnBrute(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // ADC keeps 32 of ~500 candidates from 8-dim sub-distances; the
+    // exact top-1 must survive the coarse phase on this corpus
+    assert(got.head == brute.head,
+      s"pq top-1 ${got.head} != exact top-1 ${brute.head}")
+  }
 }

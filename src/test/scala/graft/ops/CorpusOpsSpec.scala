@@ -73,4 +73,55 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"stratified($lang)=${strat.get(lang)} < flat $n")
     }
   }
+
+  test("canonical selection keeps exactly one longest doc per dup group") {
+    val spark = TestSpark.spark
+    val rows = Dedup.canonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty, "fixture should contain dup groups")
+    val chars = documents(spark, dir).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length == 1, s"group $g has ${canon.length} canonicals")
+      assert(members.forall(_._3 == canon.head._1),
+        s"group $g members disagree on canonical_id")
+      val cChars = chars(canon.head._1)
+      members.foreach { m =>
+        assert(chars(m._1) < cChars ||
+          (chars(m._1) == cChars && m._1 >= canon.head._1),
+          s"group $g: member ${m._1} beats canonical ${canon.head._1}")
+      }
+    }
+  }
+
+  test("semantic dedup witnesses are lower-id cell-mates above threshold") {
+    val spark = TestSpark.spark
+    val rows = Similarity.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, dupOf, sim) =>
+      assert(dupOf < v, s"witness $dupOf must precede $v")
+      assert(sim >= 0.3, s"below-threshold witness survived: $sim")
+    }
+    // pruning is stable: a vec appears at most once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("lm score sums are consistent with integer division") {
+    val spark = TestSpark.spark
+    val rows = TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nBi, nOov, score, avg) =>
+      assert(nOov >= 0 && nOov <= nBi)
+      assert(score >= 0)
+      // avg = score DIV n  ⇒  avg·n ≤ score < (avg+1)·n
+      assert(avg * nBi <= score && score < (avg + 1) * nBi,
+        s"avg=$avg n=$nBi score=$score")
+      // every in-vocab bigram contributes p_micro ≤ 1e6
+      assert(score <= (nBi - nOov) * 1000000L,
+        s"score $score exceeds max mass for ${nBi - nOov} in-vocab bigrams")
+    }
+  }
 }
