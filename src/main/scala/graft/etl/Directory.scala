@@ -200,6 +200,29 @@ object Directory {
     fromParquet(spark, s"$dir/$v")
   }
 
+  /** Small-file compaction for the snapshot store: re-publish the
+    * current version rewritten into ⌈rows / targetRows⌉ dn-hashed
+    * files. A polling CDC deployment commits a snapshot version per
+    * micro-batch, and each commit's file count follows the write
+    * parallelism, not the data — after a day of 20 s cycles the store
+    * is thousands of KB-sized files and every scan pays per-file open
+    * cost (the classic small-file problem; table formats run the same
+    * OPTIMIZE pass). Contents are untouched; the pointer-swap in
+    * `save` keeps readers isolated, and `load` needs no hint that a
+    * compaction happened. Returns the file count written.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetRows: Long = 1L << 20): Int = {
+    val snap = load(spark, dir)
+    val files = math.max(1L,
+      (snap.count() + targetRows - 1) / targetRows).toInt
+    // hash-repartition on the row key: bounded, evenly-spread files
+    // (coalesce would keep whatever skew the write parallelism left)
+    import spark.implicits._
+    save(snap.repartition(files, col("dn")).as[Entry], dir)
+    files
+  }
+
   /** Partition-pruned persistence: layout the snapshot by parent dn so
     * the engine's frequent LEVEL scans (`parentDn === base`, uidmap
     * build, GC sweep) read one partition directory instead of the whole

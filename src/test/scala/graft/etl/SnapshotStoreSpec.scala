@@ -21,6 +21,28 @@ class SnapshotStoreSpec extends AnyFunSuite {
       snap.filter(_.dn.contains("ph08")).count())
   }
 
+  test("compaction bounds file count and preserves contents exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val snap = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate a fragmented store: one commit with write parallelism 16
+    Directory.save(snap.repartition(16).as[Directory.Entry], dir)
+    def liveFiles: Int = {
+      val v = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/CURRENT")).trim
+      new java.io.File(s"$dir/$v").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    assert(liveFiles == 16, s"fragmented store expected, got $liveFiles")
+    val before = Directory.dump(Directory.load(spark, dir))
+    val written = Directory.compact(spark, dir)
+    assert(written == 1 && liveFiles == 1,
+      s"expected 1 compacted file, got $written/$liveFiles")
+    assert(Directory.dump(Directory.load(spark, dir)) == before,
+      "compaction must not change snapshot contents")
+  }
+
   test("partitioned layout prunes LEVEL scans to one partition") {
     val spark = TestSpark.spark
     val snap = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
