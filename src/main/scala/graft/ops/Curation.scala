@@ -146,6 +146,24 @@ object Curation {
         .cast("long") % 1000 < 100)
       .select(col("doc_id"), col("lang"))
 
+  /** Deterministic train/val/test split: each document lands in a
+    * split by a content-keyed hash bucket (98/1/1) — the assignment is
+    * a pure function of the text, so it is stable across runs, ingest
+    * order, cluster size, and engine (no RNG, no global sort, zero
+    * shuffle), and near-dups of a test doc that survive dedup at least
+    * split consistently when byte-identical. The leakage-prone
+    * alternative — random split at read time — changes membership on
+    * every retry of a failed task.
+    */
+  def split(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test").as("split"))
+
   /** Stratified deterministic sampling: per-language rates (25% for
     * 'en', 10% otherwise) applied through the same content-keyed hash
     * cut as `sample` — so the operator is NARROW (zero shuffle beyond
@@ -379,6 +397,7 @@ object Curation {
     "q_cur_sources" -> (sources _),
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
+    "q_cur_split" -> (split _),
     "q_cur_stratified" -> (stratified _),
     "q_cur_quota" -> (quota _),
     "q_cur_incremental" -> (incrementalDedup _),
@@ -473,6 +492,15 @@ object Curation {
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,
         |  md5(c_name) AS pseudonym
         |FROM customer""".stripMargin,
+    "q_cur_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 98
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 = 98
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q_cur_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 100""".stripMargin,

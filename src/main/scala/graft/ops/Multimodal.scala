@@ -251,6 +251,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize plumbing: fit each decoded frame into a 256x256 box
+    * preserving aspect ratio — the thumbnail/normalize step between
+    * decode and feature extraction. Pure integer arithmetic over the
+    * decoded dimensions (row-local, zero shuffle beyond the decode
+    * pass); the actual pixel resample lives behind the same decoder
+    * seam as the decode itself. Upscaling is clamped (scale ≤ 1) like
+    * production thumbnailers.
+    */
+  def thumbnail(s: SparkSession, d: String): DataFrame =
+    mediaFeaturesWith(s, d, StubDecoder)
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("long_side") <= 256, col("width"))
+          .otherwise(expr("(width * 256) DIV long_side")).as("thumb_w"),
+        when(col("long_side") <= 256, col("height"))
+          .otherwise(expr("(height * 256) DIV long_side")).as("thumb_h"))
+
   /** Frame-sampling shape: explode a payload into N fixed-offset chunk
     * "frames" with per-frame hashes — the partition/explode plumbing of
     * video frame extraction, with the decoder stubbed.
@@ -266,6 +283,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_features" -> (mediaFeatures _),
     "q_mm_frames" -> (frameSample _),
+    "q_mm_thumbnail" -> (thumbnail _),
   )
 
   /** both the frame hashes and the stubbed decode features are
@@ -284,5 +302,18 @@ object Multimodal {
       """SELECT doc_id, frame_idx,
         |  md5(text || frame_idx::VARCHAR) AS frame_hash
         |FROM documents, (SELECT unnest(range(4)) AS frame_idx) f""".stripMargin,
+    "q_mm_thumbnail" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    (64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)::INT AS width,
+        |    (64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)::INT AS height
+        |  FROM documents),
+        |g AS (SELECT *, greatest(width, height) AS long_side FROM dims)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN long_side <= 256 THEN width
+        |       ELSE (width * 256) // long_side END AS thumb_w,
+        |  CASE WHEN long_side <= 256 THEN height
+        |       ELSE (height * 256) // long_side END AS thumb_h
+        |FROM g""".stripMargin,
   )
 }
