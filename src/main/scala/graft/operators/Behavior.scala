@@ -69,12 +69,49 @@ object Behavior {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** First-order transition matrix over the per-user event stream —
+    * the Markov-chain summary behind "what do users do next" path
+    * analysis and synthetic-session generators. One window pass for
+    * the successor (per-user, bounded partitions) and two combinable
+    * counts; the conditional probability is integer micro-units (one
+    * truncating division), so the matrix is engine-identical.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val pairs = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) DIV n_from").as("p_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_beh_transitions" -> (transitions _),
     "q_beh_funnel" -> (funnel _),
     "q_beh_cohort" -> (cohortRetention _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_beh_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  (1000000 * c.n) // t.n_from AS p_micro
+        |FROM c JOIN t USING (from_type)""".stripMargin,
     "q_beh_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type
         |           FROM events),

@@ -160,6 +160,40 @@ object Similarity {
       .filter(col("sim") >= 0.3)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector (the first 10), the 3 most-similar corpus vectors
+    * carrying a DIFFERENT label (the negatives that sit closest to the
+    * decision boundary are the ones worth training on). Same broadcast
+    * + two-stage salted top-k as `knnBatch` — the label inequality is
+    * a residual predicate on the broadcast join, so the scan shape is
+    * unchanged and the window never funnels the corpus through 10
+    * reducers.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("le"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("le").as("qe"))
+    val scored = e.filter(col("vec_id") >= 10)
+      .join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .withColumn("salt", pmod(col("vec_id"), lit(64)))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "salt")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= 3)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Squared L2 distance from three in-order inner products — the same
     * arithmetic as the SQL oracle (a zip-fold difference would sum in a
     * different order and drift in the last ulp).
@@ -242,6 +276,7 @@ object Similarity {
     "q_knn_ivf" -> (knnIvf _),
     "q_dedup_embed" -> (embedDupPairs _),
     "q_dedup_semantic" -> (semanticDedup _),
+    "q_knn_hardneg" -> (hardNegatives _),
   )
 
   /** DuckDB mirror of `ivfAssign` — nearest coarse cell per vector. */
@@ -264,6 +299,22 @@ object Similarity {
     "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"
 
   val oracles: Map[String, String] = Map(
+    "q_knn_hardneg" ->
+      s"""WITH v AS (SELECT vec_id, label,
+         |             list_transform(embedding, x -> x::DOUBLE) AS le
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, le AS qe
+         |      FROM v WHERE vec_id < 10),
+         |e AS (SELECT * FROM v WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, round($cosSql, 6) AS sim
+         |  FROM e JOIN q ON e.label <> q.qlabel)
+         |SELECT qid, rank, vec_id, sim FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH $cellSql,
          |p AS (
