@@ -219,6 +219,25 @@ object Curation {
         sum(col("c_dt") * col("w")).as("score_micro"))
   }
 
+  /** Temperature-weighted source mixture (T = 0.5): sampling weights
+    * ∝ √(source volume), the standard up-weighting of small
+    * high-quality sources when composing a training mix. Integer
+    * square roots (floor-exact for any BIGINT count) keep the whole
+    * computation in exact integer arithmetic — micro-unit weights are
+    * engine-identical, and the final division is a truncating integer
+    * op, not a float. One combinable count keyed on `source` plus a
+    * 1-row broadcast of the normalizer.
+    */
+  def mixture(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("isqrt", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = cnt.agg(sum(col("isqrt")).as("sum_isqrt"))
+    cnt.join(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("(1000000 * isqrt) DIV sum_isqrt").as("weight_micro"))
+  }
+
   /** Fixed-weight linear quality classifier — the fastText-style
     * "keep/drop" gate of a curation run, with the trained weights
     * frozen as constants (training happens offline; serving is just
@@ -391,6 +410,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cur_boilerplate" -> (boilerplate _),
     "q_cur_classifier" -> (classifier _),
+    "q_cur_mixture" -> (mixture _),
     "q_cur_repetition" -> (repetition _),
     "q_cur_contamination" -> (contamination _),
     "q_cur_dsir" -> (dsir _),
@@ -492,6 +512,15 @@ object Curation {
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,
         |  md5(c_name) AS pseudonym
         |FROM customer""".stripMargin,
+    "q_cur_mixture" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS isqrt
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(isqrt) AS sum_isqrt FROM c)
+        |SELECT source, n_docs,
+        |  (1000000 * isqrt) // (SELECT sum_isqrt FROM t) AS weight_micro
+        |FROM c""".stripMargin,
     "q_cur_split" ->
       """SELECT doc_id,
         |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,

@@ -237,6 +237,28 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** Overlapping token-window chunking — the context-window slicing
+    * step of RAG indexing / LM training prep: windows of 32 tokens at
+    * stride 24 (8-token overlap so no boundary context is lost), each
+    * with its token count and content hash. Entirely row-local (one
+    * explode per window, slices clamp at document end); chunk identity
+    * is content-keyed so re-chunking a changed corpus only re-embeds
+    * changed windows.
+    */
+  def chunk(s: SparkSession, d: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    val chunkSlice = slice(col("t"), col("chunk_idx") * stride + 1, lit(win))
+    documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, (size(t) - 1) DIV $stride)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(chunkSlice).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunkSlice)).as("chunk_hash"))
+  }
+
   /** Per-language Simpson diversity of the token distribution:
     * 1 − Σc²/N² in integer micro-units — the corpus-mix diagnostic
     * (low diversity = crawl full of templated text). Exact BIGINT
@@ -275,6 +297,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunks" -> (chunk _),
     "q_text_lm_score" -> (lmScore _),
     "q_text_stats" -> (textStats _),
     "q_text_langid" -> (langId _),
@@ -361,6 +384,16 @@ object TextAnalysis {
         |SELECT c12.w1, c12.w2, c12.c12,
         |  CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
         |FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5""".stripMargin,
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |x AS (SELECT doc_id, t,
+        |        unnest(range(((len(t) - 1) // 24) + 1)) AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  len(t[(chunk_idx*24 + 1):(chunk_idx*24 + 32)]) AS n_tokens,
+        |  md5(array_to_string(t[(chunk_idx*24 + 1):(chunk_idx*24 + 32)], ' '))
+        |    AS chunk_hash
+        |FROM x""".stripMargin,
     "q_text_lm_score" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
         |           WHERE len(str_split(text, ' ')) >= 2),
