@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash(tokens) - 16-bit SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHashExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - in-order dot product of two double arrays"),
+      (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_edit_within"),
       info("graft_edit_within",
         "graft_edit_within(a, b, k) - true if levenshtein(a, b) <= k"),

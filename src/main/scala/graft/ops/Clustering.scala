@@ -137,11 +137,8 @@ object Clustering {
     val dotInt = aggregate(
       zip_with(col("q"), col("qq"), (x, y) => x * y),
       lit(0L), (acc, x) => acc + x)
-    val dotExact = aggregate(
-      zip_with(col("le"), col("qe"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val norm = (c: Column) => sqrt(aggregate(
-      zip_with(c, c, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    val dotExact = graft.functions.DotExpr.dot(col("le"), col("qe"))
+    val norm = (c: Column) => sqrt(graft.functions.DotExpr.dot(c, c))
     enc.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       // quantized estimate: integer dot rescaled by the two max-abs
@@ -202,8 +199,7 @@ object Clustering {
           dist2(sub(col("cm"), j), sub(col("qm"), j))): _*))
         .as(Seq("j", "l")))
       .select(col("j"), col("code"), col("l"))
-    val dotD = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dotD = (a: Column, b: Column) => graft.functions.DotExpr.dot(a, b)
     codes.join(broadcast(lut), Seq("j", "code"))
       .groupBy("vec_id")
       .agg(sum(col("l")).as("est"))

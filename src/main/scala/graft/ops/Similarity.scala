@@ -23,9 +23,13 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  /** In-order fold dot product (deterministic, codegen'd). */
+  /** In-order fold dot product — the native expression (tight codegen
+    * loop; the HOF `aggregate(zip_with(...))` form evaluates its
+    * lambdas interpreted per element). Bit-identical to the lambda
+    * fold and to DuckDB's `list_inner_product`.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotExpr.dot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
