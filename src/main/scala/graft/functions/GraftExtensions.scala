@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot(a, b) - in-order dot product of two double arrays"),
       (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist",
+        "graft_sqdist(a, b) - exact squared L2 over two bigint arrays"),
+      (exprs: Seq[Expression]) => SqDistExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long",
+        "graft_dot_long(a, b) - exact dot product of two bigint arrays"),
+      (exprs: Seq[Expression]) => DotLongExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_edit_within"),
       info("graft_edit_within",
         "graft_edit_within(a, b, k) - true if levenshtein(a, b) <= k"),

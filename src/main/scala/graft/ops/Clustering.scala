@@ -30,13 +30,14 @@ object Clustering {
   private def microVec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** In-order fold of squared L2 distance over two long vectors —
-    * values ≤ 1.2e6 per dim, so the per-dim square ≤ 1.5e12 and the
-    * 64-dim sum ≤ 1e14: exact in BIGINT, no floating point at all.
+  /** Squared L2 distance over two long vectors — values ≤ 1.2e6 per
+    * dim, so the per-dim square ≤ 1.5e12 and the 64-dim sum ≤ 1e14:
+    * exact in BIGINT, no floating point at all. The native expression
+    * (tight codegen loop) replaces the interpreted lambda fold in the
+    * hottest loops the engine has — k-means assignment and PQ encode.
     */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.LongVecExprs.sqDist(a, b)
 
   /** Lloyd's k-means over the embedding corpus: k=8, centroids seeded
     * from the first k vectors, `iters` centroid updates, then a final
@@ -134,9 +135,7 @@ object Clustering {
     val q = enc.filter(col("vec_id") === 0)
       .select(col("q").as("qq"), col("scale").as("qscale"),
         col("le").as("qe"))
-    val dotInt = aggregate(
-      zip_with(col("q"), col("qq"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+    val dotInt = graft.functions.LongVecExprs.dotLong(col("q"), col("qq"))
     val dotExact = graft.functions.DotExpr.dot(col("le"), col("qe"))
     val norm = (c: Column) => sqrt(graft.functions.DotExpr.dot(c, c))
     enc.filter(col("vec_id") =!= 0)
