@@ -54,6 +54,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(anti).size == 1, anti)
   }
 
+  test("row-local curation/text ops compile to zero-shuffle plans") {
+    // classifier, split, chunking, thumbnail: pure per-row arithmetic —
+    // an Exchange appearing here means someone added an accidental
+    // wide dependency to a scan-bounded operator
+    Seq("q_cur_classifier", "q_cur_split", "q_text_chunks").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle:\n$p")
+    }
+    // thumbnail inherits the decode repartition (one Exchange by
+    // design — the decoder batch co-location); nothing beyond it
+    val t = plan("q_mm_thumbnail")
+    assert("Exchange".r.findAllIn(t).size == 1, t)
+  }
+
   test("q10/q18 broadcast their small sides and avoid nested loops") {
     Seq("q_tpch_q10", "q_tpch_q18").foreach { q =>
       val p = plan(q)
