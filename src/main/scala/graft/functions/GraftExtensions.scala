@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash(tokens) - 16-bit SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHashExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(tokens) - 16-permutation MinHash signature"),
+      (exprs: Seq[Expression]) => MinHashExpr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - in-order dot product of two double arrays"),

@@ -66,19 +66,35 @@ object Dedup {
 
   /** Seeds for the 16 MinHash permutations: one md5 per word, then 16
     * xor-mixes — 16× cheaper than 16 salted md5s and identically
-    * mirrorable in SQL. Golden-ratio odd multiples, masked positive.
+    * mirrorable in SQL. Golden-ratio odd multiples, masked positive
+    * (single source of truth: the native expression's seed table).
     */
-  val minhashSeeds: Seq[Long] =
-    (0 until 16).map(i => (0x9E3779B97F4A7C15L * (2 * i + 1)) & Long.MaxValue)
+  val minhashSeeds: Seq[Long] = graft.functions.MinHashExpr.seeds.toSeq
 
-  /** 16-permutation MinHash signature: explode distinct words once, take
-    * 16 per-doc minima of seed-mixed hashes — one shuffle (groupBy
-    * doc_id), map-side partial min keeps it light. The fixture is one
-    * parquet row group ⇒ one scan partition, so the hash-heavy map side
-    * is explicitly rebalanced across cores first (at real scale the
-    * file count does this for free).
+  /** 16-permutation MinHash signature via the native row-local
+    * expression (graft.functions.MinHashExpr): md5 per distinct token,
+    * 16 xor-mixed minima, ZERO shuffle — a narrow map the LSH banding
+    * consumes directly. The exploded groupBy formulation (which
+    * shuffles the entire tokenized corpus at 100 TB) survives as
+    * `minhashSigExploded`, the executable spec the native kernel is
+    * verified against. The fixture is one parquet row group ⇒ one scan
+    * partition, so the hash-heavy map is explicitly rebalanced across
+    * cores first (at real scale the file count does this for free).
     */
   def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val sig = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), graft.functions.MinHashExpr
+        .minhash(array_distinct(tokens(col("text")))).as("sig"))
+    sig.select(col("doc_id") +: (0 until 16).map(i =>
+      element_at(col("sig"), i + 1).as(s"m$i")): _*)
+  }
+
+  /** The explode+groupBy twin of `minhashSig` — identical output by
+    * construction; kept as the property-test oracle for the native
+    * kernel (MinHashExprSpec asserts bit-equality).
+    */
+  def minhashSigExploded(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
