@@ -56,6 +56,23 @@ object FunctionOps {
         round(min(col("value")), 6).as("vmin"),
         round(max(col("value")), 6).as("vmax"))
 
+  /** A16 — robust dispersion: median absolute deviation of the event
+    * value per type (the outlier-resistant spread metric data-quality
+    * monitors alarm on; a few corrupt readings move stddev, not MAD).
+    * Two exact-percentile aggregations with the per-group median
+    * broadcast between them — at scale both keep map-side partials and
+    * the 1-row-per-group median join broadcasts.
+    */
+  def mad(s: SparkSession, d: String): DataFrame = {
+    val med = events(s, d).groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    events(s, d)
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+  }
+
   /** F-string breadth: edit distance, translate, repeat, pad. */
   def stringFns(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -106,6 +123,7 @@ object FunctionOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_a16_mad" -> (mad _),
     "q_f_convert" -> (fConvert _),
     "q_f5_multival" -> (fMultival _),
     "q_f8_parse" -> (fParse _),
@@ -118,6 +136,15 @@ object FunctionOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_a16_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+        |  count(*) AS n
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q_f16_topk_udaf" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey,

@@ -200,7 +200,31 @@ object TpchStyle {
         sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
   }
 
+  /** Q17 shape — small-quantity revenue: lineitems of one brand whose
+    * quantity is under 20% of that part's average quantity. The
+    * classic CORRELATED scalar subquery; set-based it decorrelates
+    * into a per-part aggregate joined back — which is exactly the plan
+    * Catalyst's decorrelation produces from the SQL form, here written
+    * directly. The per-part average is grouped on the join key, so
+    * both sides share partitioning, and the brand filter semi-reduces
+    * the aggregate input via the part dim BEFORE the fact scan
+    * aggregates.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val brandParts = part(s, d).filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    val li = lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 6)
+        .as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q17" -> (q17SmallQty _),
     "q_tpch_q4" -> (q4Priority _),
     "q_tpch_q8" -> (q8Share _),
     "q_tpch_q22" -> (q22Inactive _),
@@ -213,6 +237,15 @@ object TpchStyle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q17" ->
+      """SELECT round(
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+        |  6) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT avg(l_quantity) FROM lineitem
+        |    WHERE l_partkey = p_partkey)""".stripMargin,
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -64,6 +64,28 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Shingle containment |A∩B| / |A| for the adjacent-pair chain — the
+    * ASYMMETRIC near-dup signal: a short quote inside a long article
+    * has low Jaccard but containment ≈ 1, which is exactly the
+    * truncation/quotation case symmetric Jaccard misses. Same row-local
+    * shingle kernel as `ngramJaccard`; at scale the pair source is the
+    * LSH candidates, not the adjacency chain.
+    */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t")).as("sh"))
+    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(col("sh_a")), 6).as("containment_a"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(col("sh_b")), 6).as("containment_b"))
+  }
+
   /** Seeds for the 16 MinHash permutations: one md5 per word, then 16
     * xor-mixes — 16× cheaper than 16 salted md5s and identically
     * mirrorable in SQL. Golden-ratio odd multiples, masked positive
@@ -314,6 +336,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_containment" -> (containment _),
     "q_dedup_minhash_sig" -> (minhashSig _),
     "q_dedup_lsh_pairs" -> (lshPairs _),
     "q_dedup_simhash" -> (simhash _),
@@ -393,6 +416,19 @@ object Dedup {
         |    AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_dedup_minhash_sig" -> sigSql,
+    "q_dedup_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(len(t) - 2),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents) x
+        |  WHERE len(t) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+        |    AS containment_a,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 6)
+        |    AS containment_b
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_dedup_lsh_pairs" -> {
       val bands = (0 until 4).map { b =>
         val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
