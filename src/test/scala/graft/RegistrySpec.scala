@@ -20,6 +20,15 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("every query is oracle-gated (no rows-only checks)") {
+    // the engine's standing invariant since round 4: 100% of the
+    // registered surface hash-compares against DuckDB — a new query
+    // without an oracle silently downgrades its own gate to rows-only,
+    // which this pins against
+    val unguarded = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unguarded.isEmpty, s"queries without oracles: $unguarded")
+  }
+
   test("flagship entry returns rows") {
     val n = SparkEntry.entry(graft.etl.TestSpark.spark).count()
     assert(n > 0)
