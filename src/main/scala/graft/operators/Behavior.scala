@@ -93,13 +93,65 @@ object Behavior {
         expr("(1000000 * n) DIV n_from").as("p_micro"))
   }
 
+  /** Top session paths: gap-sessionize (30-min inactivity), render
+    * each session's ordered event-type sequence as a path string,
+    * count the most common journeys. The per-session ordering is
+    * total ((ts, event_id)), so the path strings — and therefore the
+    * counts — are deterministic; the path space is in practice
+    * vocabulary-bounded, so the final count is a small aggregation and
+    * the top-k a TakeOrdered, never a global sort.
+    */
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val brk = when(lag(col("ts_ns"), 1).over(w).isNull ||
+      col("ts_ns") - lag(col("ts_ns"), 1).over(w) >= 1800000000000L, 1L)
+      .otherwise(0L)
+    val sess = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"))
+      .withColumn("brk", brk)
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    sess.groupBy("user_id", "sid")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("ts_ns"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_beh_paths" -> (sessionPaths _),
     "q_beh_transitions" -> (transitions _),
     "q_beh_funnel" -> (funnel _),
     "q_beh_cohort" -> (cohortRetention _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_beh_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+        |              >= 1800000000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY tns, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_beh_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -176,6 +176,30 @@ object Dedup {
       .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h"))))
   }
 
+  /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: the
+    * fraction of agreeing signature components estimates J(A,B) —
+    * the verification step production dedup actually runs at scale,
+    * because it reads 16 longs per side instead of re-shingling both
+    * documents (the exact-Jaccard verify rereads the corpus). Two
+    * broadcast-sized joins against the signature table; the estimate
+    * is an exact integer ratio (matches/16 in micro-units).
+    */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val sigA = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until 16).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    lshPairs(s, d)
+      .join(sigA, "doc_a")
+      .join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), matches.as("n_match"))
+      .withColumn("jaccard_est_micro", expr("(1000000 * n_match) DIV 16"))
+  }
+
   /** SimHash near-dup pairs: block on the two 8-bit halves of the
     * 16-bit signature, then verify candidates row-local with an exact
     * popcount. Recall is guaranteed only for Hamming distance ≤ 1 (one
@@ -339,6 +363,7 @@ object Dedup {
     "q_dedup_containment" -> (containment _),
     "q_dedup_minhash_sig" -> (minhashSig _),
     "q_dedup_lsh_pairs" -> (lshPairs _),
+    "q_dedup_minhash_est" -> (minhashEstimate _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_dedup_groups" -> (dupGroups _),
@@ -446,6 +471,30 @@ object Dedup {
     "q_dedup_groups" ->
       s"""$groupsCte
          |SELECT doc_id, dup_group FROM groups""".stripMargin,
+    "q_dedup_minhash_est" -> {
+      val bands = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+      }.mkString(" UNION ALL ")
+      val matchSum = (0 until 16).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sig AS ($sigSql), bands0 AS ($bands),
+         |small AS (SELECT band, h FROM bands0 GROUP BY band, h
+         |          HAVING count(*) <= $maxBucket),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h)),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.h = y.h
+         |    AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT p.doc_a, p.doc_b, ($matchSum)::BIGINT AS n_match
+         |  FROM pairs p
+         |  JOIN sig a ON a.doc_id = p.doc_a
+         |  JOIN sig b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_match,
+         |  (1000000 * n_match) // 16 AS jaccard_est_micro FROM m""".stripMargin
+    },
     "q_dedup_canonical" ->
       s"""$groupsCte,
          |gd AS (SELECT g.doc_id, g.dup_group, d.n_chars
