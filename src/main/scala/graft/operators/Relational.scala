@@ -273,6 +273,27 @@ object Relational {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** SQL-frontend breadth: one statement combining a CTE, a dim join,
+    * and a window function — the "real analyst query" shape, run
+    * through `spark.sql` over registered views with an identical
+    * DuckDB text as its oracle (the dialect-portable subset). Proves
+    * the SQL entry point handles composed features, not just scans.
+    */
+  def sqlAnalytics(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_sa")
+    customer(s, d).createOrReplaceTempView("customer_sa")
+    s.sql(
+      """WITH ranked AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders_sa o JOIN customer_sa c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, o_orderkey, CAST(price AS DOUBLE) AS price, rn
+        |FROM ranked WHERE rn <= 5""".stripMargin)
+  }
+
   /** A12 — explicit GROUPING SETS (finer control than rollup/cube):
     * per-(flag,status), per-flag, and grand-total rows in one pass,
     * with grouping() flags disambiguating NULL group keys.
@@ -388,9 +409,20 @@ object Relational {
     "q_t4_except" -> (t4Except _),
     "q1_pricing" -> (q1Pricing _),
     "q_sql_frontend" -> (sqlFrontend _),
+    "q_sql_analytics" -> (sqlAnalytics _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_analytics" ->
+      """WITH ranked AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, o_orderkey, CAST(price AS DOUBLE) AS price, rn
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "q_s1_scan_project" ->
       "SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_partkey < 50",
     "q_s2_range_scan" ->
