@@ -86,13 +86,38 @@ object DataQuality {
       .agg(count(lit(1)).as("n_keys"),
         min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
 
+  /** Data-freshness audit: per event stream, volume, newest event
+    * time, and its lag behind the newest event anywhere — the
+    * staleness check every ingestion monitor alarms on (a source whose
+    * lag grows is a dead feed). Exact integer µs; one combinable
+    * aggregation plus a 1-row broadcast of the global high-water mark.
+    */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val g = events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(expr("ts_ns DIV 1000")).as("max_us"))
+    val tot = g.agg(max(col("max_us")).as("global_us"))
+    g.join(broadcast(tot))
+      .select(col("event_type"), col("n"), col("max_us"),
+        (col("global_us") - col("max_us")).as("lag_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_freshness" -> (freshness _),
     "q_dq_profile" -> (profile _),
     "q_dq_integrity" -> (integrity _),
     "q_dq_skew" -> (skew _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_freshness" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    max(epoch_ns(ts) // 1000) AS max_us
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, max_us,
+        |  (SELECT max(max_us) FROM g) - max_us AS lag_us
+        |FROM g""".stripMargin,
     "q_dq_profile" ->
       """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
         |  count(*) - count(c_custkey) AS n_null,

@@ -182,7 +182,30 @@ object Windows {
       .drop("ts_ns", "value")
   }
 
+  /** O11 — running EXACT distinct count without distinct-state: a
+    * row is flagged 1 iff it is the first occurrence of its
+    * (user, event_type), and the running sum of flags IS the running
+    * distinct-type count ("new behaviors discovered over time"). Two
+    * window passes, both keyed on bounded partitions — the trick
+    * replaces the per-row distinct-set state a naive implementation
+    * would carry (unbounded at 100 TB) with a rank test.
+    */
+  def runningDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstW = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_ns", "event_id")
+    val cumW = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"))
+      .withColumn("flag",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_types", sum(col("flag")).over(cumW))
+      .select(col("user_id"), col("event_id"), col("n_types"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_running_distinct" -> (runningDistinct _),
     "q_w_range_frame" -> (rangeFrame _),
     "q_w_ranks" -> (ranks _),
     "q_w_rolling" -> (rolling _),
@@ -196,6 +219,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts), event_id) = 1 THEN 1 ELSE 0 END AS flag
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  sum(flag) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS n_types
+        |FROM f""".stripMargin,
     "q_w_range_frame" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_10m,

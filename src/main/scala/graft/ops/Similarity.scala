@@ -256,6 +256,35 @@ object Similarity {
         col("w.sim").as("sim"))
   }
 
+  /** IVF multi-probe: the query probes its TWO nearest cells instead
+    * of one — the nprobe recall knob every IVF index exposes (a true
+    * neighbor just across a cell boundary is found at 2/16 of the
+    * corpus instead of 1/16). The probe set is a 2-row broadcast;
+    * corpus vectors still live in exactly one cell, so candidates stay
+    * duplicate-free.
+    */
+  def knnIvfMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssign(s, d)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("le").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("d2"), col("cid"))
+    val qCells = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("le"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("cid").as("qcell"), col("le").as("qe"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qCells), col("cell") === col("qcell"))
+      .select(col("vec_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** IVF-style ANN: every vector assigned to its nearest coarse cell
     * once, queries probe only their own cell. The inverted-list
     * counterpart to the hyperplane LSH path.
@@ -278,6 +307,7 @@ object Similarity {
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_lsh_multiprobe" -> (knnLshMultiProbe _),
     "q_knn_ivf" -> (knnIvf _),
+    "q_knn_ivf_multiprobe" -> (knnIvfMultiProbe _),
     "q_dedup_embed" -> (embedDupPairs _),
     "q_dedup_semantic" -> (semanticDedup _),
     "q_knn_hardneg" -> (hardNegatives _),
@@ -303,6 +333,19 @@ object Similarity {
     "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"
 
   val oracles: Map[String, String] = Map(
+    "q_knn_ivf_multiprobe" ->
+      s"""WITH $cellSql,
+         |qc AS (
+         |  SELECT cid AS qcell, le AS qe FROM (
+         |    SELECT cid, le, row_number() OVER (ORDER BY d2, cid) AS rn
+         |    FROM asg WHERE vec_id = 0) t WHERE rn <= 2),
+         |e AS (SELECT vec_id, le, cell FROM cell WHERE vec_id <> 0)
+         |SELECT e.vec_id,
+         |  round(list_inner_product(e.le, qc.qe) /
+         |    (sqrt(list_inner_product(e.le, e.le)) *
+         |     sqrt(list_inner_product(qc.qe, qc.qe))), 6) AS sim
+         |FROM e JOIN qc ON e.cell = qc.qcell
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
     "q_knn_hardneg" ->
       s"""WITH v AS (SELECT vec_id, label,
          |             list_transform(embedding, x -> x::DOUBLE) AS le
