@@ -33,6 +33,7 @@ object SparkEntry {
       (ops.TextAnalysis.queries, ops.TextAnalysis.oracles),
       (ops.Multimodal.queries, ops.Multimodal.oracles),
       (ops.Curation.queries, ops.Curation.oracles),
+      (ops.Sketches.queries, ops.Sketches.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Sketch operators — the one-pass approximate structures a 100 TB
+  * engine uses where exact answers need a sort or unbounded state:
+  * fixed-width histogram quantiles, count-min frequency estimates, and
+  * HyperLogLog distinct counts.
+  *
+  * Everything here is DETERMINISTIC and oracle-exact by construction —
+  * the sketches use md5-derived hashes and integer register math
+  * (powers of two as BIGINTs, not float sums), so the same estimate
+  * comes out of any engine at any parallelism. That property is not
+  * cosmetic: a sketch whose value depends on partition order cannot be
+  * regression-tested, compared across runs, or merged incrementally
+  * with confidence.
+  */
+object Sketches {
+
+  /** Histogram-sketch quantiles: one pass builds a 1000-bucket
+    * fixed-width histogram of the event values; p50/p99 are read from
+    * the cumulative counts (bucket lower edge). The scalable
+    * alternative to exact `percentile` — which must see all values per
+    * group — at the cost of a bounded bucket-width error. Threshold
+    * tests are integer (`cum·100 ≥ q·N`), so bucket selection cannot
+    * drift across engines.
+    */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("value"))
+    val bounds = ev.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"), count(lit(1)).as("n_total"))
+    val b = ev.join(broadcast(bounds))
+      .select(least(floor(lit(1000.0) * (col("value") - col("vmin"))
+        / (col("vmax") - col("vmin"))).cast("long"), lit(999L)).as("bucket"),
+        col("vmin"), col("vmax"), col("n_total"))
+      .groupBy("bucket", "vmin", "vmax", "n_total")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = b.withColumn("cum", sum(col("cnt")).over(w))
+    def edge(q: Int) = round(col("vmin") + col("bucket")
+      * (col("vmax") - col("vmin")) / 1000.0, 6)
+    val p50 = cum.filter(col("cum") * 100 >= lit(50) * col("n_total"))
+      .orderBy("bucket").limit(1).select(edge(50).as("p50_est"))
+    val p99 = cum.filter(col("cum") * 100 >= lit(99) * col("n_total"))
+      .orderBy("bucket").limit(1).select(edge(99).as("p99_est"))
+    p50.crossJoin(p99)
+  }
+
+  private val cmsDepth = 4
+  private val cmsWidth = 256
+
+  /** Count-min frequency estimation for the 20 most frequent terms:
+    * token occurrences hash into a 4×256 cell grid (md5 rows), the
+    * estimate is the min over the 4 row cells — always ≥ the exact
+    * count, overcounting only on collisions. The grid is a constant
+    * 1 KB of state regardless of vocabulary size — the point of the
+    * sketch — and the exact counts ride along to expose the error.
+    */
+  def cmsTopTerms(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(explode(Dedup.tokens(col("text"))).as("term"))
+    def cell(j: Int) = expr(
+      s"CAST(conv(substring(md5(concat('${j}_', term)), 1, 4), 16, 10) AS BIGINT) % $cmsWidth")
+    val grid = (0 until cmsDepth).map { j =>
+      occ.groupBy(cell(j).as("cell")).agg(count(lit(1)).as(s"c"))
+        .withColumn("row", lit(j))
+    }.reduce(_ unionByName _)
+    val top = occ.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(20)
+    val withCells = top.select(col("term") +: col("exact_n") +:
+      (0 until cmsDepth).map(j => cell(j).as(s"cell$j")): _*)
+    val est = (0 until cmsDepth).foldLeft(withCells) { (df, j) =>
+      df.join(broadcast(grid.filter(col("row") === j)
+          .select(col("cell").as(s"cell$j"), col("c").as(s"est$j"))),
+        Seq(s"cell$j"))
+    }
+    est.select(col("term"), col("exact_n"),
+      least((0 until cmsDepth).map(j => col(s"est$j")): _*).as("cms_est"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
+  /** HyperLogLog distinct-user estimate with 256 registers — and the
+    * register math kept EXACT: each register contributes
+    * 2^(53 − M[j]) as a BIGINT (the float form Σ2^−M is partition-
+    * order-sensitive in its low bits; scaling by 2^53 makes the sum an
+    * exact integer), so the harmonic mean — and therefore the
+    * estimate — is bit-identical in any engine. One double division at
+    * the end; exact distinct count alongside for the error.
+    */
+  def hllUsers(s: SparkSession, d: String): DataFrame = {
+    val m = 256
+    val hashed = events(s, d)
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+    val regs = hashed
+      .select(pmod(col("h"), lit(m.toLong)).as("reg"),
+        expr(s"h DIV $m").as("rest"))
+      // rank = leading-zero count of the 52-bit remainder + 1
+      //      = 53 − bit_length(rest); bin() gives exact bit length
+      .select(col("reg"),
+        when(col("rest") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("rest")))).as("rank"))
+      .groupBy("reg").agg(max(col("rank")).as("mj"))
+      .agg(count(lit(1)).as("m_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+          .as("sum_pow"))
+    val alpha = 0.7182725932857715 // alpha_256 = 0.7213/(1+1.079/256)
+    val exact = events(s, d).agg(countDistinct(col("user_id")).as("exact_n"))
+    regs.crossJoin(broadcast(exact))
+      .select(col("exact_n"),
+        round(lit(alpha * m * m) * lit(9007199254740992.0) // 2^53
+          / (col("sum_pow") + (lit(m.toLong) - col("m_present"))
+            * lit(9007199254740992L)).cast("double"), 6).as("hll_est"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sk_hist_quantile" -> (histQuantiles _),
+    "q_sk_cms" -> (cmsTopTerms _),
+    "q_sk_hll" -> (hllUsers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sk_hist_quantile" ->
+      """WITH bounds AS (
+        |  SELECT min(value) AS vmin, max(value) AS vmax,
+        |    count(*) AS n_total FROM events),
+        |b AS (
+        |  SELECT least(CAST(floor(1000.0 * (value - vmin) / (vmax - vmin))
+        |      AS BIGINT), 999) AS bucket,
+        |    vmin, vmax, n_total
+        |  FROM events, bounds),
+        |g AS (SELECT bucket, vmin, vmax, n_total, count(*) AS cnt
+        |      FROM b GROUP BY 1, 2, 3, 4),
+        |c AS (SELECT *, sum(cnt) OVER (ORDER BY bucket
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+        |p50 AS (SELECT round(vmin + bucket * (vmax - vmin) / 1000.0, 6)
+        |          AS p50_est
+        |        FROM c WHERE cum * 100 >= 50 * n_total
+        |        ORDER BY bucket LIMIT 1),
+        |p99 AS (SELECT round(vmin + bucket * (vmax - vmin) / 1000.0, 6)
+        |          AS p99_est
+        |        FROM c WHERE cum * 100 >= 99 * n_total
+        |        ORDER BY bucket LIMIT 1)
+        |SELECT p50_est, p99_est FROM p50, p99""".stripMargin,
+    "q_sk_cms" -> {
+      val cellSql = (j: Int) =>
+        s"('0x' || substr(md5('${j}_' || term), 1, 4))::BIGINT % $cmsWidth"
+      val grids = (0 until cmsDepth).map { j =>
+        s"g$j AS (SELECT ${cellSql(j)} AS cell, count(*) AS c FROM occ GROUP BY 1)"
+      }.mkString(",\n")
+      val joins = (0 until cmsDepth).map { j =>
+        s"JOIN g$j ON g$j.cell = ${cellSql(j)}"
+      }.mkString("\n")
+      val leastExpr = (0 until cmsDepth).map(j => s"g$j.c").mkString(", ")
+      s"""WITH occ AS (
+         |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+         |$grids,
+         |top AS (
+         |  SELECT term, count(*) AS exact_n FROM occ GROUP BY 1
+         |  ORDER BY exact_n DESC, term LIMIT 20)
+         |SELECT term, exact_n, least($leastExpr) AS cms_est
+         |FROM top
+         |$joins
+         |ORDER BY exact_n DESC, term""".stripMargin
+    },
+    "q_sk_hll" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT h % 256 AS reg,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |m AS (SELECT reg, max(rank) AS mj FROM r GROUP BY 1),
+        |agg AS (
+        |  SELECT count(*) AS m_present,
+        |    sum(1::BIGINT << (53 - mj)::INT) AS sum_pow
+        |  FROM m)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events) AS exact_n,
+        |  round(0.7182725932857715::DOUBLE * 256 * 256 * 9007199254740992.0
+        |    / (sum_pow + (256 - m_present) * 9007199254740992)::DOUBLE, 6)
+        |    AS hll_est
+        |FROM agg""".stripMargin,
+  )
+}
