@@ -119,7 +119,45 @@ object Sketches {
             * lit(9007199254740992L)).cast("double"), 6).as("hll_est"))
   }
 
+  /** HLL MERGEABILITY — the property that makes sketches the right
+    * structure at 100 TB: per-stream register vectors combine by
+    * register-wise max into exactly the sketch a single pass over the
+    * union would build. Here: one register set per event stream,
+    * merged across the 'click' and 'purchase' streams, against the
+    * exact union distinct. Same exact-integer register math as
+    * `hllUsers`, plus one groupBy(reg) max as the merge.
+    */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val m = 256
+    val types = Seq("click", "purchase")
+    val regs = events(s, d)
+      .filter(col("event_type").isin(types: _*))
+      .select(col("event_type"), expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      .select(col("event_type"), pmod(col("h"), lit(m.toLong)).as("reg"),
+        expr(s"h DIV $m").as("rest"))
+      .select(col("event_type"), col("reg"),
+        when(col("rest") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("rest")))).as("rank"))
+      .groupBy("event_type", "reg").agg(max(col("rank")).as("mj"))
+    // merge = register-wise max across the per-stream sketches
+    val merged = regs.groupBy("reg").agg(max(col("mj")).as("mj"))
+      .agg(count(lit(1)).as("m_present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+          .as("sum_pow"))
+    val alpha = 0.7182725932857715
+    val exact = events(s, d).filter(col("event_type").isin(types: _*))
+      .agg(countDistinct(col("user_id")).as("exact_union"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("exact_union"),
+        round(lit(alpha * m * m) * lit(9007199254740992.0)
+          / (col("sum_pow") + (lit(m.toLong) - col("m_present"))
+            * lit(9007199254740992L)).cast("double"), 6).as("hll_union_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sk_hll_merge" -> (hllMerge _),
     "q_sk_hist_quantile" -> (histQuantiles _),
     "q_sk_cms" -> (cmsTopTerms _),
     "q_sk_hll" -> (hllUsers _),
@@ -169,6 +207,28 @@ object Sketches {
          |$joins
          |ORDER BY exact_n DESC, term""".stripMargin
     },
+    "q_sk_hll_merge" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |r AS (
+        |  SELECT event_type, h % 256 AS reg,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |per AS (SELECT event_type, reg, max(rank) AS mj FROM r GROUP BY 1, 2),
+        |m AS (SELECT reg, max(mj) AS mj FROM per GROUP BY 1),
+        |agg AS (
+        |  SELECT count(*) AS m_present,
+        |    sum(1::BIGINT << (53 - mj)::INT) AS sum_pow
+        |  FROM m)
+        |SELECT (SELECT count(DISTINCT user_id) FROM events
+        |        WHERE event_type IN ('click', 'purchase')) AS exact_union,
+        |  round(0.7182725932857715::DOUBLE * 256 * 256 * 9007199254740992.0
+        |    / (sum_pow + (256 - m_present) * 9007199254740992)::DOUBLE, 6)
+        |    AS hll_union_est
+        |FROM agg""".stripMargin,
     "q_sk_hll" ->
       """WITH h AS (
         |  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
