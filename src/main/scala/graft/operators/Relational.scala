@@ -246,6 +246,31 @@ object Relational {
     open.except(fin)
   }
 
+  /** T6/T7 — multiplicity-preserving set ops: EXCEPT ALL subtracts
+    * occurrence counts (a customer with 3 open and 1 final order
+    * survives twice), INTERSECT ALL keeps the min multiplicity — the
+    * bag semantics audit queries need when "how many times" matters.
+    * Spark compiles both to a single counted anti/semi aggregation,
+    * not a join per duplicate.
+    */
+  def t6ExceptAll(s: SparkSession, d: String): DataFrame = {
+    val open = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val fin = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    open.exceptAll(fin).groupBy("custkey")
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
+  def t7IntersectAll(s: SparkSession, d: String): DataFrame = {
+    val open = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val fin = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    open.intersectAll(fin).groupBy("custkey")
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
   // Flagship — TPC-H Q1-shaped pricing summary (decimal-exact).
   def q1Pricing(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -407,6 +432,8 @@ object Relational {
     "q_o2_ci_sort" -> (o2CiSort _),
     "q_o3_topk" -> (o3TopK _),
     "q_t4_except" -> (t4Except _),
+    "q_t6_except_all" -> (t6ExceptAll _),
+    "q_t7_intersect_all" -> (t7IntersectAll _),
     "q1_pricing" -> (q1Pricing _),
     "q_sql_frontend" -> (sqlFrontend _),
     "q_sql_analytics" -> (sqlAnalytics _),
@@ -517,6 +544,18 @@ object Relational {
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT
         |SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q_t6_except_all" ->
+      """SELECT custkey, count(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
+    "q_t7_intersect_all" ->
+      """SELECT custkey, count(*) AS multiplicity FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY 1""".stripMargin,
     "q_sql_frontend" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
