@@ -144,6 +144,39 @@ object StreamToolOps {
         col("n_events"))
   }
 
+  /** Streaming HyperLogLog: the 256-register sketch maintained as a
+    * streaming max-aggregate — state is the REGISTER VECTOR (256 rows,
+    * constant!), not the user set, which is the whole reason sketches
+    * exist in streaming: exact streaming distinct state grows with
+    * cardinality, this never does. Drained, the registers equal the
+    * batch sketch's (max is order-insensitive), so the estimate —
+    * computed batch-side from the drained register table with the same
+    * exact-integer math — shares the batch oracle verbatim.
+    */
+  def streamHll(s: SparkSession, d: String): DataFrame = {
+    val regs = EventStream.readEvents(s, d)
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      .select(pmod(col("h"), lit(256L)).as("reg"),
+        expr("h DIV 256").as("rest"))
+      .select(col("reg"),
+        when(col("rest") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("rest")))).as("rank"))
+      .groupBy("reg").agg(max(col("rank")).as("mj"))
+    val table = drain(s, regs, "stream_hll", "complete")
+    val agg = table.agg(count(lit(1)).as("m_present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
+        .as("sum_pow"))
+    val exact = graft.Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    agg.crossJoin(broadcast(exact))
+      .select(col("exact_n"),
+        round(lit(0.7182725932857715 * 256 * 256) * lit(9007199254740992.0)
+          / (col("sum_pow") + (lit(256L) - col("m_present"))
+            * lit(9007199254740992L)).cast("double"), 6).as("hll_est"))
+  }
+
   /** J4/T1–T3 — ordered tree compare of the reference's two golden
     * states (the deluids delta must surface as lhs-only lines).
     */
@@ -188,6 +221,7 @@ object StreamToolOps {
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
     "q_stream_static" -> (streamStatic _),
+    "q_stream_hll" -> (streamHll _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
     "q_j4_compare_trees" -> (compareTrees _),
     "q_s6_csv_source" -> (csvSource _),
@@ -211,6 +245,7 @@ object StreamToolOps {
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_hll" -> graft.ops.Sketches.oracles("q_sk_hll"),
     "q_stream_static" ->
       """SELECT c.c_mktsegment, count(*) AS n,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
