@@ -204,7 +204,28 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("n_types"))
   }
 
+  /** O12 — throttle/debounce: drop an event when the same user
+    * emitted the same type within the preceding hour (repeat-noise
+    * suppression — the first event of each burst survives; the
+    * at-most-one-per-key-per-interval contract rate limiters and
+    * notification pipelines enforce). One lag window per (user, type)
+    * partition; the stream form is the same predicate under a
+    * watermark.
+    */
+  def debounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_ns", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type"))
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .filter(col("prev_ns").isNull ||
+        col("ts_ns") - col("prev_ns") >= 3600000000000L)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_o12_debounce" -> (debounce _),
     "q_w_running_distinct" -> (runningDistinct _),
     "q_w_range_frame" -> (rangeFrame _),
     "q_w_ranks" -> (ranks _),
@@ -219,6 +240,14 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_o12_debounce" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts), event_id) AS prev_ns
+        |  FROM events)
+        |SELECT user_id, event_id, event_type FROM g
+        |WHERE prev_ns IS NULL OR tns - prev_ns >= 3600000000000""".stripMargin,
     "q_w_running_distinct" ->
       """WITH f AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns,

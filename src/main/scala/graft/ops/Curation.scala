@@ -164,6 +164,26 @@ object Curation {
           .when(col("bucket") === 98, "val")
           .otherwise("test").as("split"))
 
+  /** Quality-weighted sampling — the classifier and the sampler
+    * composed: each document's keep PROBABILITY is its clamped
+    * classifier score (micro-units), decided against the same
+    * content-keyed hash as `sample`. High-quality docs are kept at up
+    * to ~100%, low-quality at 10% floor — soft filtering, the
+    * production alternative to a hard keep/drop threshold (which
+    * discards the long tail entirely). Deterministic: both the score
+    * and the coin are pure functions of the text.
+    */
+  def qualitySample(s: SparkSession, d: String): DataFrame = {
+    val scored = classifier(s, d)
+    documents(s, d)
+      .join(scored, "doc_id")
+      .withColumn("keep_micro",
+        greatest(least(col("score_micro"), lit(1000000L)), lit(100000L)))
+      .filter(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 1000000L < col("keep_micro"))
+      .select(col("doc_id"), col("keep_micro"))
+  }
+
   /** Stratified deterministic sampling: per-language rates (25% for
     * 'en', 10% otherwise) applied through the same content-keyed hash
     * cut as `sample` — so the operator is NARROW (zero shuffle beyond
@@ -411,6 +431,7 @@ object Curation {
     "q_cur_boilerplate" -> (boilerplate _),
     "q_cur_classifier" -> (classifier _),
     "q_cur_mixture" -> (mixture _),
+    "q_cur_quality_sample" -> (qualitySample _),
     "q_cur_repetition" -> (repetition _),
     "q_cur_contamination" -> (contamination _),
     "q_cur_dsir" -> (dsir _),
@@ -512,6 +533,22 @@ object Curation {
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,
         |  md5(c_name) AS pseudonym
         |FROM customer""".stripMargin,
+    "q_cur_quality_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, n_chars, str_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text,
+        |    10 * ((1000000 * len(list_filter(t,
+        |       x -> x IN ('the', 'a', 'of', 'and', 'is')))) // len(t))
+        |      - abs((1000000 * (n_chars - (len(t) - 1))) // len(t) - 4500000)
+        |      AS score_micro
+        |  FROM f)
+        |SELECT doc_id,
+        |  greatest(least(score_micro, 1000000), 100000) AS keep_micro
+        |FROM g
+        |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
+        |  < greatest(least(score_micro, 1000000), 100000)""".stripMargin,
     "q_cur_mixture" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs,
