@@ -73,6 +73,35 @@ object FunctionOps {
         count(lit(1)).as("n"))
   }
 
+  /** A17 — Pearson correlation from EXACT sufficient statistics: the
+    * five sums accumulate in decimal (order-independent), and the
+    * correlation is assembled from them in one deterministic double
+    * expression. The built-in `corr` streams Welford updates whose
+    * float state depends on partition order — fine for exploration,
+    * unusable for regression-tested pipelines; this form is the
+    * map-side-combinable one a 100 TB feature-correlation pass wants
+    * anyway (one pass, five sums, no second scan).
+    */
+  def corrStats(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.lineitem
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("pearson_r"))
+  }
+
   /** F-string breadth: edit distance, translate, repeat, pad. */
   def stringFns(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -124,6 +153,7 @@ object FunctionOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_a16_mad" -> (mad _),
+    "q_a17_corr" -> (corrStats _),
     "q_f_convert" -> (fConvert _),
     "q_f5_multival" -> (fMultival _),
     "q_f8_parse" -> (fParse _),
@@ -136,6 +166,24 @@ object FunctionOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_a17_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS pearson_r
+        |FROM s""".stripMargin,
     "q_a16_mad" ->
       """WITH m AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
