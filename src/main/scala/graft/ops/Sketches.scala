@@ -66,17 +66,16 @@ object Sketches {
       .select(explode(Dedup.tokens(col("text"))).as("term"))
     def cell(j: Int) = expr(
       s"CAST(conv(substring(md5(concat('${j}_', term)), 1, 4), 16, 10) AS BIGINT) % $cmsWidth")
-    val grid = (0 until cmsDepth).map { j =>
-      occ.groupBy(cell(j).as("cell")).agg(count(lit(1)).as(s"c"))
-        .withColumn("row", lit(j))
-    }.reduce(_ unionByName _)
+    // one aggregation per sketch row — a unioned grid filtered per
+    // join would re-plan every row's aggregation at each of the 4
+    // joins (16 passes over the occurrence stream instead of 4)
     val top = occ.groupBy("term").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("term")).limit(20)
     val withCells = top.select(col("term") +: col("exact_n") +:
       (0 until cmsDepth).map(j => cell(j).as(s"cell$j")): _*)
     val est = (0 until cmsDepth).foldLeft(withCells) { (df, j) =>
-      df.join(broadcast(grid.filter(col("row") === j)
-          .select(col("cell").as(s"cell$j"), col("c").as(s"est$j"))),
+      df.join(broadcast(occ.groupBy(cell(j).as(s"cell$j"))
+          .agg(count(lit(1)).as(s"est$j"))),
         Seq(s"cell$j"))
     }
     est.select(col("term"), col("exact_n"),
