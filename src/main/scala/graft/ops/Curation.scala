@@ -173,16 +173,13 @@ object Curation {
     * discards the long tail entirely). Deterministic: both the score
     * and the coin are pure functions of the text.
     */
-  def qualitySample(s: SparkSession, d: String): DataFrame = {
-    val scored = classifier(s, d)
-    documents(s, d)
-      .join(scored, "doc_id")
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    scoredDocs(s, d)
       .withColumn("keep_micro",
         greatest(least(col("score_micro"), lit(1000000L)), lit(100000L)))
       .filter(conv(substring(md5(col("text")), 1, 8), 16, 10)
         .cast("long") % 1000000L < col("keep_micro"))
       .select(col("doc_id"), col("keep_micro"))
-  }
 
   /** Stratified deterministic sampling: per-language rates (25% for
     * 'en', 10% otherwise) applied through the same content-keyed hash
@@ -268,22 +265,30 @@ object Curation {
     * arithmetic end-to-end — scores are bit-identical across engines
     * and partitionings.
     */
-  def classifier(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
-      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("t"))
-      .select(col("doc_id"), col("n_chars"), size(col("t")).as("n_toks"),
+  /** Shared scoring projection: (doc_id, text, score_micro) — one
+    * narrow pass; both the hard classifier and the soft sampler read
+    * it so they cannot disagree on the model.
+    */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        toks(col("text")).as("t"))
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        size(col("t")).as("n_toks"),
         size(filter(col("t"),
           x => x.isin("the", "a", "of", "and", "is"))).as("n_stop"))
-    base
       .withColumn("stop_micro",
         expr("(1000000 * CAST(n_stop AS BIGINT)) DIV n_toks"))
       .withColumn("len_micro",
         expr("(1000000 * (n_chars - (n_toks - 1))) DIV n_toks"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         (lit(10L) * col("stop_micro")
           - abs(col("len_micro") - lit(4500000L))).as("score_micro"))
-      .withColumn("keep", col("score_micro") >= 450000L)
-  }
+
+  def classifier(s: SparkSession, d: String): DataFrame =
+    scoredDocs(s, d)
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro") >= 450000L).as("keep"))
 
   /** Source-level reputation rollup: per provenance bucket, the volume,
     * target-language share, exact-dup rate, and mean length — the
