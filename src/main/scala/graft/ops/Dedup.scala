@@ -227,6 +227,25 @@ object Dedup {
         .as("hamming"))
   }
 
+  /** Consensus near-dup pairs: the MinHash-LSH and SimHash candidate
+    * sets fused by full outer join, each pair carrying which signals
+    * fired. Production dedup ensembles signals exactly like this —
+    * LSH catches token-set overlap, SimHash catches distribution-level
+    * similarity, and pairs BOTH methods agree on are the
+    * high-precision tier a cautious pipeline deletes first. Both
+    * inputs are already bucket-capped, so the fusion join is bounded
+    * by the candidate volumes, never the corpus.
+    */
+  def consensusPairs(s: SparkSession, d: String): DataFrame = {
+    val lsh = lshPairs(s, d).withColumn("lsh", lit(1L))
+    val sim = simhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("simhash"))
+    lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("lsh"), lit(0L))
+          + coalesce(col("simhash"), lit(0L))).as("n_signals"))
+  }
+
   /** 16-bit SimHash: per-bit majority vote over word hashes; near-dups
     * differ in few bits. Computed by the native Catalyst expression
     * (graft.functions.SimHashExpr) — row-local, codegen'd, zero
@@ -364,6 +383,7 @@ object Dedup {
     "q_dedup_minhash_sig" -> (minhashSig _),
     "q_dedup_lsh_pairs" -> (lshPairs _),
     "q_dedup_minhash_est" -> (minhashEstimate _),
+    "q_dedup_consensus" -> (consensusPairs _),
     "q_dedup_simhash" -> (simhash _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_dedup_groups" -> (dupGroups _),
@@ -509,6 +529,44 @@ object Dedup {
          |  gd.doc_id = win.canonical_id AS is_canonical
          |FROM gd JOIN win USING (dup_group)""".stripMargin,
     "q_dedup_simhash" -> simSql,
+    "q_dedup_consensus" -> {
+      val lshBands = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sig AS ($sigSql), lb0 AS ($lshBands),
+         |lsmall AS (SELECT band, h FROM lb0 GROUP BY band, h
+         |           HAVING count(*) <= $maxBucket),
+         |lb AS (SELECT lb0.* FROM lb0 JOIN lsmall USING (band, h)),
+         |lsh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM lb a JOIN lb b ON a.band = b.band AND a.h = b.h
+         |    AND a.doc_id < b.doc_id),
+         |sim AS ($simSql),
+         |sb0 AS (
+         |  SELECT doc_id, 0 AS band, simhash & 255 AS h FROM sim
+         |  UNION ALL SELECT doc_id, 1 AS band, simhash >> 8 AS h FROM sim),
+         |ssmall AS (SELECT band, h FROM sb0 GROUP BY band, h
+         |           HAVING count(*) <= $maxBucket),
+         |sb AS (SELECT sb0.* FROM sb0 JOIN ssmall USING (band, h)),
+         |sh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sb a JOIN sb b ON a.band = b.band AND a.h = b.h
+         |    AND a.doc_id < b.doc_id),
+         |shv AS (
+         |  SELECT sh.doc_a, sh.doc_b FROM sh
+         |  JOIN sim x ON x.doc_id = sh.doc_a
+         |  JOIN sim y ON y.doc_id = sh.doc_b
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+         |SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+         |  COALESCE(l.doc_b, s.doc_b) AS doc_b,
+         |  (CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_signals
+         |FROM lsh l FULL OUTER JOIN shv s
+         |  ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b""".stripMargin
+    },
     "q_dedup_simhash_pairs" ->
       s"""WITH sim AS ($simSql),
          |bands0 AS (
