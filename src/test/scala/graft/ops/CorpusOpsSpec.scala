@@ -108,6 +108,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("chunking covers every token exactly once per stride window") {
+    val spark = TestSpark.spark
+    val chunks = TextAnalysis.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docToks = documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").length.toLong).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = docToks(doc)
+      val sorted = cs.sortBy(_._2)
+      // indices are contiguous from 0 and the count matches the stride
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      assert(sorted.length == ((n - 1) / 24 + 1),
+        s"doc $doc: ${sorted.length} chunks for $n tokens")
+      // each window holds exactly the tokens between its start and the
+      // earlier of (start+32, document end) — full coverage, no gaps
+      sorted.foreach { case (_, idx, len) =>
+        assert(len == math.min(32L, n - idx * 24), s"doc $doc chunk $idx")
+      }
+    }
+  }
+
+  test("mixture weights are a sub-unit partition proportional to isqrt") {
+    val spark = TestSpark.spark
+    val rows = Curation.mixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val totalW = rows.map(_._3).sum
+    // truncating division: the weights sum to ≤ 1e6, within one
+    // truncation unit per source
+    assert(totalW <= 1000000L && totalW >= 1000000L - rows.length,
+      s"weights sum $totalW outside the truncation band")
+    // monotone: a strictly larger source never gets a smaller weight
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, w1), (_, n2, w2)) =>
+        if (n1 < n2) assert(w1 <= w2)
+      case _ => ()
+    }
+  }
+
+  test("consensus pairs: two-signal pairs appear in both candidate sets") {
+    val spark = TestSpark.spark
+    val cons = Dedup.consensusPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(cons.nonEmpty)
+    val lsh = Dedup.lshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cons.foreach { case (p, n) =>
+      assert(n == 1L || n == 2L)
+      if (n == 2L) assert(lsh.contains(p), s"2-signal pair $p not in LSH set")
+    }
+  }
+
   test("lm score sums are consistent with integer division") {
     val spark = TestSpark.spark
     val rows = TextAnalysis.lmScore(spark, dir).collect()
