@@ -410,6 +410,34 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
   }
 
+  /** Partitioned corpus sink: the curated corpus written as parquet
+    * laid out by (split, lang) — the layout a training run reads back
+    * with partition PRUNING (one split, one language = one directory
+    * subtree, no scan of the rest). Returns the manifest the write
+    * publishes; `manifest` below exposes the same rollup as an
+    * oracle-checked query so the sink's bookkeeping is itself gated.
+    */
+  def writeCorpus(s: SparkSession, d: String, outDir: String): DataFrame = {
+    documents(s, d)
+      .join(split(s, d).select(col("doc_id"), col("split")), "doc_id")
+      .write.mode("overwrite")
+      .partitionBy("split", "lang")
+      .parquet(outDir)
+    manifest(s, d)
+  }
+
+  /** Write manifest: per (split, lang) partition, document count and
+    * exact char volume — what a shard registry records at publish
+    * time. A pure rollup of the deterministic split assignment, so it
+    * is oracle-checkable without touching the filesystem.
+    */
+  def manifest(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .join(split(s, d).select(col("doc_id"), col("split")), "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+
   /** The composed curation pipeline in ONE declarative plan — the flow a
     * training-data run executes between raw corpus and tokenizer:
     * quality gate → exact dedup (lowest doc_id survives) → deterministic
@@ -437,6 +465,7 @@ object Curation {
     "q_cur_classifier" -> (classifier _),
     "q_cur_mixture" -> (mixture _),
     "q_cur_quality_sample" -> (qualitySample _),
+    "q_cur_manifest" -> (manifest _),
     "q_cur_repetition" -> (repetition _),
     "q_cur_contamination" -> (contamination _),
     "q_cur_dsir" -> (dsir _),
@@ -538,6 +567,19 @@ object Curation {
         |  regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_red,
         |  md5(c_name) AS pseudonym
         |FROM customer""".stripMargin,
+    "q_cur_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 98
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 = 98
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT s.split, d.lang, count(*) AS n_docs,
+        |  sum(d.n_chars) AS sum_chars
+        |FROM documents d JOIN s USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_cur_quality_sample" ->
       """WITH f AS (
         |  SELECT doc_id, text, n_chars, str_split(text, ' ') AS t

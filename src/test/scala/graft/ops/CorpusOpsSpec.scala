@@ -161,6 +161,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus sink lays out (split, lang) partitions that prune on read") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus").toString + "/corpus"
+    val mf = Curation.writeCorpus(spark, dir, out).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(mf.nonEmpty)
+    val splits = new java.io.File(out).listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(splits.nonEmpty && splits.forall(_.startsWith("split=")),
+      splits.mkString(","))
+    val rb = spark.read.parquet(out)
+      .filter(col("split") === "train" && col("lang") === "en")
+    val plan = rb.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"),
+      s"expected partition pruning in:\n$plan")
+    assert(rb.count() == mf(("train", "en")),
+      "read-back count must match the published manifest")
+  }
+
   test("lm score sums are consistent with integer division") {
     val spark = TestSpark.spark
     val rows = TextAnalysis.lmScore(spark, dir).collect()
