@@ -102,6 +102,19 @@ object FunctionOps {
           .as("pearson_r"))
   }
 
+  /** F18 — equi-width bucketize: SQL-standard `width_bucket` over the
+    * event values (the numeric feature-binning transform; both engines
+    * implement the standard's edge semantics, so bucket ids agree
+    * exactly). Bounds are fixed constants — the production form, where
+    * the featurizer's bins are frozen at training time.
+    */
+  def bucketize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        expr("width_bucket(value, 0.0, 500.0, 20)").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** F-string breadth: edit distance, translate, repeat, pad. */
   def stringFns(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -154,6 +167,7 @@ object FunctionOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_a16_mad" -> (mad _),
     "q_a17_corr" -> (corrStats _),
+    "q_f18_bucketize" -> (bucketize _),
     "q_f_convert" -> (fConvert _),
     "q_f5_multival" -> (fMultival _),
     "q_f8_parse" -> (fParse _),
@@ -166,6 +180,15 @@ object FunctionOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB has no width_bucket; this is the standard's exact
+    // arithmetic for (lo=0, hi=500, n=20): width 25.0 is an exact
+    // double, so floor(v/25)+1 matches Spark's computation bit-for-bit
+    "q_f18_bucketize" ->
+      """SELECT CASE WHEN value < 0.0 THEN 0
+        |  WHEN value >= 500.0 THEN 21
+        |  ELSE CAST(floor(value / 25.0) + 1 AS BIGINT) END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_a17_corr" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

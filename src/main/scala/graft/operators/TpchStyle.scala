@@ -223,7 +223,30 @@ object TpchStyle {
         .as("avg_yearly"))
   }
 
+  /** Q15 shape — top supplier(s): quarterly revenue per supplier, keep
+    * those equal to the maximum (the classic view + scalar-aggregate
+    * join; ties all surface, which is why the original uses = max and
+    * not LIMIT 1). The 1-row max broadcasts; revenue stays
+    * decimal-exact so "equal to the max" is well-defined across
+    * engines — with float revenue this query is nondeterministic by
+    * construction.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q15" -> (q15TopSupplier _),
     "q_tpch_q17" -> (q17SmallQty _),
     "q_tpch_q4" -> (q4Priority _),
     "q_tpch_q8" -> (q8Share _),
@@ -237,6 +260,18 @@ object TpchStyle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
     "q_tpch_q17" ->
       """SELECT round(
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
