@@ -102,7 +102,36 @@ object DataQuality {
         (col("global_us") - col("max_us")).as("lag_us"))
   }
 
+  /** Z-score anomaly audit: per event stream, how many values sit
+    * more than 3 standard deviations from the stream mean. Moments
+    * come from EXACT decimal sums (one combinable pass), and the flag
+    * threshold is the n²-scaled squared form (v·n − Σx)² >
+    * 9·(n·Σxx − Σx²) — deterministic double arithmetic over exact
+    * sums, no division or sqrt, so the boundary cannot flip between
+    * engines. Second pass joins the 1-row-per-type moments broadcast.
+    */
+  def anomalies(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.dec
+    val m = events(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sx"),
+        sum(dec(col("value")) * dec(col("value"))).as("sxx"))
+    events(s, d)
+      .join(broadcast(m), "event_type")
+      // flag iff (v·n − Σx)² > 9·(n·Σxx − Σx²) — both sides exact
+      // decimal-derived doubles, one comparison, no division/sqrt
+      .withColumn("dev",
+        col("value") * col("n").cast("double") - col("sx").cast("double"))
+      .withColumn("is_anomaly",
+        col("dev") * col("dev") > lit(9.0) *
+          (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_anomalies" -> (anomalies _),
     "q_dq_freshness" -> (freshness _),
     "q_dq_profile" -> (profile _),
     "q_dq_integrity" -> (integrity _),
@@ -110,6 +139,21 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dq_anomalies" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2))) AS sxx
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  sum(CASE WHEN (e.value * m.n::DOUBLE - m.sx::DOUBLE)
+        |             * (e.value * m.n::DOUBLE - m.sx::DOUBLE)
+        |        > 9.0 * (m.n::DOUBLE * m.sxx::DOUBLE
+        |                 - m.sx::DOUBLE * m.sx::DOUBLE)
+        |      THEN 1 ELSE 0 END) AS n_anomalies
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q_dq_freshness" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,
