@@ -115,6 +115,27 @@ object FunctionOps {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** A18 — winsorized stream statistics: values clipped to the exact
+    * [p5, p95] band before aggregating (the outlier treatment that
+    * keeps a corrupted sensor from dragging the mean, without
+    * deleting rows like a filter would). Exact percentile bounds per
+    * stream broadcast into a clamp; the clipped mean sums in decimal.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val bounds = events(s, d).groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    events(s, d)
+      .join(broadcast(bounds), "event_type")
+      .withColumn("v", greatest(least(col("value"), col("hi")), col("lo")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("v"))).cast("double") / count(lit(1)), 6)
+          .as("winsor_mean"),
+        round(sum(dec(col("value"))).cast("double") / count(lit(1)), 6)
+          .as("raw_mean"))
+  }
+
   /** F-string breadth: edit distance, translate, repeat, pad. */
   def stringFns(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -168,6 +189,7 @@ object FunctionOps {
     "q_a16_mad" -> (mad _),
     "q_a17_corr" -> (corrStats _),
     "q_f18_bucketize" -> (bucketize _),
+    "q_a18_winsorize" -> (winsorize _),
     "q_f_convert" -> (fConvert _),
     "q_f5_multival" -> (fMultival _),
     "q_f8_parse" -> (fParse _),
@@ -180,6 +202,18 @@ object FunctionOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_a18_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(CAST(SUM(CAST(greatest(least(e.value, b.hi), b.lo)
+        |      AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS winsor_mean,
+        |  round(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS raw_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1""".stripMargin,
     // DuckDB has no width_bucket; this is the standard's exact
     // arithmetic for (lo=0, hi=500, n=20): width 25.0 is an exact
     // double, so floor(v/25)+1 matches Spark's computation bit-for-bit

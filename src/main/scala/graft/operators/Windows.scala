@@ -224,7 +224,48 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("event_type"))
   }
 
+  /** O13 — point-in-time customer features: for each order, the
+    * customer's PRIOR order count and prior spend (frame ends one row
+    * before current — the leakage guard every feature store enforces:
+    * a training row must not see its own outcome). One partitioned
+    * sort; spend sums in decimal so the running feature is exact.
+    */
+  def lifetime(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("prior_orders",
+        coalesce(count(lit(1)).over(w), lit(0L)))
+      .withColumn("prior_spend",
+        coalesce(sum(dec(col("o_totalprice"))).over(w),
+          lit(0).cast("decimal(18,2)")).cast("double"))
+      .select(col("o_orderkey"), col("prior_orders"), col("prior_spend"))
+  }
+
+  /** O14 — rolling 7-day active users: each (user, day) activity
+    * lands in the 7 trailing daily windows it keeps active, then an
+    * exact distinct per window — the WAU/DAU family computed without
+    * per-window rescans (explode factor is the window length, the
+    * dedup is one shuffle on the window key).
+    */
+  def rollingActive(s: SparkSession, d: String): DataFrame = {
+    val userDays = events(s, d)
+      .select(col("user_id"),
+        expr("CAST(ts_ns DIV 86400000000000 AS BIGINT)").as("day"))
+      .distinct()
+    userDays
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("win_day"))
+      .groupBy("win_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_lifetime" -> (lifetime _),
+    "q_w_wau" -> (rollingActive _),
     "q_o12_debounce" -> (debounce _),
     "q_w_running_distinct" -> (runningDistinct _),
     "q_w_range_frame" -> (rangeFrame _),
@@ -240,6 +281,22 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_lifetime" ->
+      """SELECT o_orderkey,
+        |  COALESCE(count(*) OVER w, 0) AS prior_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w,
+        |    0) AS DOUBLE) AS prior_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "q_w_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events)
+        |SELECT win_day, count(DISTINCT user_id) AS wau FROM (
+        |  SELECT user_id, unnest(range(day, day + 7)) AS win_day FROM ud)
+        |GROUP BY 1""".stripMargin,
     "q_o12_debounce" ->
       """WITH g AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
