@@ -131,9 +131,35 @@ object GraphOps {
     pr.select(col("id").as("v"), col("pr"))
   }
 
+  /** Connected components of the affinity graph — the same hop+jump
+    * labeler the dedup path uses (ops.Dedup.connectedComponents),
+    * applied to the supplier graph: community/cluster extraction over
+    * any derived edge list. Output label = component's minimum vertex.
+    */
+  def components(s: SparkSession, d: String): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      coEdges(s, d).select(col("sa").as("doc_a"), col("sb").as("doc_b")))
+      .select(col("id").as("v"), col("label").as("component"))
+
+  /** Degree distribution in exact log2 buckets (bit length — never a
+    * transcendental): the first diagnostic on any derived graph — a
+    * heavy tail here is what makes the degree-oriented triangle
+    * enumeration above necessary.
+    */
+  def degrees(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    e.select(col("sa").as("v")).unionByName(e.select(col("sb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .groupBy((length(bin(col("deg"))) - 1).cast("long").as("log2_deg"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_g1_triangles" -> (triangles _),
     "q_g2_pagerank" -> (pagerank _),
+    "q_g3_components" -> (components _),
+    "q_g4_degrees" -> (degrees _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -150,6 +176,36 @@ object GraphOps {
         |     JOIN pairs e2 ON e1.sb = e2.sa
         |     JOIN pairs e3 ON e3.sa = e1.sa AND e3.sb = e2.sb) AS n_triangles,
         |  (SELECT count(*) FROM pairs) AS n_edges""".stripMargin,
+    "q_g3_components" ->
+      """WITH RECURSIVE co AS (
+        |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT sa, sb FROM co
+        |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co)),
+        |e AS (SELECT sa AS u, sb AS v FROM pairs
+        |      UNION ALL SELECT sb, sa FROM pairs),
+        |r AS (
+        |  SELECT u AS id, u AS l FROM (SELECT DISTINCT u FROM e) t
+        |  UNION
+        |  SELECT e.u AS id, r.l FROM e JOIN r ON r.id = e.v)
+        |SELECT id AS v, min(l) AS component FROM r GROUP BY id""".stripMargin,
+    "q_g4_degrees" ->
+      """WITH co AS (
+        |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT sa, sb FROM co
+        |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co)),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM (
+        |    SELECT sa AS v FROM pairs UNION ALL SELECT sb FROM pairs)
+        |  GROUP BY 1)
+        |SELECT (length(bin(deg)) - 1)::BIGINT AS log2_deg,
+        |  count(*) AS n_vertices, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1""".stripMargin,
     "q_g2_pagerank" -> {
       def iter(prev: String, next: String): String =
         s"""$next AS (

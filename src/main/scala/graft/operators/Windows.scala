@@ -263,7 +263,23 @@ object Windows {
       .agg(countDistinct(col("user_id")).as("wau"))
   }
 
+  /** O15 — hour-of-day seasonality profile per stream: volume and
+    * decimal-exact mean value by hour bucket — the load-shape summary
+    * capacity planning and anomaly baselines read. Hour extraction is
+    * pure integer arithmetic on the raw ns timestamp (no session-
+    * timezone dependence).
+    */
+  def seasonality(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"),
+        expr("CAST((ts_ns DIV 3600000000000) % 24 AS BIGINT)")
+          .as("hour_utc"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double") / count(lit(1)), 6)
+          .as("mean_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_seasonality" -> (seasonality _),
     "q_w_lifetime" -> (lifetime _),
     "q_w_wau" -> (rollingActive _),
     "q_o12_debounce" -> (debounce _),
@@ -281,6 +297,13 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_seasonality" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 3600000000000) % 24 AS hour_utc,
+        |  count(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS mean_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_w_lifetime" ->
       """SELECT o_orderkey,
         |  COALESCE(count(*) OVER w, 0) AS prior_orders,
