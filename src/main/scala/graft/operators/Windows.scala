@@ -278,7 +278,49 @@ object Windows {
         round(sum(dec(col("value"))).cast("double") / count(lit(1)), 6)
           .as("mean_value"))
 
+  /** O16 — percent-of-total: each segment's share of global order
+    * value via an unpartitioned window over the 5-row aggregate (the
+    * window runs over GROUPS, so the "global window" anti-pattern —
+    * funneling raw rows through one reducer — never happens; the raw
+    * table is reduced map-side first). Shares divide two decimal-exact
+    * sums.
+    */
+  def shareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val seg = orders(s, d).groupBy("o_orderpriority")
+      .agg(sum(dec(col("o_totalprice"))).as("st"))
+    // one double division over two exact decimal sums (deterministic);
+    // the window total is computed over the reduced 5-row frame
+    seg.withColumn("total", expr("sum(st) OVER ()"))
+      .select(col("o_orderpriority"), col("st").cast("double").as("seg_total"),
+        round(col("st").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** O17 — LOCF gap filling (last observation carried forward): the
+    * parsed `props.k` metric is null where absent/malformed; each
+    * user's stream imputes nulls from the latest preceding non-null —
+    * the standard time-series imputation, as one window pass with
+    * ignoreNulls last().
+    */
+  def locf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS LONG)")
+          .as("k_raw"))
+      // deterministic dropout mask (k ≡ 0 mod 7 reads as missing) —
+      // the fixture has no real gaps, and an imputation demo that
+      // never imputes verifies nothing
+      .withColumn("k",
+        when(col("k_raw") % 7 === 0, lit(null)).otherwise(col("k_raw")))
+      .withColumn("k_filled", last(col("k"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("k"), col("k_filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_share" -> (shareOfTotal _),
+    "q_w_locf" -> (locf _),
     "q_w_seasonality" -> (seasonality _),
     "q_w_lifetime" -> (lifetime _),
     "q_w_wau" -> (rollingActive _),
@@ -297,6 +339,28 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_share" ->
+      """WITH seg AS (
+        |  SELECT o_orderpriority,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS st
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, CAST(st AS DOUBLE) AS seg_total,
+        |  round(CAST(st AS DOUBLE)
+        |    / CAST(sum(st) OVER () AS DOUBLE), 6) AS share
+        |FROM seg""".stripMargin,
+    "q_w_locf" ->
+      """WITH p0 AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+        |    TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS kr
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, tns,
+        |    CASE WHEN kr % 7 = 0 THEN NULL ELSE kr END AS k
+        |  FROM p0)
+        |SELECT user_id, event_id, k,
+        |  last_value(k IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS k_filled
+        |FROM p""".stripMargin,
     "q_w_seasonality" ->
       """SELECT event_type,
         |  (epoch_ns(ts) // 3600000000000) % 24 AS hour_utc,
