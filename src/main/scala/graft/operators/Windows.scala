@@ -318,7 +318,29 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("k"), col("k_filled"))
   }
 
+  /** O18 — burstiness (Fano factor): variance/mean of the per-hour
+    * arrival counts per stream — ≈1 for Poisson traffic, ≫1 for bursty
+    * (the dispersion test behind anomaly baselining and capacity
+    * head-room). Counts are exact integers; the index is assembled as
+    * one deterministic double expression over exact sums
+    * (n·Σc² − (Σc)²) / (n·Σc), never a streamed float variance.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts_ns DIV 3600000000000").as("hour_abs"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("event_type"), col("n_hours"),
+        round((col("n_hours").cast("double") * col("sc2").cast("double")
+          - col("sc").cast("double") * col("sc").cast("double"))
+          / (col("n_hours").cast("double") * col("sc").cast("double")), 6)
+          .as("fano"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w_burstiness" -> (burstiness _),
     "q_w_share" -> (shareOfTotal _),
     "q_w_locf" -> (locf _),
     "q_w_seasonality" -> (seasonality _),
@@ -339,6 +361,19 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_w_burstiness" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_abs,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_hours, sum(c) AS sc,
+        |    sum(c * c) AS sc2
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_hours,
+        |  round((n_hours::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+        |    / (n_hours::DOUBLE * sc::DOUBLE), 6) AS fano
+        |FROM s""".stripMargin,
     "q_w_share" ->
       """WITH seg AS (
         |  SELECT o_orderpriority,

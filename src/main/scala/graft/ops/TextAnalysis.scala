@@ -280,6 +280,31 @@ object TextAnalysis {
           / (col("n_tokens") * col("n_tokens"))) * 1000000.0)
           .cast("long").as("simpson_micro"))
 
+  /** Top-term co-occurrence: for the 20 most frequent terms, how many
+    * documents contain each PAIR — the association structure behind
+    * topic seeds and embedding sanity checks. The vocabulary is
+    * reduced to the top-20 BEFORE any pairing (broadcast semi join),
+    * so the per-document pair fan-out is ≤ C(20,2) regardless of
+    * document length — the bound that keeps co-occurrence mining
+    * feasible at corpus scale.
+    */
+  def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val occ = documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("term"))
+    val top = occ.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(20)
+      .select(col("term"))
+    val hits = occ.join(broadcast(top), "term")
+    val a = hits.select(col("doc_id"), col("term").as("term_a"))
+    val b = hits.select(col("doc_id"), col("term").as("term_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Composite corpus pipeline: quality filter → exact dedup
     * (first-doc survivor) → per-language counts — the end-to-end shape
     * of a training-data preparation job, as one declarative plan.
@@ -298,6 +323,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunks" -> (chunk _),
+    "q_text_cooc" -> (cooccurrence _),
     "q_text_lm_score" -> (lmScore _),
     "q_text_stats" -> (textStats _),
     "q_text_langid" -> (langId _),
@@ -384,6 +410,19 @@ object TextAnalysis {
         |SELECT c12.w1, c12.w2, c12.c12,
         |  CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
         |FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5""".stripMargin,
+    "q_text_cooc" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' ')))
+        |    AS term
+        |  FROM documents),
+        |top AS (
+        |  SELECT term FROM occ GROUP BY term
+        |  ORDER BY count(*) DESC, term LIMIT 20),
+        |hits AS (SELECT occ.* FROM occ JOIN top USING (term))
+        |SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+        |FROM hits a JOIN hits b
+        |  ON a.doc_id = b.doc_id AND a.term < b.term
+        |GROUP BY 1, 2""".stripMargin,
     "q_text_chunks" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
         |x AS (SELECT doc_id, t,
