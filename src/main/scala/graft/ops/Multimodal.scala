@@ -268,6 +268,28 @@ object Multimodal {
         when(col("long_side") <= 256, col("height"))
           .otherwise(expr("(height * 256) DIV long_side")).as("thumb_h"))
 
+  /** Deterministic augmentation plumbing: a reproducible random crop
+    * per (doc, epoch) — box coordinates derived from md5(content,
+    * epoch), so every rerun, retry, and engine draws the SAME "random"
+    * crop (reproducible training without persisting augmentation
+    * state). Integer arithmetic over the stub-decoded dims; the pixel
+    * op itself lives behind the decoder seam.
+    */
+  def augment(s: SparkSession, d: String): DataFrame =
+    mediaFeaturesWith(s, d, StubDecoder)
+      .join(documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("epoch", explode(sequence(lit(0), lit(1))))
+      .withColumn("h1", expr(
+        "CAST(conv(substring(md5(concat(text, '|', epoch)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr(
+        "CAST(conv(substring(md5(concat(text, '|', epoch)), 9, 8), 16, 10) AS BIGINT)"))
+      // crop to half the frame; offsets land inside the remaining half
+      .select(col("doc_id"), col("epoch"),
+        expr("CAST(h1 % (width DIV 2 + 1) AS INT)").as("crop_x"),
+        expr("CAST(h2 % (height DIV 2 + 1) AS INT)").as("crop_y"),
+        expr("width DIV 2").as("crop_w"),
+        expr("height DIV 2").as("crop_h"))
+
   /** Frame-sampling shape: explode a payload into N fixed-offset chunk
     * "frames" with per-frame hashes — the partition/explode plumbing of
     * video frame extraction, with the decoder stubbed.
@@ -284,6 +306,7 @@ object Multimodal {
     "q_mm_features" -> (mediaFeatures _),
     "q_mm_frames" -> (frameSample _),
     "q_mm_thumbnail" -> (thumbnail _),
+    "q_mm_augment" -> (augment _),
   )
 
   /** both the frame hashes and the stubbed decode features are
@@ -302,6 +325,24 @@ object Multimodal {
       """SELECT doc_id, frame_idx,
         |  md5(text || frame_idx::VARCHAR) AS frame_hash
         |FROM documents, (SELECT unnest(range(4)) AS frame_idx) f""".stripMargin,
+    "q_mm_augment" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text,
+        |    (64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)::INT AS width,
+        |    (64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)::INT AS height
+        |  FROM documents),
+        |e AS (SELECT dims.*, unnest(range(2)) AS epoch FROM dims),
+        |h AS (
+        |  SELECT doc_id, epoch::INT AS epoch, width, height,
+        |    ('0x' || substr(md5(text || '|' || epoch::VARCHAR), 1, 8))::BIGINT AS h1,
+        |    ('0x' || substr(md5(text || '|' || epoch::VARCHAR), 9, 8))::BIGINT AS h2
+        |  FROM e)
+        |SELECT doc_id, epoch,
+        |  (h1 % (width // 2 + 1))::INT AS crop_x,
+        |  (h2 % (height // 2 + 1))::INT AS crop_y,
+        |  (width // 2)::BIGINT AS crop_w,
+        |  (height // 2)::BIGINT AS crop_h
+        |FROM h""".stripMargin,
     "q_mm_thumbnail" ->
       """WITH dims AS (
         |  SELECT doc_id,
