@@ -37,6 +37,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Explicit fan-out width for pre-explode repartitions. AQE sizes
+    * exchanges off the tiny pre-explode rows and would coalesce a wide
+    * stage right back to a handful of tasks, so explode-heavy operators
+    * pin an explicit partition count — but that count must track the
+    * cluster, not a literal. Resolution order: `graft.fanout.partitions`
+    * conf (explicit override) → `spark.sql.shuffle.partitions` →
+    * `defaultParallelism`. On local[32] this lands on 32 as before; on a
+    * 1000-executor cluster it follows the session's shuffle sizing.
+    */
+  def fanout(s: SparkSession): Int =
+    s.conf.getOption("graft.fanout.partitions")
+      .orElse(s.conf.getOption("spark.sql.shuffle.partitions"))
+      .map(_.toInt)
+      .filter(_ > 0)
+      .getOrElse(s.sparkContext.defaultParallelism)
+
   /** Exact-sum money column: double → decimal(18,2) so partial-agg order
     * cannot perturb the result (needed for bit-exact DuckDB oracle
     * hashes; also the right call at 100 TB where a double sum over 1e12

@@ -162,7 +162,7 @@ object Behavior {
         |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n,
-        |  (1000000 * c.n) // t.n_from AS p_micro
+        |  ((1000000 * c.n) // t.n_from)::BIGINT AS p_micro
         |FROM c JOIN t USING (from_type)""".stripMargin,
     "q_beh_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type

@@ -151,7 +151,7 @@ object DataQuality {
         |             * (e.value * m.n::DOUBLE - m.sx::DOUBLE)
         |        > 9.0 * (m.n::DOUBLE * m.sxx::DOUBLE
         |                 - m.sx::DOUBLE * m.sx::DOUBLE)
-        |      THEN 1 ELSE 0 END) AS n_anomalies
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
         |FROM events e JOIN m USING (event_type)
         |GROUP BY 1""".stripMargin,
     "q_dq_freshness" ->

@@ -75,7 +75,7 @@ object GraphOps {
     // core). Pin an explicit partition count on the probe side and
     // broadcast the build sides: wedge generation and the closing
     // probe then stay narrow and fully parallel.
-    val wedges = dE.repartition(32, col("src"))
+    val wedges = dE.repartition(fanout(s), col("src"))
       .select(col("src"), col("dst").as("v"))
       .join(broadcast(dE.select(col("src"), col("dst").as("w"))), "src")
       .filter(col("v") < col("w"))
@@ -230,7 +230,7 @@ object GraphOps {
          |${iter("p0", "p1")},
          |${iter("p1", "p2")},
          |${iter("p2", "p3")}
-         |SELECT id AS v, pr FROM p3""".stripMargin
+         |SELECT id AS v, pr::BIGINT AS pr FROM p3""".stripMargin
     },
   )
 }

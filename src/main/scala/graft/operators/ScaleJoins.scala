@@ -103,7 +103,7 @@ object ScaleJoins {
       // input arrives in many splits and this exchange is layout noise.
       customer(s, d)
         .select(col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"))
-        .repartition(32, col(s"${p}_key"))
+        .repartition(fanout(s), col(s"${p}_key"))
         .withColumn("vh", explode(array_distinct(
           transform(sequence(lit(0), length(nm)), delVariant))))
     }

@@ -434,8 +434,8 @@ object Windows {
         |      ORDER BY epoch_ns(ts), event_id) = 1 THEN 1 ELSE 0 END AS flag
         |  FROM events)
         |SELECT user_id, event_id,
-        |  sum(flag) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS n_types
+        |  (sum(flag) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING))::BIGINT AS n_types
         |FROM f""".stripMargin,
     "q_w_range_frame" ->
       """SELECT user_id, event_id,

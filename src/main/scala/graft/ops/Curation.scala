@@ -31,7 +31,7 @@ object Curation {
     val base = documents(s, d)
       // spread the single-split scan before the bigram fan-out — the
       // explode work is invisible to AQE's pre-shuffle row counts
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     val sh = base.select(col("doc_id"),
@@ -557,7 +557,7 @@ object Curation {
         |GROUP BY dt.doc_id""".stripMargin,
     "q_cur_sources" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
         |  round((count(*) - count(DISTINCT md5(text))) / count(*), 6)
         |    AS dup_frac,
         |  round(sum(n_chars) / count(*), 6) AS mean_chars
@@ -577,7 +577,7 @@ object Curation {
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT s.split, d.lang, count(*) AS n_docs,
-        |  sum(d.n_chars) AS sum_chars
+        |  sum(d.n_chars)::BIGINT AS sum_chars
         |FROM documents d JOIN s USING (doc_id)
         |GROUP BY 1, 2""".stripMargin,
     "q_cur_quality_sample" ->
@@ -603,7 +603,8 @@ object Curation {
         |  FROM documents GROUP BY 1),
         |t AS (SELECT sum(isqrt) AS sum_isqrt FROM c)
         |SELECT source, n_docs,
-        |  (1000000 * isqrt) // (SELECT sum_isqrt FROM t) AS weight_micro
+        |  ((1000000 * isqrt) // (SELECT sum_isqrt FROM t))::BIGINT
+        |    AS weight_micro
         |FROM c""".stripMargin,
     "q_cur_split" ->
       """SELECT doc_id,

@@ -231,7 +231,9 @@ object Multimodal {
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
         struct(col("source"), col("lang"), col("n_chars")).as("meta"))
-      .repartition(col("doc_id") % 8) // co-locate batches deterministically
+      // co-locate batches deterministically; modulus tracks the session
+      // fan-out so the decode stage parallelizes with the cluster
+      .repartition(col("doc_id") % fanout(s))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
     withPayload.mapPartitions { it =>

@@ -62,7 +62,7 @@ object Sketches {
     */
   def cmsTopTerms(s: SparkSession, d: String): DataFrame = {
     val occ = documents(s, d)
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(explode(Dedup.tokens(col("text"))).as("term"))
     def cell(j: Int) = expr(
       s"CAST(conv(substring(md5(concat('${j}_', term)), 1, 4), 16, 10) AS BIGINT) % $cmsWidth")

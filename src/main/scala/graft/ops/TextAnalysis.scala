@@ -89,7 +89,7 @@ object TextAnalysis {
     // explicit partition count survives AQE (which sizes off the tiny
     // pre-explode rows and would coalesce right back)
     val tf = documents(s, d)
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -167,7 +167,7 @@ object TextAnalysis {
     */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
     // explode_outer: the size(t) >= 2 guard already proves the bigram
@@ -202,7 +202,7 @@ object TextAnalysis {
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val lm = bigramLm(s, d).select(col("w1"), col("w2"), col("p_micro"))
     val pairs = documents(s, d)
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode_outer(
@@ -226,7 +226,7 @@ object TextAnalysis {
     */
   def bpeStep(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(explode(toks(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode_outer(expr(
@@ -290,7 +290,7 @@ object TextAnalysis {
     */
   def cooccurrence(s: SparkSession, d: String): DataFrame = {
     val occ = documents(s, d)
-      .repartition(32, col("doc_id"))
+      .repartition(fanout(s), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(toks(col("text")))).as("term"))
     val top = occ.groupBy("term").agg(count(lit(1)).as("df"))
@@ -449,11 +449,12 @@ object TextAnalysis {
         |sc AS (
         |  SELECT p.doc_id, count(*) AS n_bigrams,
         |    count(*) FILTER (lm.p_micro IS NULL) AS n_oov,
-        |    sum(COALESCE(lm.p_micro, 0)) AS score_micro
+        |    sum(COALESCE(lm.p_micro, 0))::BIGINT AS score_micro
         |  FROM pairs p LEFT JOIN lm USING (w1, w2)
         |  GROUP BY p.doc_id)
         |SELECT doc_id, n_bigrams, n_oov, score_micro,
-        |  score_micro // n_bigrams AS avg_micro FROM sc""".stripMargin,
+        |  (score_micro // n_bigrams)::BIGINT AS avg_micro
+        |FROM sc""".stripMargin,
     "q_text_bpe_step" ->
       """SELECT pair, count(*) AS n FROM (
         |  SELECT unnest(list_transform(range(1, length(w)),

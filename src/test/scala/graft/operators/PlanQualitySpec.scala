@@ -122,6 +122,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(doc_id#"), s"window must key on doc_id:\n$p")
   }
 
+  test("explode fan-out tracks session parallelism, not a literal") {
+    // TestSpark runs with spark.sql.shuffle.partitions=4: the explicit
+    // pre-explode repartition must inherit that (a hardcoded 32 pins
+    // the explode stages to the dev box's width at any cluster size)
+    assert(graft.Tables.fanout(TestSpark.spark) == 4)
+    val p = plan("q_text_tfidf")
+    assert(p.contains("hashpartitioning(doc_id#") && p.contains(", 4)"),
+      s"pre-explode exchange must use the session fan-out (4):\n$p")
+    assert(!p.contains(", 32)"), s"literal 32-way exchange survived:\n$p")
+    // the conf override takes precedence for targeted tuning
+    TestSpark.spark.conf.set("graft.fanout.partitions", "7")
+    try assert(graft.Tables.fanout(TestSpark.spark) == 7)
+    finally TestSpark.spark.conf.unset("graft.fanout.partitions")
+  }
+
   test("bloom semi-join evaluates might_contain under the fact scan stage") {
     val p = plan("q_j10_bloom_semi")
     assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")

@@ -58,6 +58,27 @@ def main(sf_dir, out_dir):
             print(f"[FAIL] {name}: columns {got_cols} vs {exp_cols}")
             n_bad += 1
             continue
+        # Driver's hash gate is type-sensitive where pandas is: any
+        # integer ≤64 bits numpy-normalizes to int64 on both sides, but
+        # DuckDB HUGEINT (INT128, from an uncast sum()) survives as
+        # object and hashes differently even when values agree (the
+        # round-6 8-red-row failure mode). Mirror exactly that.
+        def fam(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER"):
+                return "i64"
+            return t
+        got_types = dict(zip((c.lower() for c in got_rel.columns),
+                             (fam(t) for t in got_rel.types)))
+        exp_types = dict(zip((c.lower() for c in exp_rel.columns),
+                             (fam(t) for t in exp_rel.types)))
+        tmis = [(c, got_types[c], exp_types[c]) for c in got_types
+                if got_types[c] != exp_types[c]]
+        if tmis:
+            print(f"[FAIL] {name}: column types differ: {tmis}")
+            n_bad += 1
+            continue
         got = norm(con.sql(
             f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
         exp = norm(con.sql(
