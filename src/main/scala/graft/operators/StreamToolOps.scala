@@ -18,24 +18,26 @@ object StreamToolOps {
     * registers one in-session temp table (the price of reading a
     * memory sink after the query stops).
     */
-  private def drain(s: SparkSession, df: DataFrame, prefix: String,
-      mode: String): DataFrame = {
+  private def drain(s: SparkSession, build: SparkSession => DataFrame,
+      prefix: String, mode: String): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
     // stateful-operator costs (state stores, checkpoint fsyncs) are
     // per-shuffle-partition, and the planner pins the partition count
     // at query start: size the stateful shuffle to the data, not the
     // CPU count. At real volume this is a capacity knob; on the
     // fixture it removes pure per-partition setup overhead (~0.3-0.5 s
-    // per streaming query at 32 partitions).
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try df.writeStream.outputMode(mode)
-        .format("memory").queryName(name)
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // per streaming query at 32 partitions). The override lives in a
+    // CLONED session (same SparkContext, private conf), so a
+    // concurrently-planned query in the caller's session can never
+    // observe the temporary value — which is why the stream is BUILT
+    // by a callback against the clone, not passed in pre-planned.
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = build(child).writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    child.table(name)
   }
 
   /** Structured Streaming tumbling aggregation, drained to completion —
@@ -43,7 +45,7 @@ object StreamToolOps {
     * now verified by the driver too).
     */
   def streamTumbling(s: SparkSession, d: String): DataFrame =
-    drain(s, EventStream.tumblingCounts(EventStream.readEvents(s, d)),
+    drain(s, ss => EventStream.tumblingCounts(EventStream.readEvents(ss, d)),
       "stream_tumbling", "complete")
 
   /** Streaming exact dedup — stateful dropDuplicates over the event
@@ -52,8 +54,8 @@ object StreamToolOps {
     * Drained to completion, it must equal batch DISTINCT.
     */
   def streamDedup(s: SparkSession, d: String): DataFrame =
-    drain(s,
-      EventStream.readEvents(s, d)
+    drain(s, ss =>
+      EventStream.readEvents(ss, d)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type"),
       "stream_dedup", "append")
@@ -64,25 +66,24 @@ object StreamToolOps {
     * stream-stream join shape that survives at scale). Drained, it
     * must equal the batch interval join.
     */
-  def streamJoin(s: SparkSession, d: String): DataFrame = {
-    val l = EventStream.readEvents(s, d)
-      .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
-        col("ts").as("l_ts"))
-      .withWatermark("l_ts", "10 minutes")
-    val r = EventStream.readEvents(s, d)
-      .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
-        col("ts").as("r_ts"))
-      .withWatermark("r_ts", "10 minutes")
+  def streamJoin(s: SparkSession, d: String): DataFrame =
     // the stateful-shuffle sizing (stream-stream joins carry 4 state
     // stores per partition) is handled centrally in drain()
-    drain(s,
+    drain(s, { ss =>
+      val l = EventStream.readEvents(ss, d)
+        .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
+          col("ts").as("l_ts"))
+        .withWatermark("l_ts", "10 minutes")
+      val r = EventStream.readEvents(ss, d)
+        .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
+          col("ts").as("r_ts"))
+        .withWatermark("r_ts", "10 minutes")
       l.join(r,
         col("l_uid") === col("r_uid") &&
           col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
           col("r_ts") < col("l_ts"))
-        .select(col("l_id"), col("r_id")),
-      "stream_join", "append")
-  }
+        .select(col("l_id"), col("r_id"))
+    }, "stream_join", "append")
 
   /** Stream-static enrichment join: the event stream joined to a
     * static dimension snapshot (customer) that Spark re-plans per
@@ -92,20 +93,19 @@ object StreamToolOps {
     * rollup runs in complete mode; drained, it equals the batch twin
     * (J1's oracle shape).
     */
-  def streamStatic(s: SparkSession, d: String): DataFrame = {
-    val dim = graft.Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment"))
-    drain(s,
-      EventStream.readEvents(s, d)
+  def streamStatic(s: SparkSession, d: String): DataFrame =
+    drain(s, { ss =>
+      val dim = graft.Tables.customer(ss, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      EventStream.readEvents(ss, d)
         .join(broadcast(dim), col("user_id") === col("c_custkey"),
           "left_outer")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          sum(graft.Tables.dec(col("value"))).as("sum_dec")),
-      "stream_static", "complete")
+          sum(graft.Tables.dec(col("value"))).as("sum_dec"))
+    }, "stream_static", "complete")
       .select(col("c_mktsegment"), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
-  }
 
   /** Watermark-bounded streaming dedup — the 100 TB form of
     * `streamDedup`: `dropDuplicatesWithinWatermark` keeps dedup state
@@ -115,8 +115,8 @@ object StreamToolOps {
     * arrives outside the horizon) it equals batch DISTINCT exactly.
     */
   def streamDedupWm(s: SparkSession, d: String): DataFrame =
-    drain(s,
-      EventStream.readEvents(s, d)
+    drain(s, ss =>
+      EventStream.readEvents(ss, d)
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type")),
@@ -133,9 +133,9 @@ object StreamToolOps {
     * (Spark timestamps are µs; DuckDB keeps ns).
     */
   def streamSession(s: SparkSession, d: String): DataFrame = {
-    val ev = EventStream.readEvents(s, d).withWatermark("ts", "0 seconds")
-    drain(s,
-      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+    drain(s, ss =>
+      EventStream.readEvents(ss, d).withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events")),
       "stream_session", "complete")
       .select(col("user_id"),
@@ -154,17 +154,18 @@ object StreamToolOps {
     * exact-integer math — shares the batch oracle verbatim.
     */
   def streamHll(s: SparkSession, d: String): DataFrame = {
-    val regs = EventStream.readEvents(s, d)
-      .select(expr(
-        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        .as("h"))
-      .select(pmod(col("h"), lit(256L)).as("reg"),
-        expr("h DIV 256").as("rest"))
-      .select(col("reg"),
-        when(col("rest") === 0L, lit(53L))
-          .otherwise(lit(53L) - length(bin(col("rest")))).as("rank"))
-      .groupBy("reg").agg(max(col("rank")).as("mj"))
-    val table = drain(s, regs, "stream_hll", "complete")
+    val table = drain(s, ss =>
+      EventStream.readEvents(ss, d)
+        .select(expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .select(pmod(col("h"), lit(256L)).as("reg"),
+          expr("h DIV 256").as("rest"))
+        .select(col("reg"),
+          when(col("rest") === 0L, lit(53L))
+            .otherwise(lit(53L) - length(bin(col("rest")))).as("rank"))
+        .groupBy("reg").agg(max(col("rank")).as("mj")),
+      "stream_hll", "complete")
     val agg = table.agg(count(lit(1)).as("m_present"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mj AS INT))"))
         .as("sum_pow"))

@@ -183,11 +183,16 @@ object TpchStyle {
     * the two plan features the classic query exists to exercise.
     */
   def q22Inactive(s: SparkSession, d: String): DataFrame = {
+    // "balance above the mean" via exact sufficient statistics:
+    // bal > sum/n ⟺ bal·n > sum in decimal — a float avg() is
+    // partition-order-dependent and can flip a boundary row between
+    // engines; the decimal product cannot.
     val avgBal = customer(s, d).filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+      .agg(sum(dec(col("c_acctbal"))).as("sum_bal"),
+        count(lit(1)).as("n_bal"))
     customer(s, d)
       .join(broadcast(avgBal))
-      .filter(col("c_acctbal") > col("avg_bal"))
+      .filter(dec(col("c_acctbal")) * col("n_bal") > col("sum_bal"))
       .join(orders(s, d)
           .filter(col("o_orderdate") >=
             lit("1998-06-01 00:00:00").cast("timestamp"))
@@ -215,10 +220,13 @@ object TpchStyle {
       .select(col("p_partkey"))
     val li = lineitem(s, d)
       .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    // qty < 0.2·avg ⟺ 5·n·qty < sum in exact decimal (see q22: the
+    // float average is partition-order-dependent at the boundary)
     val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_qty"))
     li.join(avgQty, col("l_partkey") === col("ap_key"))
-      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .filter(dec(col("l_quantity")) * col("n_qty") * lit(5) < col("sum_qty"))
       .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 6)
         .as("avg_yearly"))
   }
@@ -273,14 +281,20 @@ object TpchStyle {
         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
     "q_tpch_q17" ->
-      """SELECT round(
+      """WITH a AS (
+        |  SELECT l_partkey AS ap_key,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS n_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#12' GROUP BY 1)
+        |SELECT round(
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
         |  6) AS avg_yearly
-        |FROM lineitem, part
-        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
-        |  AND l_quantity < 0.2 * (
-        |    SELECT avg(l_quantity) FROM lineitem
-        |    WHERE l_partkey = p_partkey)""".stripMargin,
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN a ON ap_key = l_partkey
+        |WHERE p_brand = 'Brand#12'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * n_qty * 5 < sum_qty"""
+        .stripMargin,
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -308,12 +322,16 @@ object TpchStyle {
         |WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
         |GROUP BY 1""".stripMargin,
     "q_tpch_q22" ->
-      """SELECT n_name, count(*) AS n_cust,
+      """WITH a AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+        |    count(*) AS n_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, count(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-        |                   WHERE c_acctbal > 0.0)
+        |CROSS JOIN a
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_bal > sum_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
         |GROUP BY 1""".stripMargin,

@@ -104,10 +104,18 @@ object Dedup {
     * cores first (at real scale the file count does this for free).
     */
   def minhashSig(s: SparkSession, d: String): DataFrame = {
+    // Contract on degenerate input: a document with NO tokens (null
+    // text, or an empty/all-null token set) emits no signature row —
+    // the explode+groupBy twin and the SQL oracle both drop such
+    // documents, and the native expression alone would instead emit a
+    // null (null array) or Long.MaxValue (empty array) signature.
     val sig = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), graft.functions.MinHashExpr
-        .minhash(array_distinct(tokens(col("text")))).as("sig"))
+      .select(col("doc_id"),
+        filter(array_distinct(tokens(col("text"))), _.isNotNull).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashExpr.minhash(col("tk")).as("sig"))
     sig.select(col("doc_id") +: (0 until 16).map(i =>
       element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
@@ -119,8 +127,11 @@ object Dedup {
   def minhashSigExploded(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
-        .as("w"))
+      // same degenerate-input normalization as minhashSig: null tokens
+      // dropped, tokenless documents emit no row (explode of an empty
+      // array already does the latter)
+      .select(col("doc_id"), explode(
+        filter(array_distinct(tokens(col("text"))), _.isNotNull)).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10)
         .cast("long"))
     val mins = minhashSeeds.zipWithIndex.map { case (seed, i) =>

@@ -20,6 +20,25 @@ class MinHashExprSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("degenerate documents (null/empty text) keep the twins identical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("minhash_degenerate").toString
+    Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "alpha"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val a = Dedup.minhashSig(spark, tmp).orderBy("doc_id").collect().toSeq
+    val b = Dedup.minhashSigExploded(spark, tmp).orderBy("doc_id")
+      .collect().toSeq
+    assert(a == b)
+    // contract: the null-text document emits no signature row; the
+    // empty string still tokenizes to [""] and gets one
+    assert(a.map(_.getLong(0)) == Seq(1L, 3L, 4L))
+    assert(a.forall(r => (0 until r.length).forall(!r.isNullAt(_))))
+  }
+
   test("registered SQL function and codegen") {
     val spark = TestSpark.spark
     MinHashExpr.register(spark)
