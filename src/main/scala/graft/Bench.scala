@@ -49,7 +49,8 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, median(runs.map(_._1)), runs.forall(_._2))
+      val ts = runs.map(_._1)
+      (name, median(ts), runs.forall(_._2), ts.min, ts.max)
     }
     val full = renderJson(results, sfDir)
     val short = renderShortJson(results, sfDir)
@@ -85,23 +86,31 @@ object Bench {
   private def r3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  private def queriesObj(results: Seq[(String, Double, Boolean)]): String =
-    results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+  private def queriesObj(results: Seq[(String, Double, Boolean, Double, Double)]): String =
+    results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
 
-  private def failedArr(results: Seq[(String, Double, Boolean)]): String =
-    results.collect { case (k, _, false) => "\"" + k + "\"" }
+  private def spreadObj(results: Seq[(String, Double, Boolean, Double, Double)]): String =
+    results.map { case (k, _, _, lo, hi) =>
+      "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]" }
+      .mkString("{", ",", "}")
+
+  private def failedArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
+    results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
 
   /** The complete per-query map — every registered query priced.
     * Written to BENCH_LAST.json (too long for reliable log-tail
-    * capture at the current query count). Timings round to ms;
-    * Locale.ROOT because a comma-decimal default locale would corrupt
-    * the JSON.
+    * capture at the current query count). "queries" carries medians;
+    * "spread" the [min,max] across reps, so a round-over-round delta
+    * is attributable from the artifact alone — a delta inside the
+    * spread band is scheduler noise, not a code change. Timings round
+    * to ms; Locale.ROOT because a comma-decimal default locale would
+    * corrupt the JSON.
     */
-  def renderJson(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double, Boolean, Double, Double)], sfDir: String): String = {
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"failed":${failedArr(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"failed":${failedArr(results)},"sf":"$sfDir"}"""
   }
 
   /** The driver-contract stdout line: ONE JSON object, bounded-length.
@@ -110,7 +119,7 @@ object Bench {
     * tail window; "n_all" records the full count; "failed" is never
     * truncated — it is the alarm channel.
     */
-  def renderShortJson(results: Seq[(String, Double, Boolean)], sfDir: String,
+  def renderShortJson(results: Seq[(String, Double, Boolean, Double, Double)], sfDir: String,
                       top: Int = 30): String = {
     val total = results.map(_._2).sum
     val head = results.sortBy(-_._2).take(top).sortBy(_._1)

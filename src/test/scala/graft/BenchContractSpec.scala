@@ -14,7 +14,7 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("full rendering is complete and structurally sound") {
     val results = allNames.zipWithIndex.map { case (n, i) =>
-      (n, 1234.5678 + i, i % 7 != 0)
+      (n, 1234.5678 + i, i % 7 != 0, 1234.0 + i, 1236.0 + i)
     }
     val line = Bench.renderJson(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
@@ -23,12 +23,14 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"failed\":[\"" + allNames.head + "\""))
     // ms-rounded values only — no full-precision doubles
     assert(line.contains("\"" + allNames.head + "\":1234.568"))
+    // spread bands make noise attributable from the artifact alone
+    assert(line.contains("\"spread\":{\"" + allNames.head + "\":[1234.000,1236.000]"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
   test("short stdout line fits the driver tail window at any query count") {
     val results = allNames.zipWithIndex.map { case (n, i) =>
-      (n, 1234.5678 + i, true)
+      (n, 1234.5678 + i, true, 1234.0 + i, 1236.0 + i)
     }
     val line = Bench.renderShortJson(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
@@ -49,7 +51,7 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("short line never truncates the failed list") {
-    val results = allNames.zipWithIndex.map { case (n, i) => (n, i.toDouble, false) }
+    val results = allNames.zipWithIndex.map { case (n, i) => (n, i.toDouble, false, i.toDouble, i.toDouble) }
     val line = Bench.renderShortJson(results, "sf")
     allNames.foreach(n => assert(line.contains("\"" + n + "\""), n))
   }
@@ -64,7 +66,7 @@ class BenchContractSpec extends AnyFunSuite {
     val prev = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      val line = Bench.renderJson(Seq(("q_x", 0.1239, true)), "sf")
+      val line = Bench.renderJson(Seq(("q_x", 0.1239, true, 0.1239, 0.1239)), "sf")
       assert(line.contains("\"q_x\":0.124"), line)
       assert(!line.contains("0,124"), s"decimal comma corrupts JSON: $line")
     } finally java.util.Locale.setDefault(prev)
