@@ -26,14 +26,32 @@ object Profile {
     val qs =
       if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else names.map(n => n -> SparkEntry.queries(n))
+    // per-query scheduler counters: a constant-size fixture query whose
+    // cost is job/stage COUNT (not data) shows up here directly
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
+        }
+      })
     qs.foreach { case (name, fn) =>
       if (explain) fn(spark, sfDir).explain("formatted")
       val times = (1 to 3).map { _ =>
+        jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+      println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}" +
+        f"  last-run: ${jobs.get}%3d jobs ${stages.get}%4d stages ${tasks.get}%5d tasks")
     }
     spark.stop()
   }

@@ -83,18 +83,30 @@ object Cdc {
       .select(col("record_id"), col("uid"), col("event_type"),
         col("attempt"))
 
-    // J1 — current user rows for the batch's uids (set-based lookup)
-    val batchUids = valid.select(col("uid")).distinct()
+    // J1 — current user rows for the batch's uids (set-based lookup).
+    // On a capped batch the uid set is bounded by maxRecords, so it
+    // BROADCASTS: the users table — the 100 TB side — is probed in
+    // place, never shuffled. An unbounded drain (maxRecords =
+    // Int.MaxValue) keeps the shuffle join: its uid set scales with the
+    // pending backlog, and AQE still downgrades to broadcast when the
+    // runtime size allows.
+    val batchUids0 = valid.select(col("uid")).distinct()
+    val batchUids =
+      if (maxRecords == Int.MaxValue) batchUids0 else broadcast(batchUids0)
     val batchUsers = users
       .join(batchUids, users("pk_uniqueid").cast("long") === batchUids("uid"),
         "left_semi")
 
     // MERGE the uids that still have rows (is_new=false: event_type only
     // influences warnings, which the status matrix reconstructs).
-    // Materialized once: the merge, the row counts, and the ph15
-    // write-through all consume it — without this the users join + the
-    // 30-column conversion projection re-execute per consumer.
-    val newRows0 = SyncEngine.toNewRows(batchUsers).localCheckpoint(true)
+    // Materialized once (LAZY checkpoint: computed inside the first
+    // consuming job, reused by every later one): the merge, the row
+    // counts, and the ph15 write-through all consume it — without this
+    // the users join + the 30-column conversion projection re-execute
+    // per consumer; with an EAGER checkpoint every cycle pays a
+    // separate up-front job even when the consumer evaluates only the
+    // event-status side of the result.
+    val newRows0 = SyncEngine.toNewRows(batchUsers).localCheckpoint(false)
     val newRows = newRows0.withColumn("is_new", lit(false))
     val (snapMerged, outcomes) = SyncEngine.merge(snap1, newRows, conf)
 

@@ -470,9 +470,12 @@ object SyncEngine {
 
     // materialize once: the rows feed the snapshot apply, the status
     // matrix, the rename queue and the write-through — without this the
-    // two match joins + kernel re-execute per consumer (~5×)
+    // two match joins + kernel re-execute per consumer (~5×). Lazy:
+    // the first consuming job computes it in-line (no dedicated
+    // up-front job per merge — the CDC cycle constant), later jobs
+    // reuse the stored partitions.
     val mergeRows = mergeRowsPlan(matched, conf).as[MergeRow]
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (applyMerge(snapshot, mergeRows), mergeRows)
   }
 
