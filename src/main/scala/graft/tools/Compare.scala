@@ -44,23 +44,12 @@ object Compare {
   private def shortDn(dn: String, base: String): String =
     dn.stripSuffix("," + base).toLowerCase
 
-  /** Compare two trees; returns diff lines in DFS order (empty ⇒ equal).
+  /** Row-local diff of one matched pair — the whole compare semantics
+    * minus the join/order, shared by the distributed and the collecting
+    * form.
     */
-  def compare(lhs: Dataset[Entry], rhs: Dataset[Entry],
-      baseL: String, baseR: String): Seq[String] = {
-    val lKeyed = lhs.map(x => (shortDn(x.dn, baseL), x))(
-      Encoders.product[(String, Entry)]).toDF("k", "l")
-    val rKeyed = rhs.map(x => (shortDn(x.dn, baseR), x))(
-      Encoders.product[(String, Entry)]).toDF("k", "r")
-    val joined = lKeyed.join(rKeyed, Seq("k"), "full_outer")
-      .withColumn("ord", Directory.dfsKey(
-        coalesce(col("l.dn"), col("r.dn"))))
-      .orderBy("ord")
-      .select("l", "r")
-      .as[(Option[Entry], Option[Entry])](
-        Encoders.product[(Option[Entry], Option[Entry])])
-
-    joined.collect().toSeq.flatMap {
+  private def diffLines(pair: (Option[Entry], Option[Entry])): Seq[String] =
+    pair match {
       case (Some(a), None) => Seq(s"Only in lhs: ${a.dn}")
       case (None, Some(b)) => Seq(s"Only in rhs: ${b.dn}")
       case (Some(a), Some(b)) =>
@@ -87,5 +76,37 @@ object Compare {
         onlyL ++ onlyR ++ diffs
       case (None, None) => Nil
     }
+
+  /** Distributed tree diff: full-outer join on short_dn, global range
+    * sort on the DFS key, then a NARROW flatMap to diff lines — the
+    * result is a Dataset ready for a sorted write (`.write.text`),
+    * never materialized on the driver. Per-entry lines stay adjacent
+    * (flatMap is per-row) and globally DFS-ordered (range partitioning
+    * from the orderBy survives the narrow map). This is the J4 operator
+    * at 100 TB; `compare` below is its collecting twin for golden
+    * fixtures.
+    */
+  def compareDf(lhs: Dataset[Entry], rhs: Dataset[Entry],
+      baseL: String, baseR: String): Dataset[String] = {
+    val lKeyed = lhs.map(x => (shortDn(x.dn, baseL), x))(
+      Encoders.product[(String, Entry)]).toDF("k", "l")
+    val rKeyed = rhs.map(x => (shortDn(x.dn, baseR), x))(
+      Encoders.product[(String, Entry)]).toDF("k", "r")
+    lKeyed.join(rKeyed, Seq("k"), "full_outer")
+      .withColumn("ord", Directory.dfsKey(
+        coalesce(col("l.dn"), col("r.dn"))))
+      .orderBy("ord")
+      .select("l", "r")
+      .as[(Option[Entry], Option[Entry])](
+        Encoders.product[(Option[Entry], Option[Entry])])
+      .flatMap(diffLines _)(Encoders.STRING)
   }
+
+  /** Compare two trees; returns diff lines in DFS order (empty ⇒ equal).
+    * Driver-side golden-fixture formatter — the distributed form is
+    * `compareDf`.
+    */
+  def compare(lhs: Dataset[Entry], rhs: Dataset[Entry],
+      baseL: String, baseR: String): Seq[String] =
+    compareDf(lhs, rhs, baseL, baseR).collect().toSeq
 }

@@ -218,6 +218,35 @@ class CompareSpec extends AnyFunSuite {
       "Only in lhs: cn=jnas.orxzgyno.20,ou=user,ou=ph08,o=BMUKK"))
     assert(Compare.compare(a, a, "o=BMUKK", "o=BMUKK").isEmpty)
   }
+
+  test("compareDf diffs two >1e5-entry trees without driver collect") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = "ou=user,ou=big,o=X"
+    def tree(drop: Long, mutate: Long, extra: Boolean) = {
+      val n = 120000L
+      val rows = spark.range(0, n + (if (extra) 1 else 0))
+        .filter(col("id") =!= drop)
+      rows.map { i =>
+        val sn = if (i == mutate) "MUTATED" else s"sn$i"
+        Directory.Entry(s"cn=u$i,$base",
+          Map("sn" -> Seq(sn), "cn" -> Seq(s"u$i")))
+      }
+    }
+    // lhs: full tree; rhs: one entry missing, one mutated, one extra
+    val lhs = tree(drop = -1L, mutate = -1L, extra = false)
+    val rhs = tree(drop = 77L, mutate = 424242L % 120000L, extra = true)
+    val diff = Compare.compareDf(lhs, rhs, base, base)
+    // the result is a distributed Dataset: aggregate and sample it
+    // with executor-side actions only (count + limited take), never a
+    // full collect
+    assert(diff.count() == 3L)
+    val got = diff.take(5).toSeq
+    assert(got.contains("Only in lhs: cn=u77,ou=user,ou=big,o=X"), got)
+    assert(got.contains("Only in rhs: cn=u120000,ou=user,ou=big,o=X"), got)
+    assert(got.exists(_.startsWith(
+      "Differs: cn=u64242,ou=user,ou=big,o=X sn:")), got)
+  }
 }
 
 class CsvToolsSpec extends AnyFunSuite {
