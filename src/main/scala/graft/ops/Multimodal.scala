@@ -54,12 +54,15 @@ object Multimodal {
     * streamed as length-prefixed frames on stdin, features read back one
     * line per payload — the process-isolation shape of mapInArrow (batch
     * amortizes interpreter startup; executors never link the codec). The
-    * worker uses PIL per frame when importable AND the payload actually
-    * decodes; any other payload falls back to the SAME md5 arithmetic as
-    * StubDecoder. That per-frame fallback is load-bearing: it makes the
-    * decoder total (a text corpus run in a codec-capable environment
-    * still succeeds and still matches the md5 oracle) instead of dying
-    * on the first non-image byte string.
+    * worker tries PIL per frame when importable; without PIL it still
+    * REALLY decodes 8-bit non-interlaced PNGs via a pure-stdlib parser
+    * (zlib inflate + scanline unfilter, PIL's exact fixed-point luma for
+    * the mean so both paths report identical features); any other
+    * payload falls back to the SAME md5 arithmetic as StubDecoder. That
+    * per-frame fallback is load-bearing: it makes the decoder total (a
+    * text corpus run in a codec-capable environment still succeeds and
+    * still matches the md5 oracle) instead of dying on the first
+    * non-image byte string.
     *
     * Payloads stream through in bounded chunks (never a whole-partition
     * buffer); chunk size is small enough that the result lines of one
@@ -150,7 +153,7 @@ object Multimodal {
       * non-media corpora regardless of installed codecs.
       */
     val worker: String =
-      """import sys, struct, hashlib
+      """import sys, struct, hashlib, zlib
         |try:
         |    import io
         |    from PIL import Image
@@ -163,6 +166,65 @@ object Multimodal {
         |            64 + int(x[4:8], 16) % 1024,
         |            1 + int(x[8:10], 16) % 3,
         |            (int(x[10:16], 16) % 25600) / 100.0)
+        |def luma(r, g, b):
+        |    # PIL convert('L') fixed-point coefficients, bit-exact, so a
+        |    # PIL-capable node and this stdlib path report the same mean
+        |    return (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+        |def feat_png(b):
+        |    # pure-stdlib PNG decode (8-bit, non-interlaced): real media
+        |    # decode without PIL. Returns None for non-PNG payloads.
+        |    if b[:8] != b'\x89PNG\r\n\x1a\n':
+        |        return None
+        |    pos, w, ctype, idat = 8, None, None, b''
+        |    while pos + 8 <= len(b):
+        |        (n,) = struct.unpack('>I', b[pos:pos + 4])
+        |        tag = b[pos + 4:pos + 8]
+        |        data = b[pos + 8:pos + 8 + n]
+        |        pos += 12 + n
+        |        if tag == b'IHDR':
+        |            w, h, depth, ctype, _, _, inter = struct.unpack(
+        |                '>IIBBBBB', data)
+        |            if depth != 8 or inter != 0 or ctype not in (0, 2, 4, 6):
+        |                return None
+        |        elif tag == b'IDAT':
+        |            idat += data
+        |        elif tag == b'IEND':
+        |            break
+        |    if w is None or not idat:
+        |        return None
+        |    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        |    try:
+        |        raw = zlib.decompress(idat)
+        |    except Exception:
+        |        return None
+        |    stride = w * nch
+        |    if len(raw) != h * (stride + 1):
+        |        return None
+        |    prev, total = bytearray(stride), 0
+        |    for y in range(h):
+        |        f = raw[y * (stride + 1)]
+        |        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        |        if f:
+        |            for i in range(stride):
+        |                a = line[i - nch] if i >= nch else 0
+        |                u = prev[i]
+        |                c = prev[i - nch] if i >= nch else 0
+        |                if f == 1: line[i] = (line[i] + a) & 255
+        |                elif f == 2: line[i] = (line[i] + u) & 255
+        |                elif f == 3: line[i] = (line[i] + (a + u) // 2) & 255
+        |                elif f == 4:
+        |                    p = a + u - c
+        |                    pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+        |                    pr = a if pa <= pb and pa <= pc else (u if pb <= pc else c)
+        |                    line[i] = (line[i] + pr) & 255
+        |        for x in range(w):
+        |            o = x * nch
+        |            if ctype in (0, 4):
+        |                total += line[o]
+        |            else:
+        |                total += luma(line[o], line[o + 1], line[o + 2])
+        |        prev = line
+        |    return w, h, nch, total / (w * h)
         |def feat(b):
         |    if HAVE_PIL:
         |        try:
@@ -172,6 +234,13 @@ object Multimodal {
         |            hist = im.convert('L').histogram()
         |            n = sum(hist) or 1
         |            return w, h, c, sum(i * v for i, v in enumerate(hist)) / n
+        |        except Exception:
+        |            pass
+        |    else:
+        |        try:
+        |            p = feat_png(b)
+        |            if p is not None:
+        |                return p
         |        except Exception:
         |            pass
         |    return feat_hash(b)

@@ -64,6 +64,30 @@ class DecoderDispatchSpec extends AnyFunSuite {
     assert(one == StubDecoder.decodePartition(payloads.take(1).iterator).toSeq)
   }
 
+  test("real PNG fixtures decode to true dimensions, not stub arithmetic") {
+    assume(python3Available, "no python3 on PATH")
+    // generated 8-bit PNGs (src/test/resources/media, pure-stdlib
+    // synthesis — no external assets): the worker must REALLY decode
+    // them — via PIL where installed, else the stdlib PNG parser — and
+    // report true (w, h, channels, mean-luma), which provably differ
+    // from the md5 stub features. Mixed with a text payload to prove
+    // the per-frame dispatch: same batch, decode for media, md5 for
+    // text.
+    def fixture(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/media/$name").toURI))
+    val payloads = Seq(fixture("rgb_gradient.png"),
+      fixture("gray_checker.png"), fixture("rgb_stripes.png"),
+      "just text".getBytes("UTF-8"))
+    val got = PythonProcessDecoder().decodePartition(payloads.iterator).toSeq
+    val stub = StubDecoder.decodePartition(payloads.iterator).toSeq
+    assert(got(0) == ((3, 2, 3, 39.833333333333336)), got(0).toString)
+    assert(got(1) == ((4, 4, 1, 127.5)), got(1).toString)
+    assert(got(2) == ((8, 5, 3, 92.0)), got(2).toString)
+    (0 to 2).foreach(i => assert(got(i) != stub(i), s"fixture $i hit the stub"))
+    assert(got(3) == stub(3), "text payload must still use md5 arithmetic")
+  }
+
   test("q_mm_features is identical under both decoders (end-to-end)") {
     assume(python3Available, "no python3 on PATH")
     val spark = TestSpark.spark
