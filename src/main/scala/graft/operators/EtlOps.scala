@@ -201,6 +201,78 @@ object EtlOps {
       .orderBy("record_id")
   }
 
+  /** J7 — cross-tree deletion sweep, oracle-gated: over the golden tree,
+    * soft-delete the ph08 caesar1 (so its ph15 twin becomes the single
+    * live match) and strip the twin's account-status attrs (the sweep's
+    * guard); caesar2 stays live in ph08 and zzz.missing has no entry.
+    * The sweep must delete exactly the prepared twin — each victim's
+    * ph15 twin count before/after pins all three semantics branches.
+    */
+  def deletePh15Sweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = "ou=user,ou=ph08,o=BMUKK"
+    val conf = EtlConf(baseDn = base, cryptoIvHex = Some("0" * 32))
+    val prepared = Directory.parseDump(s,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+      .map { e =>
+        if (e.dn == s"cn=caesar1,$base")
+          Directory.Entry(e.dn,
+            e.attrs + ("idnDeleted" -> Seq("20170101000000Z")))
+        else if (e.dn == s"cn=caesar1,${conf.dn15}")
+          Directory.Entry(e.dn,
+            e.attrs.filter { case (k, _) => !k.startsWith("phonlineAccSt") })
+        else e
+      }
+    val victims = Seq("caesar1", "caesar2", "zzz.missing")
+    val after = SyncEngine.deleteInPh15(prepared, victims.toDS(), conf)
+    def twinCount(snap: org.apache.spark.sql.Dataset[Directory.Entry]) =
+      snap.toDF
+        .filter(col("dn").endsWith("," + conf.dn15) &&
+          col("dn").startsWith("cn="))
+        .select(Directory.rdnValueCol(col("dn")).as("cn"))
+    val vdf = victims.toDF("cn")
+    val before = twinCount(prepared).groupBy("cn")
+      .agg(count(lit(1)).as("n_before"))
+    val post = twinCount(after).groupBy("cn")
+      .agg(count(lit(1)).as("n_after"))
+    vdf.join(before, Seq("cn"), "left_outer")
+      .join(post, Seq("cn"), "left_outer")
+      .select(col("cn"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("cn")
+  }
+
+  /** J8 — ph15 student-email back-sync, oracle-gated: drift two ph15
+    * twins' emails, run the sync, and emit the healed values (the golden
+    * source-tree emails). The golden state itself is a fixpoint
+    * (Ph15EmailSpec), so exactly the drifted rows change.
+    */
+  def ph15EmailHeal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bases = Seq("ou=user,ou=ph08,o=BMUKK", "ou=user,ou=ph15,o=BMUKK")
+    val drifted = Map(
+      "cn=caesar1,ou=user,ou=ph15,o=BMUKK" -> "stale@wrong.example",
+      "cn=fuahr.ksspofil.1,ou=user,ou=ph15,o=BMUKK" -> "also@stale.example")
+    val snap = Directory.parseDump(s,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+      .map { e =>
+        drifted.get(e.dn) match {
+          case Some(stale) => Directory.Entry(e.dn,
+            e.attrs + ("phonlineEmailStudent" -> Seq(stale)))
+          case None => e
+        }
+      }
+    val healed = SyncEngine.ph15EmailSync(snap, bases)
+    healed.toDF
+      .filter(col("dn").isin(drifted.keys.toSeq: _*))
+      .select(col("dn"),
+        element_at(col("attrs")("phonlineEmailStudent"), 1).as("mail"))
+      .orderBy("dn")
+  }
+
   private def loadedSnapshot(s: SparkSession) = {
     import s.implicits._
     val pre = Directory.parseDump(s,
@@ -217,6 +289,8 @@ object EtlOps {
     "q_etl_cdc_batch" -> (etlCdcBatch _),
     "q_etl_scale_load" -> (etlScaleLoad _),
     "q_etl_scale_cdc" -> (etlScaleCdc _),
+    "q_j7_ph15_sweep" -> (deletePh15Sweep _),
+    "q_j8_email_heal" -> (ph15EmailHeal _),
   )
 
   /** Every query here carries a DuckDB oracle. The MERGE/CDC engine
@@ -245,6 +319,18 @@ object EtlOps {
     "q_etl_scale_cdc" ->
       """SELECT CAST(event_id AS DOUBLE) AS record_id, 'S' AS new_status
         |FROM events ORDER BY record_id""".stripMargin,
+    "q_j7_ph15_sweep" ->
+      """SELECT * FROM (VALUES
+        |  ('caesar1', 1, 0),
+        |  ('caesar2', 1, 1),
+        |  ('zzz.missing', 0, 0))
+        |  t(cn, n_before, n_after) ORDER BY cn""".stripMargin,
+    "q_j8_email_heal" ->
+      """SELECT * FROM (VALUES
+        |  ('cn=caesar1,ou=user,ou=ph15,o=BMUKK', 'caesar1@gmail.com'),
+        |  ('cn=fuahr.ksspofil.1,ou=user,ou=ph15,o=BMUKK',
+        |   'Abywt@stud.ph-noe.ac.at'))
+        |  t(dn, mail) ORDER BY dn""".stripMargin,
     "q_etl_cdc_batch" ->
       """SELECT CAST(record_id AS DOUBLE) AS record_id, new_status,
         |  CAST(new_error AS VARCHAR) AS new_error
