@@ -93,14 +93,19 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a count-over-window on the tf frame, NOT a groupBy+self-join:
+    // a derived `tf.groupBy(term)` references the tf subtree a second
+    // time and the physical plan re-scans and re-explodes the whole
+    // corpus for it (measured ~2× the tokenize cost) — the window form
+    // reads the tf rows once, one extra term-keyed exchange, no rescan
     val total = documents(s, d).agg(count(lit(1)).as("n_total"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy((col("tf") * col("n_total") / col("df")).desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .join(broadcast(total))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 3)
       .select("doc_id", "term", "tf", "df", "rk")
   }
@@ -180,9 +185,15 @@ object TextAnalysis {
           " i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-    c12.filter(col("c12") >= 5)
-      .join(c1, "w1")
+    // c1 = sum of c12 over w1, as a window on the AGGREGATED frame —
+    // a second pairs.groupBy would reference the explode subtree twice
+    // and the physical plan re-scans + re-explodes the corpus for it
+    // (the tfidf lesson); the window reads the vocabulary-bounded c12
+    // rows once. The c12 >= 5 prune applies AFTER the window so c1
+    // still counts every occurrence of w1.
+    c12.withColumn("c1", sum(col("c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .filter(col("c12") >= 5)
       .select(col("w1"), col("w2"), col("c12"),
         round(col("c12") * lit(1000000L) / col("c1")).cast("long")
           .as("p_micro"))
