@@ -122,6 +122,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(doc_id#"), s"window must key on doc_id:\n$p")
   }
 
+  test("tfidf and bigram LM scan the corpus once (no duplicate subtree)") {
+    // a derived groupBy joined back to its parent frame plans the whole
+    // explode subtree twice — df/c1 must come from windows over the
+    // aggregated frame (r7 fix: 5.1s -> 1.3s), so exactly ONE tokenize
+    // Generate and one documents scan per plan
+    Seq("q_text_tfidf" -> 2, "q_text_bigram_lm" -> 1).foreach {
+      case (q, scans) =>
+        val p = plan(q)
+        val gen = "Generate explode".r.findAllIn(p).size
+        assert(gen == 1, s"$q: expected 1 explode, got $gen:\n$p")
+        // tfidf legitimately re-scans for the 1-row broadcast total
+        // (column-pruned count, no tokenize); the LM reads once
+        val sc = "Scan parquet".r.findAllIn(p).size
+        assert(sc == scans, s"$q: expected $scans scans, got $sc:\n$p")
+    }
+  }
+
   test("explode fan-out tracks session parallelism, not a literal") {
     // TestSpark runs with spark.sql.shuffle.partitions=4: the explicit
     // pre-explode repartition must inherit that (a hardcoded 32 pins
