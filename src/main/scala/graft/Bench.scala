@@ -44,6 +44,12 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drain accumulated garbage from earlier queries BEFORE the
+      // timer starts: 100+ queries into the batch, a query can
+      // otherwise pay multi-second GC debt it did not create
+      // (observed 0.7s standalone vs 3.5s in-batch on an unchanged
+      // plan), which poisons round-over-round attribution
+      System.gc()
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot_long(a, b) - exact dot product of two bigint arrays"),
       (exprs: Seq[Expression]) => DotLongExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_stopword_hits"),
+      info("graft_stopword_hits",
+        "graft_stopword_hits(text, 'w1,w2,...') - single-pass stopword count"),
+      StopwordHitsExpr.fromExprs _))
+    ext.injectFunction((
       FunctionIdentifier("graft_edit_within"),
       info("graft_edit_within",
         "graft_edit_within(a, b, k) - true if levenshtein(a, b) <= k"),

@@ -19,7 +19,14 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "los", "es"),
     "fr" -> Seq("le", "la", "et", "les", "est"))
 
-  private def hits(t: Column, words: Seq[String]): Column =
+  /** Stopword count straight off the text column — the native
+    * single-pass expression; `hitsDeclarative` is its executable spec
+    * (StopwordHitsExprSpec pins pointwise equality).
+    */
+  private def hits(text: Column, words: Seq[String]): Column =
+    graft.functions.StopwordHitsExpr.stopwordHits(text, words)
+
+  private[graft] def hitsDeclarative(t: Column, words: Seq[String]): Column =
     size(filter(t, x => x.isin(words.map(lit(_)): _*)))
 
   /** Per-document quality stats: token count, exact average token
@@ -34,15 +41,18 @@ object TextAnalysis {
         col("doc_id"), col("n_tokens"),
         round((length(col("text")) - (col("n_tokens") - 1))
           .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
-        round(hits(col("t"), stop("en")).cast("double") / col("n_tokens"), 6)
+        round(hits(col("text"), stop("en")).cast("double") / col("n_tokens"), 6)
           .as("stopword_ratio"),
         round(length(regexp_replace(col("text"), "[^0-9]", ""))
           .cast("double") / length(col("text")), 6).as("digit_ratio"))
 
-  /** Stopword-vote language ID compared against the labeled column. */
+  /** Stopword-vote language ID compared against the labeled column.
+    * Four native single-pass counters over the raw text — no token
+    * array is ever built (the declarative form materialized the array
+    * plus one filtered copy per language).
+    */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val sc = stop.map { case (l, ws) => l -> hits(t, ws) }
+    val sc = stop.map { case (l, ws) => l -> hits(col("text"), ws) }
     val pred =
       when(sc("en") >= sc("de") && sc("en") >= sc("es") &&
         sc("en") >= sc("fr") && sc("en") > 0, "en")
