@@ -43,8 +43,13 @@ object TextAnalysis {
           .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
         round(hits(col("text"), stop("en")).cast("double") / col("n_tokens"), 6)
           .as("stopword_ratio"),
-        round(length(regexp_replace(col("text"), "[^0-9]", ""))
-          .cast("double") / length(col("text")), 6).as("digit_ratio"))
+        // guarded: an EMPTY document (length 0) must yield a null
+        // ratio, not an ANSI DIVIDE_BY_ZERO that kills the whole
+        // quality pass — real corpora always contain a few
+        // (DegenerateCorpusSpec)
+        when(length(col("text")) > 0,
+          round(length(regexp_replace(col("text"), "[^0-9]", ""))
+            .cast("double") / length(col("text")), 6)).as("digit_ratio"))
 
   /** Stopword-vote language ID compared against the labeled column.
     * Four native single-pass counters over the raw text — no token
@@ -375,7 +380,9 @@ object TextAnalysis {
       s"""SELECT doc_id, len(t)::BIGINT AS n_tokens,
          |  round((length(text) - (len(t) - 1))::DOUBLE / len(t), 6) AS avg_token_len,
          |  round(${hitsSql(stop("en"))}::DOUBLE / len(t), 6) AS stopword_ratio,
-         |  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 6) AS digit_ratio
+         |  CASE WHEN length(text) > 0 THEN
+         |    round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 6)
+         |  END AS digit_ratio
          |FROM (SELECT doc_id, text, str_split(text, ' ') AS t FROM documents) x""".stripMargin,
     "q_text_langid" ->
       s"""SELECT lang, predicted, count(*) AS n FROM (
