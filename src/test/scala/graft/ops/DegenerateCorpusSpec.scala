@@ -53,11 +53,36 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       "lengthGate" -> (() => Curation.lengthGate(s, dir)),
       "sources" -> (() => Curation.sources(s, dir)),
       "mixture" -> (() => Curation.mixture(s, dir)),
-      "manifest" -> (() => Curation.manifest(s, dir)))
+      "manifest" -> (() => Curation.manifest(s, dir)),
+      "tokenCount2" -> (() => TextAnalysis.tokenCount(s, dir)),
+      "postings" -> (() => TextAnalysis.postings(s, dir)),
+      "diversity" -> (() => TextAnalysis.diversity(s, dir)),
+      "bpeStep" -> (() => TextAnalysis.bpeStep(s, dir)),
+      "cooccurrence" -> (() => TextAnalysis.cooccurrence(s, dir)),
+      "bigramLm" -> (() => TextAnalysis.bigramLm(s, dir)),
+      "lmScore" -> (() => TextAnalysis.lmScore(s, dir)),
+      "corpusPipeline" -> (() => TextAnalysis.corpusPipeline(s, dir)),
+      "ngramJaccard" -> (() => Dedup.ngramJaccard(s, dir)),
+      "containment" -> (() => Dedup.containment(s, dir)),
+      "lshPairs" -> (() => Dedup.lshPairs(s, dir)),
+      "simhashPairs" -> (() => Dedup.simhashPairs(s, dir)),
+      "consensusPairs" -> (() => Dedup.consensusPairs(s, dir)),
+      "dupGroups" -> (() => Dedup.dupGroups(s, dir)),
+      "canonical" -> (() => Dedup.canonical(s, dir)),
+      "contamination" -> (() => Curation.contamination(s, dir)),
+      "qualitySample" -> (() => Curation.qualitySample(s, dir)),
+      "stratified" -> (() => Curation.stratified(s, dir)),
+      "dsir" -> (() => Curation.dsir(s, dir)),
+      "quota" -> (() => Curation.quota(s, dir)),
+      "pack" -> (() => Curation.pack(s, dir)),
+      "classifier" -> (() => Curation.classifier(s, dir)),
+      "curationPipeline" -> (() => Curation.curationPipeline(s, dir)),
+      "incrementalDedup" -> (() => Curation.incrementalDedup(s, dir)))
   }
 
-  // probabilistic cuts may legitimately select nothing from 8 docs
-  private val mayBeEmpty = Set("sample", "boilerplate")
+  // probabilistic cuts may legitimately select nothing from 8 docs;
+  // contamination's benchmark side (doc_id % 101 == 0) is empty here
+  private val mayBeEmpty = Set("sample", "boilerplate", "contamination")
 
   test("text operators survive a corpus with null/empty/unicode documents") {
     ops.foreach { case (name, f) =>
