@@ -329,6 +329,51 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
+  /** Sub-document exact dedup — the paragraph-level pass of a corpus
+    * pipeline (the SlimPajama/RefinedWeb recipe): split each document
+    * into non-overlapping 16-token chunks, keep only the globally FIRST
+    * occurrence of each distinct chunk (ordered by doc_id, then chunk
+    * position), and reassemble the survivors into a cleaned document.
+    * Catches boilerplate shared ACROSS documents that whole-document
+    * hashing (`exact`) misses, without the approximation of MinHash.
+    *
+    * Scale shape: chunking is row-local (one split, one transform over
+    * an index sequence — never a per-chunk re-tokenize); the
+    * first-occurrence election is ONE window shuffle keyed on the
+    * chunk's md5 (constant-width shuffle key regardless of chunk
+    * length); reassembly is ONE groupBy(doc_id). No join-back of the
+    * election result — the keep flag rides the window row — and no
+    * driver state. A window partition holds only the copies of one
+    * distinct chunk, so state per key is the duplicate multiplicity,
+    * not the corpus.
+    */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val P = 16
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(col("t").isNotNull)
+    val chunks = base.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) DIV $P), " +
+          s"i -> concat_ws(' ', slice(t, i * $P + 1, $P)))")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("keep", row_number().over(firstOcc) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x("chunk")),
+          " ").as("text_clean"))
+  }
+
   /** Connected components over an undirected pair list `(doc_a, doc_b)`
     * — returns `(id, label)` with label = the component's minimum id.
     */
@@ -399,6 +444,7 @@ object Dedup {
     "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_dedup_groups" -> (dupGroups _),
     "q_dedup_canonical" -> (canonical _),
+    "q_dedup_paragraph" -> (paragraphDedup _),
   )
 
   /** DuckDB mirror of the exploded simhash formulation (shared by the
@@ -596,5 +642,27 @@ object Dedup {
          |JOIN sim x ON x.doc_id = cand.doc_a
          |JOIN sim y ON y.doc_id = cand.doc_b
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        |  WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS ord
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, CAST((ord - 1) // 16 AS BIGINT) AS chunk_idx,
+        |         string_agg(tok, ' ' ORDER BY ord) AS chunk
+        |  FROM tok GROUP BY doc_id, (ord - 1) // 16),
+        |fl AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY md5(chunk)
+        |                            ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |       count(*)::BIGINT AS n_chunks,
+        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                           ORDER BY chunk_idx), '') AS text_clean
+        |FROM fl GROUP BY doc_id""".stripMargin,
   )
 }

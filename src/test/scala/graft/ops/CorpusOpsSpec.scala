@@ -181,6 +181,37 @@ class CorpusOpsSpec extends AnyFunSuite {
       "read-back count must match the published manifest")
   }
 
+  test("paragraph dedup keeps exactly the globally-first chunk occurrence") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("para_dedup").toString
+    def block(tok: String) = Seq.fill(16)(tok).mkString(" ")
+    val (a, b, c) = (block("a"), block("b"), block("c"))
+    Seq(
+      (1L, s"$a $b", "web", "en", 0L),   // first owner of A and B
+      (2L, s"$a $c", "web", "en", 0L),   // A dropped, C kept
+      (3L, s"$b $b", "web", "en", 0L))   // both copies of B dropped
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.paragraphDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((2L, 2L, s"$a $b")))
+    assert(rows(2L) == ((2L, 1L, c)))
+    assert(rows(3L) == ((2L, 0L, "")))
+  }
+
+  test("paragraph dedup reassembles untouched documents verbatim") {
+    val spark = TestSpark.spark
+    val clean = Dedup.paragraphDedup(spark, dir)
+      .filter(col("n_kept") === col("n_chunks"))
+      .join(documents(spark, dir), "doc_id")
+      .filter(col("text_clean") =!= col("text"))
+    assert(clean.isEmpty,
+      "a document with no dropped chunks must reassemble to its input")
+  }
+
   test("lm score sums are consistent with integer division") {
     val spark = TestSpark.spark
     val rows = TextAnalysis.lmScore(spark, dir).collect()

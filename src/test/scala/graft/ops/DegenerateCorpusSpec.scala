@@ -69,6 +69,7 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       "consensusPairs" -> (() => Dedup.consensusPairs(s, dir)),
       "dupGroups" -> (() => Dedup.dupGroups(s, dir)),
       "canonical" -> (() => Dedup.canonical(s, dir)),
+      "paragraphDedup" -> (() => Dedup.paragraphDedup(s, dir)),
       "contamination" -> (() => Curation.contamination(s, dir)),
       "qualitySample" -> (() => Curation.qualitySample(s, dir)),
       "stratified" -> (() => Curation.stratified(s, dir)),
