@@ -301,6 +301,60 @@ object Similarity {
       .limit(5)
   }
 
+  /** ANN quality audit — recall@5 of the single-probe IVF search
+    * against the exact brute-force ground truth, per query vector
+    * (queries = vec_id < 10, corpus = the rest; the `knnBatch` block
+    * convention). The measurement every ANN deployment runs before
+    * trusting an index: how much of the true neighborhood does the
+    * cheap probe see?
+    *
+    * ONE pass over the scored candidates computes BOTH rankings — the
+    * probe ranking sorts in-cell rows first, so there is no second
+    * scan, no self-join of two top-k results, and no duplicated
+    * scoring subtree in the plan. Both rankings are salted two-stage
+    * top-k (map-side cut to ≤k per salt, exact rank over the ≤64·k
+    * survivors), so the per-query funnel is bounded regardless of
+    * corpus size. recall_micro is exact integer arithmetic
+    * (1e6·hits DIV k) — no float division to drift across engines.
+    */
+  def knnRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val assigned = ivfAssign(s, d)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        col("le").as("qe"))
+    val scored = assigned.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        (col("cell") === col("qcell")).cast("int").as("in_cell"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .withColumn("salt", pmod(col("vec_id"), lit(64)))
+    val wSaltAll = Window.partitionBy("qid", "salt")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wSaltCell = Window.partitionBy("qid", "salt")
+      .orderBy(col("in_cell").desc, col("sim").desc, col("vec_id"))
+    val pruned = scored
+      .withColumn("ra", row_number().over(wSaltAll))
+      .withColumn("rc", row_number().over(wSaltCell))
+      .filter(col("ra") <= k || (col("in_cell") === 1 && col("rc") <= k))
+    val wAll = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val wCell = Window.partitionBy("qid")
+      .orderBy(col("in_cell").desc, col("sim").desc, col("vec_id"))
+    // in-cell survivors sort before every out-of-cell row under wCell,
+    // so rank_cell ≤ k ∧ in_cell picks exactly the probe's top-k
+    pruned
+      .withColumn("is_truth", row_number().over(wAll) <= k)
+      .withColumn("is_probe",
+        col("in_cell") === 1 && row_number().over(wCell) <= k)
+      .groupBy(col("qid"))
+      .agg(sum(when(col("is_truth") && col("is_probe"), 1L)
+        .otherwise(0L)).as("hit_sum"))
+      .selectExpr("qid", "CAST(hit_sum AS BIGINT) AS n_hit",
+        s"CAST((1000000 * hit_sum) DIV $k AS BIGINT) AS recall_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_batch" -> (knnBatch _),
@@ -311,6 +365,7 @@ object Similarity {
     "q_dedup_embed" -> (embedDupPairs _),
     "q_dedup_semantic" -> (semanticDedup _),
     "q_knn_hardneg" -> (hardNegatives _),
+    "q_knn_recall" -> (knnRecall _),
   )
 
   /** DuckDB mirror of `ivfAssign` — nearest coarse cell per vector. */
@@ -362,6 +417,30 @@ object Similarity {
          |      ORDER BY sim DESC, vec_id) AS rank
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
+    "q_knn_recall" ->
+      s"""WITH $cellSql,
+         |q AS (SELECT vec_id AS qid, cell AS qcell, le AS qe FROM cell
+         |      WHERE vec_id < 10),
+         |e AS (SELECT vec_id, le, cell FROM cell WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT q.qid, q.qcell, e.cell, e.vec_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM e, q),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id) AS rn FROM scored) t
+         |  WHERE rn <= 5),
+         |probe AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored WHERE cell = qcell) t
+         |  WHERE rn <= 5),
+         |hits AS (SELECT t.qid, count(*) AS n FROM truth t
+         |  JOIN probe p ON t.qid = p.qid AND t.vec_id = p.vec_id
+         |  GROUP BY t.qid)
+         |SELECT q.qid, coalesce(n, 0)::BIGINT AS n_hit,
+         |  ((1000000 * coalesce(n, 0)) // 5)::BIGINT AS recall_micro
+         |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH $cellSql,
          |p AS (

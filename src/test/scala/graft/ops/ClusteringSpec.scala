@@ -85,4 +85,50 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.head == brute.head,
       s"pq top-1 ${got.head} != exact top-1 ${brute.head}")
   }
+
+  test("knn recall audit equals the naive two-scan formulation") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.knnRecall(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    // naive twin: score twice, rank each side separately, intersect —
+    // the formulation the salted single-pass plan must reproduce
+    val e = graft.Tables.embeddings(spark, d)
+    val dot = graft.functions.DotExpr.dot _
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("le"))
+    // nearest of the 16 coarse centroids, argmin via min-of-struct
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("le").as("ce"))
+    val cell = v.crossJoin(broadcast(cents))
+      .withColumn("d2", dot(col("le"), col("le"))
+        - lit(2.0) * dot(col("le"), col("ce"))
+        + dot(col("ce"), col("ce")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("b"),
+        first(col("le")).as("le"))
+      .select(col("vec_id"), col("b.cid").as("cell"), col("le"))
+    val q = cell.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        col("le").as("qe"))
+    val corpus = cell.filter(col("vec_id") >= 10)
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("qid"), col("qcell"), col("cell"), col("vec_id"),
+        cos(col("le"), col("qe")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = topk(scored)
+    val probe = topk(scored.filter(col("cell") === col("qcell")))
+    (0L until 10L).foreach { qid =>
+      val hits = (truth & probe).count(_._1 == qid).toLong
+      assert(got(qid) == ((hits, 1000000L * hits / 5L)),
+        s"qid=$qid got=${got(qid)} want hits=$hits")
+    }
+  }
 }
