@@ -329,6 +329,28 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
+  /** Dedup impact report — the per-(source, lang) summary a pipeline
+    * owner reads before committing a dedup pass: how many documents
+    * survive canonical selection, and how many characters the near-dup
+    * clusters give back. Composes `canonical` over the WHOLE corpus —
+    * a document outside every candidate pair is its own canonical
+    * (left join + coalesce(true)). The only work beyond `canonical`
+    * itself is one keyed join and a map-side-combinable aggregate to a
+    * (source × lang)-sized result.
+    */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val keep = canonical(s, d).select(col("doc_id"), col("is_canonical"))
+    docs.join(keep, Seq("doc_id"), "left_outer")
+      .withColumn("k", coalesce(col("is_canonical"), lit(true)))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("k"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("k"), col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+  }
+
   /** Sub-document exact dedup — the paragraph-level pass of a corpus
     * pipeline (the SlimPajama/RefinedWeb recipe): split each document
     * into non-overlapping 16-token chunks, keep only the globally FIRST
@@ -445,6 +467,7 @@ object Dedup {
     "q_dedup_groups" -> (dupGroups _),
     "q_dedup_canonical" -> (canonical _),
     "q_dedup_paragraph" -> (paragraphDedup _),
+    "q_dedup_report" -> (dedupReport _),
   )
 
   /** DuckDB mirror of the exploded simhash formulation (shared by the
@@ -642,6 +665,26 @@ object Dedup {
          |JOIN sim x ON x.doc_id = cand.doc_a
          |JOIN sim y ON y.doc_id = cand.doc_b
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin,
+    "q_dedup_report" ->
+      s"""$groupsCte,
+         |win AS (
+         |  SELECT dup_group, doc_id AS canonical_id FROM (
+         |    SELECT g.dup_group, g.doc_id, row_number() OVER (
+         |      PARTITION BY g.dup_group
+         |      ORDER BY d.n_chars DESC, g.doc_id) AS rn
+         |    FROM groups g JOIN documents d ON d.doc_id = g.doc_id) t
+         |  WHERE rn = 1),
+         |can AS (
+         |  SELECT g.doc_id, g.doc_id = w.canonical_id AS is_canonical
+         |  FROM groups g JOIN win w USING (dup_group))
+         |SELECT d.source, d.lang,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN coalesce(c.is_canonical, TRUE)
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN NOT coalesce(c.is_canonical, TRUE)
+         |      THEN d.n_chars ELSE 0 END)::BIGINT AS chars_dropped
+         |FROM documents d LEFT JOIN can c ON c.doc_id = d.doc_id
+         |GROUP BY d.source, d.lang""".stripMargin,
     "q_dedup_paragraph" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents

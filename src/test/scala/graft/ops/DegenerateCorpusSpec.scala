@@ -70,6 +70,7 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       "dupGroups" -> (() => Dedup.dupGroups(s, dir)),
       "canonical" -> (() => Dedup.canonical(s, dir)),
       "paragraphDedup" -> (() => Dedup.paragraphDedup(s, dir)),
+      "dedupReport" -> (() => Dedup.dedupReport(s, dir)),
       "contamination" -> (() => Curation.contamination(s, dir)),
       "qualitySample" -> (() => Curation.qualitySample(s, dir)),
       "stratified" -> (() => Curation.stratified(s, dir)),
