@@ -317,17 +317,34 @@ object Similarity {
     * corpus size. recall_micro is exact integer arithmetic
     * (1e6·hits DIV k) — no float division to drift across engines.
     */
-  def knnRecall(s: SparkSession, d: String): DataFrame = {
+  private def recallAtK(s: SparkSession, d: String, nProbe: Int)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 5
     val assigned = ivfAssign(s, d)
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
-        col("le").as("qe"))
+    // per-query probe set: the nProbe nearest coarse cells (nProbe = 1
+    // reduces to the single-probe assignment). 10 queries × 16
+    // centroids — a broadcast-sized frame however large the corpus.
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("le").as("ce"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    val q = e.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("le"), col("ce")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .groupBy(col("vec_id"))
+      .agg(collect_set(col("cid")).as("probe_cells"),
+        first(col("le")).as("qe"))
+      .select(col("vec_id").as("qid"), col("probe_cells"), col("qe"))
     val scored = assigned.filter(col("vec_id") >= 10)
       .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
-        (col("cell") === col("qcell")).cast("int").as("in_cell"),
+        array_contains(col("probe_cells"), col("cell")).cast("int")
+          .as("in_cell"),
         round(cosine(col("le"), col("qe")), 6).as("sim"))
       .withColumn("salt", pmod(col("vec_id"), lit(64)))
     val wSaltAll = Window.partitionBy("qid", "salt")
@@ -355,6 +372,16 @@ object Similarity {
         s"CAST((1000000 * hit_sum) DIV $k AS BIGINT) AS recall_micro")
   }
 
+  def knnRecall(s: SparkSession, d: String): DataFrame =
+    recallAtK(s, d, 1)
+
+  /** The other end of the recall/cost knob: probing the 2 nearest
+    * cells. Read next to `knnRecall` this IS the IVF tuning table —
+    * how much recall the second probe buys for 2× the probed volume.
+    */
+  def knnRecallMultiProbe(s: SparkSession, d: String): DataFrame =
+    recallAtK(s, d, 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_batch" -> (knnBatch _),
@@ -366,6 +393,7 @@ object Similarity {
     "q_dedup_semantic" -> (semanticDedup _),
     "q_knn_hardneg" -> (hardNegatives _),
     "q_knn_recall" -> (knnRecall _),
+    "q_knn_recall_mp" -> (knnRecallMultiProbe _),
   )
 
   /** DuckDB mirror of `ivfAssign` — nearest coarse cell per vector. */
@@ -434,6 +462,33 @@ object Similarity {
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
          |    ORDER BY sim DESC, vec_id) AS rn
          |  FROM scored WHERE cell = qcell) t
+         |  WHERE rn <= 5),
+         |hits AS (SELECT t.qid, count(*) AS n FROM truth t
+         |  JOIN probe p ON t.qid = p.qid AND t.vec_id = p.vec_id
+         |  GROUP BY t.qid)
+         |SELECT q.qid, coalesce(n, 0)::BIGINT AS n_hit,
+         |  ((1000000 * coalesce(n, 0)) // 5)::BIGINT AS recall_micro
+         |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
+    "q_knn_recall_mp" ->
+      s"""WITH $cellSql,
+         |qp AS (SELECT vec_id AS qid, cid AS pcell FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cid) AS rn
+         |  FROM asg WHERE vec_id < 10) t WHERE rn <= 2),
+         |q AS (SELECT vec_id AS qid, le AS qe FROM cell
+         |      WHERE vec_id < 10),
+         |e AS (SELECT vec_id, le, cell FROM cell WHERE vec_id >= 10),
+         |scored AS (
+         |  SELECT q.qid, e.cell, e.vec_id, round($cosSql, 6) AS sim
+         |  FROM e, q),
+         |truth AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id) AS rn FROM scored) t
+         |  WHERE rn <= 5),
+         |probe AS (SELECT qid, vec_id FROM (
+         |  SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+         |    ORDER BY s.sim DESC, s.vec_id) AS rn
+         |  FROM scored s JOIN qp ON qp.qid = s.qid AND qp.pcell = s.cell) t
          |  WHERE rn <= 5),
          |hits AS (SELECT t.qid, count(*) AS n FROM truth t
          |  JOIN probe p ON t.qid = p.qid AND t.vec_id = p.vec_id
