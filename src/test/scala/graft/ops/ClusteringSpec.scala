@@ -86,6 +86,20 @@ class ClusteringSpec extends AnyFunSuite {
       s"pq top-1 ${got.head} != exact top-1 ${brute.head}")
   }
 
+  test("second IVF probe never loses recall (probe-set monotonicity)") {
+    val spark = TestSpark.spark
+    // a truth member found by the single probe survives any candidate
+    // superset: at most 4 candidates anywhere outrank a global-top-5
+    // row, so it stays in the probe top-5 when cells are added
+    val r1 = Similarity.knnRecall(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Similarity.knnRecallMultiProbe(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == r2.keySet)
+    r1.foreach { case (q, h) =>
+      assert(r2(q) >= h, s"qid=$q single=$h multi=${r2(q)}") }
+  }
+
   test("knn recall audit equals the naive two-scan formulation") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.expressions.Window
