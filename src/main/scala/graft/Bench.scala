@@ -24,15 +24,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm pass at the smallest SF first: JIT + whole-stage-codegen
-    // class compilation amortize across the fleet in steady state, so
-    // the timed pass below measures plan execution, not first-call
-    // classloading.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-    }
-
     // Per-query timing with explicit failure tracking: a query that
     // throws is listed under "failed" so a regression can never
     // masquerade as a fast run. Median of 3 runs per query: the bench
@@ -50,6 +41,15 @@ object Bench {
       // (observed 0.7s standalone vs 3.5s in-batch on an unchanged
       // plan), which poisons round-over-round attribution
       System.gc()
+      // ONE untimed warm-up rep at the TARGET SF before the timed reps
+      // (replaces the old all-queries sf0.001 warm pass): the first
+      // execution of a plan pays costs that belong to the session, not
+      // the query — whole-stage-codegen class compilation for THIS plan
+      // shape, JIT of the generated classes, page-cache faulting of the
+      // sf-dir parquet. r7 measured q_dedup_canonical spread
+      // [5.0, 13.7] with the max always on the first rep; excluding it
+      // makes round-over-round medians attributable to code changes.
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

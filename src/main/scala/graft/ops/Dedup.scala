@@ -318,15 +318,20 @@ object Dedup {
     val groups = dupGroups(s, d)
     val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
     val g = groups.join(docs, "doc_id")
-    // argmax(n_chars desc, doc_id asc) as max-of-struct: negate the id
-    // so lexicographic struct max encodes the full tie-break
-    val winners = g.groupBy("dup_group")
-      .agg(max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
-        .as("b"))
-      .select(col("dup_group"), (-col("b.nid")).as("canonical_id"))
-    g.join(winners, "dup_group")
-      .select(col("doc_id"), col("dup_group"), col("canonical_id"),
-        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+    // argmax(n_chars desc, doc_id asc) as max-of-struct OVER A WINDOW,
+    // not groupBy+join-back: a join-back references the g subtree twice
+    // and the physical plan runs the groups×docs join (and the docs
+    // scan) once per reference. The window reads g exactly once — one
+    // dup_group-keyed exchange, then the per-partition max rides each
+    // row. Negate the id so lexicographic struct max encodes the full
+    // tie-break.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("dup_group")
+    g.withColumn("b",
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
+          .over(wg))
+      .select(col("doc_id"), col("dup_group"),
+        (-col("b.nid")).as("canonical_id"),
+        (col("doc_id") === -col("b.nid")).as("is_canonical"))
   }
 
   /** Dedup impact report — the per-(source, lang) summary a pipeline
@@ -408,8 +413,10 @@ object Dedup {
     // limit(1).count() per round — ~4 job launches/round, and the
     // per-job constant dominated the 6,778-edge fixture (36 s).
     val pairs = pairs0.localCheckpoint(true)
+    // the count doubles as the early-exit test AND the loop-width input
+    val nPairs = pairs.count()
     // early-exit: no candidate pairs ⇒ no components to label
-    if (pairs.isEmpty)
+    if (nPairs == 0L)
       return pairs.select(col("doc_a").as("id"), col("doc_a").as("label"))
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -417,22 +424,49 @@ object Dedup {
       .withColumn("label", col("id"))
     var converged = false
     var iter = 0
+    // AQE OFF for the label loop (restored in the finally): AQE turns
+    // every exchange into its own materialization job, so one round's
+    // single action became ~5 scheduled jobs — pure per-round constant
+    // (measured 3.5 s of the 4.7 s steady-state at sf0.1, ~2 tasks per
+    // job). The label frames are shuffle-bounded by the CAPPED pair
+    // graph (degree ≤ bands×maxBucket), so the skew/coalesce services
+    // AQE provides are not needed here; the expensive corpus-side pair
+    // generation above runs BEFORE this point and keeps full AQE.
+    // With AQE off the loop would inherit the session's static shuffle
+    // width for row counts AQE used to coalesce away, so size the loop
+    // shuffles from the KNOWN pair count instead: ≥250k label rows per
+    // partition (the frames are ≤ 2·|pairs| rows of two longs), capped
+    // at the session fan-out — the same width AQE picks, chosen once.
+    val sess = pairs0.sparkSession
+    val loopParts = math.min(graft.Tables.fanout(sess).toLong,
+      2L * nPairs / 250000L + 1L).toInt
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled")
+    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
     // that we fail loudly rather than return split groups
     while (!converged && iter < 20) {
-      val nbrMin = edges
-        .join(labels, col("v") === col("id"))
-        .groupBy(col("u"))
-        .agg(min(col("label")).as("nbr_label"))
+      // hop = min over (own label ∪ neighbor labels) in ONE aggregation:
+      // union the self rows (which carry the old label for the
+      // convergence test — max() recovers it, as it is the only
+      // non-null) with the neighbor-label rows, then a single
+      // min-aggregate. The join+groupBy+join-back formulation this
+      // replaces shuffled three times per round (edges×labels, groupBy,
+      // label join-back); the union adds no exchange, so the hop is two.
+      val nbr = edges.join(labels, col("v") === col("id"))
+        .select(col("u").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      val self = labels.select(col("id"), col("label"),
+        col("label").as("old"))
       // lazy checkpoint: the jump reads the hop result twice, and the
       // next round builds on the jump — both must compute once and have
       // their lineage truncated, but neither needs its own job. The
       // convergence aggregate below materializes (and caches) both.
-      val hopped = labels
-        .join(nbrMin, col("id") === col("u"), "left_outer")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+      val hopped = self.unionByName(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old_label"))
         .localCheckpoint(false)
       val jumped = hopped.alias("a")
         .join(hopped.select(col("id").as("jid"), col("label").as("jlabel"))
@@ -445,6 +479,10 @@ object Dedup {
         .first().getLong(0) == 0L
       labels = jumped.drop("old_label")
       iter += 1
+    }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
     if (!converged)
       throw new IllegalStateException(

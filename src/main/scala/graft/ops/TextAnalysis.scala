@@ -315,10 +315,18 @@ object TextAnalysis {
     * feasible at corpus scale.
     */
   def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    // occ feeds both the top-20 vocabulary reduction and the pairing
+    // join; without the lazy checkpoint the broadcast subtree re-scans
+    // and re-explodes the WHOLE corpus for `top` (same double-scan the
+    // tfidf window rewrite removed — measured 2× the tokenize cost).
+    // Lazy (eager=false): building the frame must not launch a job; the
+    // occ RDD materializes with the query's own action and is read
+    // twice from cache.
     val occ = documents(s, d)
       .repartition(fanout(s), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(toks(col("text")))).as("term"))
+      .localCheckpoint(false)
     val top = occ.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(20)
       .select(col("term"))

@@ -248,6 +248,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrence computes the exploded corpus exactly once") {
+    // occ is a lazy checkpoint shared by the top-20 vocabulary subtree
+    // and the pairing join: the consuming plan must read the cached RDD
+    // and never re-scan or re-tokenize the corpus (the r7 plan ran the
+    // documents scan + explode twice — once under the broadcast)
+    val p = plan("q_text_cooc")
+    assert(!p.contains("Scan parquet"), s"corpus re-scan survived:\n$p")
+    assert(!p.contains("Generate explode"), s"re-tokenize survived:\n$p")
+  }
+
+  test("canonical selection reads groups×docs once (window, no join-back)") {
+    // the r7 groupBy+join-back referenced the groups×docs join twice and
+    // the physical plan ran it (and the docs scan) per reference; the
+    // argmax window reads the joined frame once
+    val p = plan("q_dedup_canonical")
+    val sc = "Scan parquet".r.findAllIn(p).size
+    assert(sc == 1, s"expected only the docs scan, got $sc:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly the argmax window, got $windows:\n$p")
+  }
+
   test("quota sampling windows by stratum and keeps scans pruned") {
     val p = plan("q_cur_quota")
     assert(p.contains("hashpartitioning(lang#"), s"window must key on lang:\n$p")
