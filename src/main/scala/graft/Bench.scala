@@ -34,7 +34,14 @@ object Bench {
     // the parsed:null failure this contract exists to prevent
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter, mirroring GRAFT_VERIFY_ONLY: bench a named slice
+    // while iterating on it instead of the full fleet (driver runs
+    // leave it unset and price everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // drain accumulated garbage from earlier queries BEFORE the
       // timer starts: 100+ queries into the batch, a query can
       // otherwise pay multi-second GC debt it did not create
@@ -69,11 +76,14 @@ object Bench {
     // bounded well under the window.
     System.out.println("GRAFT_BENCH_JSON " + short)
     // file write must not break the stdout channels (read-only cwd etc.)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"BENCH_LAST.json write failed: $e") }
+    // filtered dev-loop slices must NOT overwrite the full-fleet
+    // artifact — a partial BENCH_LAST.json would read as a full bench
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH_LAST.json write failed: $e") }
     System.out.println(short)
     System.out.flush()
     spark.stop()

@@ -42,9 +42,14 @@ object Tables {
     * stage right back to a handful of tasks, so explode-heavy operators
     * pin an explicit partition count — but that count must track the
     * cluster, not a literal. Resolution order: `graft.fanout.partitions`
-    * conf (explicit override) → `spark.sql.shuffle.partitions` →
-    * `defaultParallelism`. On local[32] this lands on 32 as before; on a
-    * 1000-executor cluster it follows the session's shuffle sizing.
+    * conf (explicit override) → `spark.sql.shuffle.partitions`. Note
+    * the session's shuffle.partitions ALWAYS wins, including its 200
+    * default on a vanilla session (SQLConf entries with defaults never
+    * return None, so the defaultParallelism arm below fires only if the
+    * conf is somehow cleared) — every graft entry point (Bench, Verify,
+    * Profile, TestSpark) sets shuffle.partitions to the core count, and
+    * on a real cluster the session's shuffle sizing is the right width
+    * anyway.
     */
   def fanout(s: SparkSession): Int =
     s.conf.getOption("graft.fanout.partitions")
@@ -52,6 +57,39 @@ object Tables {
       .map(_.toInt)
       .filter(_ > 0)
       .getOrElse(s.sparkContext.defaultParallelism)
+
+  /** Run `body` under STATIC query planning — AQE off, shuffle width
+    * fixed from a KNOWN input row count (≥`perPart` rows per partition,
+    * capped at the session fan-out) — restoring both confs after.
+    *
+    * For iterative/multi-stage sections whose input size is already
+    * materialized (a checkpointed edge list, a candidate-pair graph),
+    * AQE only adds cost: it turns every exchange into its own
+    * materialization job to re-plan from observed sizes we already
+    * know, and on local[32] those per-job constants dominate small
+    * fixtures (~0.2 s/job measured — the dedup CC loop spent 3.5 s of
+    * its 4.7 s steady state on them). The width formula makes the same
+    * coalesce decision AQE would, once, from the real count — so the
+    * block keeps its scale behavior (width grows with the data, capped
+    * by the session's shuffle sizing) without per-stage scheduling.
+    *
+    * Only the ACTIONS executed inside `body` see the static confs;
+    * plans returned unexecuted pick up whatever conf is live at their
+    * action, so callers materialize (checkpoint) results in-block.
+    */
+  def withStaticWidth[T](s: SparkSession, rows: Long, perPart: Long = 250000L)
+                        (body: => T): T = {
+    val parts = math.min(fanout(s).toLong, rows / perPart + 1L).toInt
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled")
+    val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try body
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+  }
 
   /** Exact-sum money column: double → decimal(18,2) so partial-agg order
     * cannot perturb the result (needed for bit-exact DuckDB oracle

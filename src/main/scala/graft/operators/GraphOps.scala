@@ -18,17 +18,34 @@ import graft.Tables._
 object GraphOps {
 
   /** Undirected affinity edges (sa < sb), thresholded on relative
-    * co-occurrence. One self-equi-join on the order key (bounded fan-out:
-    * items per order is schema-bounded, so pairs-per-order is too), one
-    * count shuffle, and a 1-row broadcast for the mean.
+    * co-occurrence. ONE fact scan + ONE order-key shuffle: the
+    * suppliers of each order are collected (items per order is
+    * schema-bounded, so the list — and the row-local pair expansion,
+    * ≤ C(items, 2) — is too) and pairs enumerate inside the row,
+    * replacing the self-equi-join formulation that scanned and
+    * shuffled the fact table TWICE. Multiplicity is preserved exactly:
+    * the sorted list emits one (sa, sb) per ordered index pair with
+    * sa < sb, which is what the self-join counted. The distinct-pair
+    * aggregate is supplier²-bounded (tiny) and lazily checkpointed —
+    * the mean-threshold branch and every downstream consumer read it
+    * from cache instead of re-planning the fact scan.
     */
   private def coEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_suppkey"))
-    val a = li.select(col("ok"), col("l_suppkey").as("sa"))
-    val b = li.select(col("ok"), col("l_suppkey").as("sb"))
-    val co = a.join(b, Seq("ok"))
-      .filter(col("sa") < col("sb"))
+    val pairsInOrder = flatten(transform(col("ss"), (x, i) =>
+      transform(filter(slice(col("ss"), i + lit(2),
+        greatest(size(col("ss")) - i - 1, lit(0))), y => y > x),
+        y => struct(x.as("sa"), y.as("sb")))))
+    // stays under FULL AQE: the chain is scan → groupBy(ok) → explode →
+    // groupBy(pair) over the fact table, where runtime coalescing
+    // genuinely pays (a static-width variant measured ~2× slower —
+    // the post-explode exchange wants the observed sizes)
+    val co = li.groupBy(col("ok"))
+      .agg(array_sort(collect_list(col("l_suppkey"))).as("ss"))
+      .select(explode(pairsInOrder).as("p"))
+      .select(col("p.sa"), col("p.sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val thr = co.agg(avg(col("cnt")).as("mean_cnt"))
     co.join(broadcast(thr))
       .filter(col("cnt") >= lit(1.25) * col("mean_cnt"))
@@ -53,37 +70,50 @@ object GraphOps {
     // the broadcast subtrees re-plan the self-join per use; the
     // checkpoint removes that (measured ~0.4 s at sf0.1) and, more
     // importantly at 100 TB, guarantees the fact-table join runs once
-    // regardless of how the consumers are planned. LAZY (eager=false):
-    // building the DataFrame must not launch a job — the edge RDD
-    // materializes with the query's own action and is shared from
-    // there. The edge list itself is tiny after the relative
-    // threshold — the materialization is O(edges), never O(fact table).
-    val e = coEdges(s, d).localCheckpoint(false) // sa < sb
-    val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val da = deg.select(col("v").as("sa"), col("deg").as("da"))
-    val db = deg.select(col("v").as("sb"), col("deg").as("db"))
-    val lowFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("sa") < col("sb"))
-    val dE = e.join(da, "sa").join(db, "sb")
-      .select(when(lowFirst, col("sa")).otherwise(col("sb")).as("src"),
-        when(lowFirst, col("sb")).otherwise(col("sa")).as("dst"))
-    // The wedge fan-out multiplies the edge list by out-degree — the
-    // parallelism that matters is DOWNSTREAM of this join, which AQE
-    // cannot see from the tiny pre-join row counts (it coalesces the
-    // probe side to one partition and the enumeration runs on one
-    // core). Pin an explicit partition count on the probe side and
-    // broadcast the build sides: wedge generation and the closing
-    // probe then stay narrow and fully parallel.
-    val wedges = dE.repartition(fanout(s), col("src"))
-      .select(col("src"), col("dst").as("v"))
-      .join(broadcast(dE.select(col("src"), col("dst").as("w"))), "src")
-      .filter(col("v") < col("w"))
-    val closed = wedges.join(broadcast(e),
-      col("sa") === col("v") && col("sb") === col("w"))
-    closed.agg(count(lit(1)).as("n_triangles"))
-      .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-      .select(col("n_triangles"), col("n_edges"))
+    // regardless of how the consumers are planned. EAGER: the count
+    // below feeds the static width for everything downstream. The edge
+    // list itself is tiny after the relative threshold — the
+    // materialization is O(edges), never O(fact table).
+    val e = coEdges(s, d).localCheckpoint(true) // sa < sb
+    val nEdges = e.count()
+    // capture the SESSION fan-out before entering the static block: the
+    // wedge stage EXPANDS rows (edges × out-degree), so its repartition
+    // must use the full session width — inside the block fanout() would
+    // resolve to the width sized for non-expanding label-scale frames
+    val wedgeFan = fanout(s)
+    // Static planning below the checkpoint (Tables.withStaticWidth):
+    // every downstream size is derivable from the KNOWN edge count
+    // (degrees ≤ 2·edges, wedges ≤ edges·√(2·edges) under orientation),
+    // so AQE's per-exchange jobs are pure constant; width follows the
+    // edge count. The 1-row result materializes inside the block.
+    graft.Tables.withStaticWidth(s, nEdges) {
+      val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val da = deg.select(col("v").as("sa"), col("deg").as("da"))
+      val db = deg.select(col("v").as("sb"), col("deg").as("db"))
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("sa") < col("sb"))
+      val dE = e.join(da, "sa").join(db, "sb")
+        .select(when(lowFirst, col("sa")).otherwise(col("sb")).as("src"),
+          when(lowFirst, col("sb")).otherwise(col("sa")).as("dst"))
+      // The wedge fan-out multiplies the edge list by out-degree — the
+      // parallelism that matters is DOWNSTREAM of this join, which a
+      // size estimator cannot see from the tiny pre-join row counts (it
+      // would coalesce the probe side to one partition and run the
+      // enumeration on one core). Pin an explicit partition count on
+      // the probe side and broadcast the build sides: wedge generation
+      // and the closing probe then stay narrow and fully parallel.
+      val wedges = dE.repartition(wedgeFan, col("src"))
+        .select(col("src"), col("dst").as("v"))
+        .join(broadcast(dE.select(col("src"), col("dst").as("w"))), "src")
+        .filter(col("v") < col("w"))
+      val closed = wedges.join(broadcast(e),
+        col("sa") === col("v") && col("sb") === col("w"))
+      closed.agg(count(lit(1)).as("n_triangles"))
+        .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(col("n_triangles"), col("n_edges"))
+        .localCheckpoint(true)
+    }
   }
 
   /** Fixed-point scale for PageRank mass: integer micro-units keep the
@@ -109,26 +139,36 @@ object GraphOps {
     // and all 3 iterations — recomputing the fact-table self-join per
     // consumer would dominate the whole query
     val e = coEdges(s, d).localCheckpoint(true)
-    val edges = e.select(col("sa").as("u"), col("sb").as("v"))
-      .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
-    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val g = edges.join(deg, "u").localCheckpoint(true)
-    // every vertex has deg ≥ 1, so the degree table's row count IS the
-    // vertex count — no separate distinct() job
-    val n = deg.count()
-    val init = prScale / n
-    val base = (15L * init) / 100L
-    var pr = g.select(col("u").as("id")).distinct()
-      .withColumn("pr", lit(init))
-    for (_ <- 1 to 3) {
-      pr = g.join(pr, col("u") === col("id"))
-        .select(col("v"), expr("pr DIV deg").as("c"))
-        .groupBy(col("v"))
-        .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
-        .select(col("v").as("id"), col("pr"))
-        .localCheckpoint(false)
+    val nEdges = e.count()
+    // Static planning for the iteration chain (Tables.withStaticWidth):
+    // the graph size is KNOWN after the checkpoint, so AQE's per-
+    // exchange materialization jobs (one per join/agg per round —
+    // measured ~0.2 s each on local[32]) buy nothing; width follows the
+    // directed edge count. The final rank frame materializes eagerly
+    // INSIDE the block — the whole 3-round chain runs as one static
+    // pipelined job and consumers read the cached result.
+    graft.Tables.withStaticWidth(s, 2L * nEdges) {
+      val edges = e.select(col("sa").as("u"), col("sb").as("v"))
+        .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val g = edges.join(deg, "u").localCheckpoint(true)
+      // every vertex has deg ≥ 1, so the degree table's row count IS
+      // the vertex count — no separate distinct() job
+      val n = deg.count()
+      val init = prScale / n
+      val base = (15L * init) / 100L
+      var pr = g.select(col("u").as("id")).distinct()
+        .withColumn("pr", lit(init))
+      for (_ <- 1 to 3) {
+        pr = g.join(pr, col("u") === col("id"))
+          .select(col("v"), expr("pr DIV deg").as("c"))
+          .groupBy(col("v"))
+          .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
+          .select(col("v").as("id"), col("pr"))
+          .localCheckpoint(false)
+      }
+      pr.select(col("id").as("v"), col("pr")).localCheckpoint(true)
     }
-    pr.select(col("id").as("v"), col("pr"))
   }
 
   /** Connected components of the affinity graph — the same hop+jump

@@ -302,7 +302,16 @@ object Dedup {
     * (no extra join); lineage truncated per round.
     */
   def dupGroups(s: SparkSession, d: String): DataFrame =
-    connectedComponents(lshPairs(s, d))
+    groupsOf(lshPairs(s, d))
+
+  /** Transitive dup groups over an EXISTING candidate-pair frame — the
+    * stage entry a real pipeline composes so the expensive pair
+    * generation and the CC label loop run ONCE for the whole
+    * groups→canonical→report chain (each top-level query function
+    * recomputes its inputs by design; this is the sharing point).
+    */
+  def groupsOf(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("dup_group"))
 
   /** Canonical-document selection — the "keep one per cluster" step
@@ -314,17 +323,22 @@ object Dedup {
     * via max-of-struct, so the reduction is map-side partial — no
     * window funnel over group keys).
     */
-  def canonical(s: SparkSession, d: String): DataFrame = {
-    val groups = dupGroups(s, d)
-    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+  def canonical(s: SparkSession, d: String): DataFrame =
+    canonicalOf(dupGroups(s, d),
+      documents(s, d).select(col("doc_id"), col("n_chars")))
+
+  /** Canonical selection over existing `groups(doc_id, dup_group)` and
+    * `docs(doc_id, n_chars)` frames — see `groupsOf` for why the stages
+    * are exposed. argmax(n_chars desc, doc_id asc) as max-of-struct
+    * OVER A WINDOW, not groupBy+join-back: a join-back references the
+    * joined subtree twice and the physical plan runs the groups×docs
+    * join (and the docs scan) once per reference. The window reads it
+    * exactly once — one dup_group-keyed exchange, then the
+    * per-partition max rides each row. Negate the id so lexicographic
+    * struct max encodes the full tie-break.
+    */
+  def canonicalOf(groups: DataFrame, docs: DataFrame): DataFrame = {
     val g = groups.join(docs, "doc_id")
-    // argmax(n_chars desc, doc_id asc) as max-of-struct OVER A WINDOW,
-    // not groupBy+join-back: a join-back references the g subtree twice
-    // and the physical plan runs the groups×docs join (and the docs
-    // scan) once per reference. The window reads g exactly once — one
-    // dup_group-keyed exchange, then the per-partition max rides each
-    // row. Negate the id so lexicographic struct max encodes the full
-    // tie-break.
     val wg = org.apache.spark.sql.expressions.Window.partitionBy("dup_group")
     g.withColumn("b",
         max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid")))
@@ -354,6 +368,28 @@ object Dedup {
         sum(when(col("k"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(!col("k"), col("n_chars")).otherwise(0L))
           .as("chars_dropped"))
+  }
+
+  /** Composed end-to-end dedup pipeline — signatures → LSH pairs → CC
+    * groups → canonical selection → the per-document KEEP LIST for the
+    * WHOLE corpus: every document's group, its surviving canonical, and
+    * the keep/drop decision (singletons keep themselves — left join +
+    * coalesce, same convention as the report). This is the artifact a
+    * training-data pipeline actually materializes, and the composition
+    * point that proves the chain runs ONCE: `groupsOf`/`canonicalOf`
+    * share one pair generation and one label loop, and the only cost
+    * beyond `canonical` is a single doc_id-keyed left join.
+    */
+  def keepList(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val can = canonicalOf(groupsOf(lshPairs(s, d)),
+      docs.select(col("doc_id"), col("n_chars")))
+    docs.join(can.drop("n_chars"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("lang"),
+        coalesce(col("dup_group"), col("doc_id")).as("dup_group"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("is_canonical"), lit(true)).as("keep"))
   }
 
   /** Sub-document exact dedup — the paragraph-level pass of a corpus
@@ -424,27 +460,18 @@ object Dedup {
       .withColumn("label", col("id"))
     var converged = false
     var iter = 0
-    // AQE OFF for the label loop (restored in the finally): AQE turns
-    // every exchange into its own materialization job, so one round's
-    // single action became ~5 scheduled jobs — pure per-round constant
-    // (measured 3.5 s of the 4.7 s steady-state at sf0.1, ~2 tasks per
-    // job). The label frames are shuffle-bounded by the CAPPED pair
-    // graph (degree ≤ bands×maxBucket), so the skew/coalesce services
-    // AQE provides are not needed here; the expensive corpus-side pair
+    // Static planning for the label loop (Tables.withStaticWidth): AQE
+    // turned one round's single action into ~5 materialization jobs —
+    // pure per-round constant (measured 3.5 s of the 4.7 s steady-state
+    // at sf0.1, ~2 tasks per job). The label frames are shuffle-bounded
+    // by the CAPPED pair graph (degree ≤ bands×maxBucket, frames ≤
+    // 2·|pairs| rows of two longs), so the skew/coalesce services AQE
+    // provides are not needed; the expensive corpus-side pair
     // generation above runs BEFORE this point and keeps full AQE.
-    // With AQE off the loop would inherit the session's static shuffle
-    // width for row counts AQE used to coalesce away, so size the loop
-    // shuffles from the KNOWN pair count instead: ≥250k label rows per
-    // partition (the frames are ≤ 2·|pairs| rows of two longs), capped
-    // at the session fan-out — the same width AQE picks, chosen once.
-    val sess = pairs0.sparkSession
-    val loopParts = math.min(graft.Tables.fanout(sess).toLong,
-      2L * nPairs / 250000L + 1L).toInt
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled")
-    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
+    // Every round's convergence action executes inside the block, and
+    // the loop's lazy checkpoints materialize with those actions, so
+    // the returned labels are cached under the static confs.
+    graft.Tables.withStaticWidth(pairs0.sparkSession, 2L * nPairs) {
     // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
     // that we fail loudly rather than return split groups
     while (!converged && iter < 20) {
@@ -479,10 +506,10 @@ object Dedup {
         .first().getLong(0) == 0L
       labels = jumped.drop("old_label")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter converged=$converged " +
+          s"t=${System.nanoTime() / 1000000}ms")
     }
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -506,6 +533,7 @@ object Dedup {
     "q_dedup_canonical" -> (canonical _),
     "q_dedup_paragraph" -> (paragraphDedup _),
     "q_dedup_report" -> (dedupReport _),
+    "q_dedup_pipeline" -> (keepList _),
   )
 
   /** DuckDB mirror of the exploded simhash formulation (shared by the
@@ -723,6 +751,26 @@ object Dedup {
          |      THEN d.n_chars ELSE 0 END)::BIGINT AS chars_dropped
          |FROM documents d LEFT JOIN can c ON c.doc_id = d.doc_id
          |GROUP BY d.source, d.lang""".stripMargin,
+    "q_dedup_pipeline" ->
+      s"""$groupsCte,
+         |gd AS (SELECT g.doc_id, g.dup_group, d.n_chars
+         |       FROM groups g JOIN documents d ON d.doc_id = g.doc_id),
+         |win AS (
+         |  SELECT dup_group, doc_id AS canonical_id FROM (
+         |    SELECT dup_group, doc_id, row_number() OVER (
+         |      PARTITION BY dup_group
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM gd) t WHERE rn = 1),
+         |can AS (
+         |  SELECT gd.doc_id, gd.dup_group, win.canonical_id,
+         |    gd.doc_id = win.canonical_id AS is_canonical
+         |  FROM gd JOIN win USING (dup_group))
+         |SELECT d.doc_id, d.source, d.lang,
+         |  coalesce(c.dup_group, d.doc_id) AS dup_group,
+         |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+         |  coalesce(c.is_canonical, TRUE) AS keep
+         |FROM documents d LEFT JOIN can c ON c.doc_id = d.doc_id"""
+        .stripMargin,
     "q_dedup_paragraph" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
