@@ -31,28 +31,46 @@ object Profile {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          stages.incrementAndGet()
-          tasks.addAndGet(s.stageInfo.numTasks)
-        }
-      })
-    qs.foreach { case (name, fn) =>
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // listener-bus events are delivered asynchronously: counters read
+    // right after count() returns can miss the tail of the run. No
+    // public flush API, so poll until the trio is stable across two
+    // 50 ms reads (bounded at 1 s) before reporting.
+    def settled(): (Int, Int, Int) = {
+      var prev = (-1, -1, -1)
+      var cur = (jobs.get, stages.get, tasks.get)
+      var waited = 0
+      while (cur != prev && waited < 1000) {
+        Thread.sleep(50); waited += 50
+        prev = cur
+        cur = (jobs.get, stages.get, tasks.get)
+      }
+      cur
+    }
+    try qs.foreach { case (name, fn) =>
       if (explain) fn(spark, sfDir).explain("formatted")
+      var counts = (0, 0, 0)
       val times = (1 to 3).map { _ =>
         jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        counts = settled()
+        dt
       }
       println(f"$name%-28s ${times.map(t => f"$t%7.3f").mkString(" ")}" +
-        f"  last-run: ${jobs.get}%3d jobs ${stages.get}%4d stages ${tasks.get}%5d tasks")
-    }
+        f"  last-run: ${counts._1}%3d jobs ${counts._2}%4d stages ${counts._3}%5d tasks")
+    } finally spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

@@ -21,6 +21,13 @@ import Directory.Entry
   * reconstructed from record_id order — SURVEY.md §4.3).
   */
 object Cdc {
+  /** Largest batch cap that may FORCE a uid-set broadcast in the batch
+    * lookup join: 1M distinct long uids build to low tens of MB on the
+    * driver — safely inside a 64m autoBroadcastJoinThreshold. Larger
+    * caps leave the join to the planner/AQE.
+    */
+  val broadcastUidBound: Int = 1 << 20
+
 
   case class CycleResult(
       snapshot: Dataset[Entry],
@@ -84,15 +91,19 @@ object Cdc {
         col("attempt"))
 
     // J1 — current user rows for the batch's uids (set-based lookup).
-    // On a capped batch the uid set is bounded by maxRecords, so it
-    // BROADCASTS: the users table — the 100 TB side — is probed in
-    // place, never shuffled. An unbounded drain (maxRecords =
-    // Int.MaxValue) keeps the shuffle join: its uid set scales with the
-    // pending backlog, and AQE still downgrades to broadcast when the
-    // runtime size allows.
+    // On a SMALL capped batch the uid set is bounded by maxRecords, so
+    // it BROADCASTS: the users table — the 100 TB side — is probed in
+    // place, never shuffled. The hint is gated on a broadcast-SAFE
+    // bound, not merely on the cap being finite: a finite-but-large cap
+    // (say 10M) would otherwise force a driver-side build of up to
+    // maxRecords uids past autoBroadcastJoinThreshold and risk driver
+    // OOM. Above the bound — and for an unbounded drain — the shuffle
+    // join stands, and AQE still downgrades to broadcast when the
+    // RUNTIME size allows.
     val batchUids0 = valid.select(col("uid")).distinct()
     val batchUids =
-      if (maxRecords == Int.MaxValue) batchUids0 else broadcast(batchUids0)
+      if (maxRecords <= Cdc.broadcastUidBound) broadcast(batchUids0)
+      else batchUids0
     val batchUsers = users
       .join(batchUids, users("pk_uniqueid").cast("long") === batchUids("uid"),
         "left_semi")

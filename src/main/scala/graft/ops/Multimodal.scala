@@ -55,10 +55,17 @@ object Multimodal {
     * line per payload — the process-isolation shape of mapInArrow (batch
     * amortizes interpreter startup; executors never link the codec). The
     * worker tries PIL per frame when importable; without PIL it still
-    * REALLY decodes 8-bit non-interlaced PNGs via a pure-stdlib parser
-    * (zlib inflate + scanline unfilter, PIL's exact fixed-point luma for
-    * the mean so both paths report identical features); any other
-    * payload falls back to the SAME md5 arithmetic as StubDecoder. That
+    * REALLY decodes 8-bit non-interlaced PNGs of color type 0/2/4/6 via
+    * a pure-stdlib parser (zlib inflate + scanline unfilter, PIL's
+    * exact fixed-point luma for the mean — for THAT PNG subset both
+    * paths report identical features; palette/16-bit/interlaced PNGs
+    * decode only under PIL and stub otherwise), and parses real
+    * dimensions/components from JPEG SOF0/SOF2 frame headers (pixel
+    * stats stay stub arithmetic — stdlib has no entropy decoder); any
+    * other payload falls back to the SAME md5 arithmetic as StubDecoder
+    * (under PIL too: a payload PIL refuses retries the stdlib parsers
+    * before stubbing, so structurally-valid headers yield real metadata
+    * on every node). That
     * per-frame fallback is load-bearing: it makes the decoder total (a
     * text corpus run in a codec-capable environment still succeeds and
     * still matches the md5 oracle) instead of dying on the first
@@ -225,6 +232,37 @@ object Multimodal {
         |                total += luma(line[o], line[o + 1], line[o + 2])
         |        prev = line
         |    return w, h, nch, total / (w * h)
+        |def feat_jpeg(b):
+        |    # JPEG SOF0/SOF2 header parse: REAL dimension/component
+        |    # metadata from the frame header (the part a 100 TB metadata
+        |    # sweep needs); pixel stats stay md5-stub — stdlib has no
+        |    # entropy decoder. Returns None for non-JPEG payloads.
+        |    if b[:2] != b'\xff\xd8':
+        |        return None
+        |    pos = 2
+        |    while pos + 2 <= len(b):
+        |        if b[pos] != 0xFF:
+        |            return None
+        |        m = b[pos + 1]
+        |        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+        |            pos += 2
+        |            continue
+        |        if pos + 4 > len(b):
+        |            return None
+        |        (n,) = struct.unpack('>H', b[pos + 2:pos + 4])
+        |        if m in (0xC0, 0xC2):
+        |            d = b[pos + 4:pos + 2 + n]
+        |            if len(d) < 6:
+        |                return None
+        |            h, w = struct.unpack('>HH', d[1:5])
+        |            nc = d[5]
+        |            if w == 0 or h == 0 or nc == 0:
+        |                return None
+        |            return w, h, nc, feat_hash(b)[3]
+        |        if m == 0xDA:
+        |            return None
+        |        pos += 2 + n
+        |    return None
         |def feat(b):
         |    if HAVE_PIL:
         |        try:
@@ -236,13 +274,17 @@ object Multimodal {
         |            return w, h, c, sum(i * v for i, v in enumerate(hist)) / n
         |        except Exception:
         |            pass
-        |    else:
-        |        try:
-        |            p = feat_png(b)
-        |            if p is not None:
-        |                return p
-        |        except Exception:
-        |            pass
+        |    # stdlib parsers run whenever PIL is absent OR refused the
+        |    # payload, so a structurally-valid frame header still yields
+        |    # real metadata on every node
+        |    try:
+        |        p = feat_png(b)
+        |        if p is None:
+        |            p = feat_jpeg(b)
+        |        if p is not None:
+        |            return p
+        |    except Exception:
+        |        pass
         |    return feat_hash(b)
         |inp = sys.stdin.buffer
         |while True:

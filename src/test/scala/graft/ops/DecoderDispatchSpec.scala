@@ -88,6 +88,29 @@ class DecoderDispatchSpec extends AnyFunSuite {
     assert(got(3) == stub(3), "text payload must still use md5 arithmetic")
   }
 
+  test("JPEG fixtures parse real SOF dimensions, not stub arithmetic") {
+    assume(python3Available, "no python3 on PATH")
+    // generated structurally-valid JPEGs (src/test/resources/media,
+    // stdlib synthesis): a baseline (SOF0, 3-component) and a
+    // progressive (SOF2, grayscale) frame header. The worker must
+    // report the TRUE (w, h, channels) from the frame header; the mean
+    // stays md5-stub by contract (no stdlib entropy decoder), which
+    // also holds under PIL — these fixtures carry no decodable scan
+    // data, so PIL refuses them and the stdlib parser takes over.
+    def fixture(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/media/$name").toURI))
+    val payloads = Seq(fixture("rgb_baseline.jpg"),
+      fixture("gray_progressive.jpg"), "just text".getBytes("UTF-8"))
+    val got = PythonProcessDecoder().decodePartition(payloads.iterator).toSeq
+    val stub = StubDecoder.decodePartition(payloads.iterator).toSeq
+    assert(got(0) == ((17, 9, 3, stub(0)._4)), got(0).toString)
+    assert(got(1) == ((33, 21, 1, stub(1)._4)), got(1).toString)
+    (0 to 1).foreach(i =>
+      assert(got(i) != stub(i), s"fixture $i dims hit the stub"))
+    assert(got(2) == stub(2), "text payload must still use md5 arithmetic")
+  }
+
   test("q_mm_features is identical under both decoders (end-to-end)") {
     assume(python3Available, "no python3 on PATH")
     val spark = TestSpark.spark

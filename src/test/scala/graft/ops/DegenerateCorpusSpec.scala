@@ -54,7 +54,7 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       "sources" -> (() => Curation.sources(s, dir)),
       "mixture" -> (() => Curation.mixture(s, dir)),
       "manifest" -> (() => Curation.manifest(s, dir)),
-      "tokenCount2" -> (() => TextAnalysis.tokenCount(s, dir)),
+      "keepList" -> (() => Dedup.keepList(s, dir)),
       "postings" -> (() => TextAnalysis.postings(s, dir)),
       "diversity" -> (() => TextAnalysis.diversity(s, dir)),
       "bpeStep" -> (() => TextAnalysis.bpeStep(s, dir)),
