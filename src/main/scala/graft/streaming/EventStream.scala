@@ -30,14 +30,22 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    // the table is either a single flat file (driver testdata) or a
+    // Spark-written DIRECTORY of part files (GenScale sf replicas). A
+    // file stream source lists a directory, so: stream the table dir
+    // itself when it is one; otherwise stream the sf dir glob-filtered
+    // to the flat file. The glob must NOT be used for the directory
+    // layout - pathGlobFilter matches leaf file names, and part-*.
+    // parquet files inside events.parquet/ would all be filtered out,
+    // silently producing an EMPTY stream.
+    val tablePath = new java.io.File(dir, "events.parquet")
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      // the fixture is a single parquet file; a file stream source needs
-      // a directory, so glob-filter within the sf dir
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src =
+      if (tablePath.isDirectory) reader.parquet(tablePath.getPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Custom keyed state: a running per-user profile (event count,
