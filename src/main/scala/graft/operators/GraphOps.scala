@@ -39,8 +39,15 @@ object GraphOps {
     // stays under FULL AQE: the chain is scan → groupBy(ok) → explode →
     // groupBy(pair) over the fact table, where runtime coalescing
     // genuinely pays (a static-width variant measured ~2× slower —
-    // the post-explode exchange wants the observed sizes)
-    val co = li.groupBy(col("ok"))
+    // the post-explode exchange wants the observed sizes).
+    // The explicit keyed repartition ahead of the groupBy is the
+    // single-split lesson (SCALING.md): without it the scan's ONE input
+    // partition runs the partial collect_list agg on one core — the
+    // shuffle write streams rows instead, and the groupBy reuses the
+    // hash(ok) exchange so no second shuffle appears (~0.6 s at sf0.1).
+    // At real scale the input arrives in thousands of splits and the
+    // exchange is layout noise.
+    val co = li.repartition(fanout(s), col("ok")).groupBy(col("ok"))
       .agg(array_sort(collect_list(col("l_suppkey"))).as("ss"))
       .select(explode(pairsInOrder).as("p"))
       .select(col("p.sa"), col("p.sb"))
@@ -86,6 +93,11 @@ object GraphOps {
     // (degrees ≤ 2·edges, wedges ≤ edges·√(2·edges) under orientation),
     // so AQE's per-exchange jobs are pure constant; width follows the
     // edge count. The 1-row result materializes inside the block.
+    // default perPart (width 1 here): unlike the label loops, widening
+    // this block was measured ~0.6 s SLOWER — the expensive stage (wedge
+    // generation + closing probe) pins its own width via wedgeFan, and
+    // the label-scale joins around it only pay extra exchange setup at
+    // width > 1.
     graft.Tables.withStaticWidth(s, nEdges) {
       val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -147,7 +159,7 @@ object GraphOps {
     // directed edge count. The final rank frame materializes eagerly
     // INSIDE the block — the whole 3-round chain runs as one static
     // pipelined job and consumers read the cached result.
-    graft.Tables.withStaticWidth(s, 2L * nEdges) {
+    graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
       val edges = e.select(col("sa").as("u"), col("sb").as("v"))
         .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -188,7 +200,11 @@ object GraphOps {
     */
   def degrees(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d)
-    e.select(col("sa").as("v")).unionByName(e.select(col("sb").as("v")))
+    // explode(array(sa, sb)) instead of union-of-two-selects: the union
+    // references e TWICE, and only the checkpointed pair agg inside
+    // coEdges is shared — the threshold filter would plan and run per
+    // branch. The explode emits both endpoints from ONE subtree.
+    e.select(explode(array(col("sa"), col("sb"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
       .groupBy((length(bin(col("deg"))) - 1).cast("long").as("log2_deg"))
       .agg(count(lit(1)).as("n_vertices"),

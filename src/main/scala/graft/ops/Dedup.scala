@@ -471,7 +471,14 @@ object Dedup {
     // Every round's convergence action executes inside the block, and
     // the loop's lazy checkpoints materialize with those actions, so
     // the returned labels are cached under the static confs.
-    graft.Tables.withStaticWidth(pairs0.sparkSession, 2L * nPairs) {
+    // perPart 32k (not the 250k default): the loop frames are TWO-long
+    // rows, so partitions stay small, and a measured width sweep on the
+    // 110k-edge supplier graph put w=4-8 ~0.3-0.5 s/query under w=1 —
+    // the single-partition hop aggregation serializes the per-round
+    // work without saving job constants (w=32 re-creates the r7
+    // full-width dead end, ~2x slower; see SCALING.md).
+    graft.Tables.withStaticWidth(pairs0.sparkSession, 2L * nPairs,
+        perPart = 32768L) {
     // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
     // that we fail loudly rather than return split groups
     while (!converged && iter < 20) {
