@@ -23,16 +23,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default ([PARQUET_TYPE_ILLEGAL]). Read it as a long (ns since
-    * epoch) and convert to a µs TimestampType column; `ts_ns` keeps the
-    * raw value for pushdown-friendly range predicates.
+  /** `events.ts` has shipped in two physical layouts, so the reader is
+    * schema-adaptive (branching on the parquet footer type, a
+    * metadata-only read):
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it by default
+    *    ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it surfaces as a
+    *    raw ns-since-epoch LongType, converted here to a µs
+    *    TimestampType.
+    *  - TIMESTAMP(MICROS) (adjusted-to-UTC or not): surfaces as
+    *    TimestampType / TimestampNTZType; the NTZ wall clock is pinned
+    *    to an instant via the session zone (always UTC in graft entry
+    *    points), matching how the DuckDB oracle's `epoch_ns(ts)` reads
+    *    the same naive values.
+    *
+    * Either way the result contract is fixed: `ts` µs TimestampType,
+    * `ts_ns` ns-since-epoch long for exact range predicates.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

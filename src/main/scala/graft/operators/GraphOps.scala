@@ -70,6 +70,60 @@ object GraphOps {
     * is orientation-invariant — the oracle enumerates by id order
     * (a<b<c) and must agree exactly.
     */
+  /** Edge-count budget under which the wedge/closing probes may
+    * broadcast the oriented edge list (~4M rows of two longs ≈ 100 MB
+    * of unsafe rows — the classic broadcast comfort zone). The relative
+    * 1.25×-mean threshold keeps the fixture graph supplier²-sparse, but
+    * nothing in the OPERATOR bounds it: a denser co-occurrence graph at
+    * 100× scale must not silently exceed the broadcast path (driver
+    * OOM). Overridable via `graft.graph.broadcastEdges` so the plan
+    * spec can pin the over-budget shape without materializing a 4M-edge
+    * fixture.
+    */
+  private def broadcastEdgeBudget(s: SparkSession): Long =
+    s.conf.getOption("graft.graph.broadcastEdges")
+      .flatMap(_.toLongOption).getOrElse(4000000L)
+
+  /** The triangle-closing subplan over a MATERIALIZED edge list `e`
+    * (sa < sb) with a known count — unexecuted, so the plan spec can
+    * pin the broadcast-vs-shuffle decision without a 4M-edge fixture.
+    */
+  private[operators] def triangleCount(s: SparkSession, e: DataFrame,
+      nEdges: Long, wedgeFan: Int): DataFrame = {
+    val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("sa"), col("deg").as("da"))
+    val db = deg.select(col("v").as("sb"), col("deg").as("db"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("sa") < col("sb"))
+    val dE = e.join(da, "sa").join(db, "sb")
+      .select(when(lowFirst, col("sa")).otherwise(col("sb")).as("src"),
+        when(lowFirst, col("sb")).otherwise(col("sa")).as("dst"))
+    // The wedge fan-out multiplies the edge list by out-degree — the
+    // parallelism that matters is DOWNSTREAM of this join, which a
+    // size estimator cannot see from the tiny pre-join row counts (it
+    // would coalesce the probe side to one partition and run the
+    // enumeration on one core). Pin an explicit partition count on
+    // the probe side and — WHEN THE KNOWN EDGE COUNT FITS THE
+    // BROADCAST BUDGET — broadcast the build sides, keeping wedge
+    // generation and the closing probe narrow and fully parallel. An
+    // over-budget edge list instead shuffles both joins on their
+    // equi keys (src; (v,w)): two extra exchanges, no driver copy —
+    // the only shape that survives a dense graph.
+    val fits = nEdges <= broadcastEdgeBudget(s)
+    def side(df: DataFrame): DataFrame =
+      if (fits) broadcast(df) else df
+    val wedges = dE.repartition(wedgeFan, col("src"))
+      .select(col("src"), col("dst").as("v"))
+      .join(side(dE.select(col("src"), col("dst").as("w"))), "src")
+      .filter(col("v") < col("w"))
+    val closed = wedges.join(side(e),
+      col("sa") === col("v") && col("sb") === col("w"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_triangles"), col("n_edges"))
+  }
+
   def triangles(s: SparkSession, d: String): DataFrame = {
     // materialize the thresholded edge list ONCE: it feeds the degree
     // table (twice), the orientation join, the closing probe, and the
@@ -99,32 +153,7 @@ object GraphOps {
     // the label-scale joins around it only pay extra exchange setup at
     // width > 1.
     graft.Tables.withStaticWidth(s, nEdges) {
-      val deg = e.select(col("sa").as("v")).union(e.select(col("sb").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val da = deg.select(col("v").as("sa"), col("deg").as("da"))
-      val db = deg.select(col("v").as("sb"), col("deg").as("db"))
-      val lowFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("sa") < col("sb"))
-      val dE = e.join(da, "sa").join(db, "sb")
-        .select(when(lowFirst, col("sa")).otherwise(col("sb")).as("src"),
-          when(lowFirst, col("sb")).otherwise(col("sa")).as("dst"))
-      // The wedge fan-out multiplies the edge list by out-degree — the
-      // parallelism that matters is DOWNSTREAM of this join, which a
-      // size estimator cannot see from the tiny pre-join row counts (it
-      // would coalesce the probe side to one partition and run the
-      // enumeration on one core). Pin an explicit partition count on
-      // the probe side and broadcast the build sides: wedge generation
-      // and the closing probe then stay narrow and fully parallel.
-      val wedges = dE.repartition(wedgeFan, col("src"))
-        .select(col("src"), col("dst").as("v"))
-        .join(broadcast(dE.select(col("src"), col("dst").as("w"))), "src")
-        .filter(col("v") < col("w"))
-      val closed = wedges.join(broadcast(e),
-        col("sa") === col("v") && col("sb") === col("w"))
-      closed.agg(count(lit(1)).as("n_triangles"))
-        .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-        .select(col("n_triangles"), col("n_edges"))
-        .localCheckpoint(true)
+      triangleCount(s, e, nEdges, wedgeFan).localCheckpoint(true)
     }
   }
 

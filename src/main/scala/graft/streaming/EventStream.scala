@@ -27,6 +27,16 @@ object EventStream {
 
   /** Open the events parquet as a stream (bounded-per-trigger: the
     * `maxFilesPerTrigger` analog of the reference's max_records).
+    *
+    * A file stream source needs its schema up front, and the fixture's
+    * `ts` has shipped both as TIMESTAMP(NANOS) (read as a raw ns long)
+    * and TIMESTAMP(MICROS) (read as timestamp / timestamp_ntz), so the
+    * actual layout is probed first with a batch footer read — forcing
+    * the wrong one would not fail loudly: a LongType schema over µs
+    * files silently yields timestamps 1000× too small. Either layout
+    * normalizes to a µs TimestampType `ts` (NTZ pinned to an instant
+    * via the session zone, UTC in all graft entry points — the same
+    * reading DuckDB's `epoch_ns(ts)` gives the naive values).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -39,13 +49,19 @@ object EventStream {
     // parquet files inside events.parquet/ would all be filtered out,
     // silently producing an EMPTY stream.
     val tablePath = new java.io.File(dir, "events.parquet")
+    val tsType = spark.read.parquet(tablePath.getPath).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
     val reader = spark.readStream
-      .schema(rawSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
     val src =
       if (tablePath.isDirectory) reader.parquet(tablePath.getPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (tsType == LongType)
+      src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      src.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Custom keyed state: a running per-user profile (event count,

@@ -86,6 +86,21 @@ class BenchContractSpec extends AnyFunSuite {
       s"median>>min — recurring warm-up/GC artifact in: ${bad.mkString(", ")}")
   }
 
+  test("latest bench artifact ran every query (failed list empty)") {
+    // round 8 shipped 49 queries absent from the bench because the
+    // events reader broke on regenerated fixtures — the artifact said so
+    // in `failed` and nothing gated it. A non-empty failed list is a
+    // red build, period.
+    val p = java.nio.file.Paths.get("BENCH_LAST.json")
+    assume(java.nio.file.Files.exists(p), "no BENCH_LAST.json in repo root")
+    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val at = json.indexOf("\"failed\":[")
+    assert(at >= 0, "artifact has no failed list — stale bench format")
+    assert(json.startsWith("]", at + "\"failed\":[".length),
+      "bench artifact lists failed queries: " +
+        json.substring(at, math.min(json.length, at + 300)))
+  }
+
   test("median averages the two middle elements for even n") {
     assert(Bench.median(Seq(1.0, 2.0, 4.0)) == 2.0)
     assert(Bench.median(Seq(1.0, 2.0, 4.0, 9.0)) == 3.0)

@@ -154,6 +154,35 @@ class PlanQualitySpec extends AnyFunSuite {
     finally TestSpark.spark.conf.unset("graft.fanout.partitions")
   }
 
+  test("triangle closing broadcasts under the edge budget, shuffles over it") {
+    // the guard keys off the KNOWN edge count, not a size estimate:
+    // with the budget forced to 0 the same subplan must drop both
+    // broadcast hints (a dense 100×-scale graph must never ship the
+    // edge list to the driver), and with the default budget it must
+    // keep them. Auto-broadcast is disabled so the decision under test
+    // is the hint's, not the size estimator's.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("sa", "sb")
+    val autoWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.conf.set("graft.graph.broadcastEdges", "0")
+      val over = GraphOps.triangleCount(spark, e, 3L, 4)
+        .queryExecution.executedPlan.toString
+      assert(!over.contains("BroadcastHashJoin"),
+        s"over-budget edge list must shuffle, not broadcast:\n$over")
+      spark.conf.unset("graft.graph.broadcastEdges")
+      val under = GraphOps.triangleCount(spark, e, 3L, 4)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(under).size >= 2,
+        s"in-budget edge list should broadcast both probes:\n$under")
+    } finally {
+      spark.conf.unset("graft.graph.broadcastEdges")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoWas)
+    }
+  }
+
   test("bloom semi-join evaluates might_contain under the fact scan stage") {
     val p = plan("q_j10_bloom_semi")
     assert(p.contains("might_contain"), s"bloom predicate missing:\n$p")
