@@ -42,12 +42,6 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      // drain accumulated garbage from earlier queries BEFORE the
-      // timer starts: 100+ queries into the batch, a query can
-      // otherwise pay multi-second GC debt it did not create
-      // (observed 0.7s standalone vs 3.5s in-batch on an unchanged
-      // plan), which poisons round-over-round attribution
-      System.gc()
       // ONE untimed warm-up rep at the TARGET SF before the timed reps
       // (replaces the old all-queries sf0.001 warm pass): the first
       // execution of a plan pays costs that belong to the session, not
@@ -58,6 +52,15 @@ object Bench {
       // makes round-over-round medians attributable to code changes.
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val runs = (1 to reps).map { _ =>
+        // drain accumulated garbage BEFORE each rep's timer starts —
+        // per QUERY was not enough: 100+ queries in, checkpoint-heavy
+        // chains (4 executions per benched query) leave enough debt
+        // that a major collection lands inside rep 2 or 3, producing
+        // the r8 median>>min artifacts (q_dedup_pipeline 21.5 s median
+        // over a 3.7 s min on an unchanged plan). GC debt from OTHER
+        // executions is session noise, not query cost; outside the
+        // timed window it cannot poison round-over-round attribution.
+        System.gc()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)

@@ -175,12 +175,69 @@ object GraphOps {
     * list. Every vertex of the undirected graph has deg ≥ 1 and an
     * in-neighbor, so no dangling-mass term is needed.
     */
+  /** Driver-side twin of the distributed PageRank iteration, in the
+    * SAME exact integer arithmetic (contrib = pr DIV deg, next = base +
+    * (85·Σcontrib) DIV 100) — integer ops are associative-safe, so the
+    * two paths are bit-identical by construction (GraphOpsSpec pins
+    * it). Used when the known edge count fits the broadcast budget:
+    * the 3-round loop then costs 3 joins + 3 aggs of pure job-launch
+    * constants, all replaced by microseconds of array math.
+    */
+  private[operators] def pagerankLocal(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val deg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (u, v) =>
+      deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+    }
+    val n = deg.size().toLong
+    val init = prScale / n
+    val base = (15L * init) / 100L
+    var pr = new java.util.HashMap[Long, Long](deg)
+    pr.replaceAll((_, _) => init)
+    for (_ <- 1 to 3) {
+      val acc = new java.util.HashMap[Long, Long](deg.size())
+      edges.foreach { case (u, v) =>
+        acc.merge(v, pr.get(u) / deg.get(u), _ + _)
+        acc.merge(u, pr.get(v) / deg.get(v), _ + _)
+      }
+      acc.replaceAll((_, c) => base + (85L * c) / 100L)
+      pr = acc
+    }
+    val out = new Array[(Long, Long)](pr.size())
+    var i = 0
+    val it = pr.entrySet().iterator()
+    while (it.hasNext) {
+      val kv = it.next(); out(i) = (kv.getKey, kv.getValue); i += 1
+    }
+    out
+  }
+
   def pagerank(s: SparkSession, d: String): DataFrame = {
     // eager: the edge list feeds the degree count, the vertex count,
     // and all 3 iterations — recomputing the fact-table self-join per
     // consumer would dominate the whole query
     val e = coEdges(s, d).localCheckpoint(true)
     val nEdges = e.count()
+    if (nEdges <= broadcastEdgeBudget(s)) {
+      // in-budget: bounded collect (broadcast-build-side memory class),
+      // bit-identical local iteration, one distributed frame back
+      val ranks = pagerankLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      import s.implicits._
+      return s.sparkContext
+        .parallelize(ranks.toIndexedSeq,
+          math.max(1, math.min(fanout(s), ranks.length / 32768 + 1)))
+        .toDF("v", "pr")
+    }
+    pagerankDistributed(s, e, nEdges)
+  }
+
+  /** The distributed 3-round iteration over a MATERIALIZED edge list —
+    * the over-budget path, also exercised directly by GraphOpsSpec to
+    * pin bit-equality with `pagerankLocal`.
+    */
+  private[operators] def pagerankDistributed(s: SparkSession, e: DataFrame,
+      nEdges: Long): DataFrame = {
     // Static planning for the iteration chain (Tables.withStaticWidth):
     // the graph size is KNOWN after the checkpoint, so AQE's per-
     // exchange materialization jobs (one per join/agg per round —

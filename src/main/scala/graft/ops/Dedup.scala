@@ -437,6 +437,57 @@ object Dedup {
           " ").as("text_clean"))
   }
 
+  /** Edge-count budget under which the labeling solves on the driver
+    * with union-find instead of the distributed hop+jump loop. The
+    * memory class is the same as a broadcast join build side (~4M rows
+    * of two longs ≈ 64 MB) — if the edge list is small enough to
+    * BROADCAST it is small enough to SOLVE, and the driver solve
+    * replaces ~5 rounds × 3 shuffles of pure job-launch constants with
+    * microseconds of pointer chasing. Candidate-pair lists here are
+    * bucket-capped (LSH) or relative-thresholded (co-occurrence), so at
+    * 100 TB they grow with the DUPLICATE/AFFINITY structure, not the
+    * corpus — but nothing guarantees a bound, hence the gate: over
+    * budget, the O(log diameter) distributed loop runs unchanged.
+    * Overridable via `graft.cc.localEdges` (specs pin both paths).
+    */
+  private def localEdgeBudget(s: SparkSession): Long =
+    s.conf.getOption("graft.cc.localEdges")
+      .flatMap(_.toLongOption).getOrElse(4000000L)
+
+  /** Driver-side union-find over a collected edge array — label every
+    * vertex with its component's minimum id. Path-halving keeps finds
+    * amortized near-constant; the final pass pins each root's label to
+    * the component min so the output is partition- and order-invariant.
+    */
+  private[ops] def unionFindLabels(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root: the root IS the running component minimum,
+      // so no separate min-relabel pass is needed
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    var i = 0
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val v = it.next(); out(i) = (v, find(v)); i += 1 }
+    out
+  }
+
   /** Connected components over an undirected pair list `(doc_a, doc_b)`
     * — returns `(id, label)` with label = the component's minimum id.
     */
@@ -454,6 +505,20 @@ object Dedup {
     // early-exit: no candidate pairs ⇒ no components to label
     if (nPairs == 0L)
       return pairs.select(col("doc_a").as("id"), col("doc_a").as("label"))
+    val sess = pairs0.sparkSession
+    if (nPairs <= localEdgeBudget(sess)) {
+      // in-budget: bounded collect (broadcast-build-side memory class),
+      // solve locally, ship labels back as ONE distributed frame
+      val edges = pairs.select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = unionFindLabels(edges)
+      import sess.implicits._
+      return sess.sparkContext
+        .parallelize(labels.toIndexedSeq,
+          math.max(1, math.min(graft.Tables.fanout(sess),
+            labels.length / 32768 + 1)))
+        .toDF("id", "label")
+    }
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
     var labels = edges.select(col("u").as("id")).distinct()

@@ -38,6 +38,22 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(nTri > 0, "fixture graph should contain triangles")
   }
 
+  test("local and distributed pagerank are bit-identical") {
+    // the in-budget driver solve and the over-budget distributed loop
+    // share one integer-arithmetic definition — any drift between them
+    // would make results depend on graph SIZE, which is the one thing
+    // a budget gate must never change
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (2L, 6L))
+    val e = edges.toDF("sa", "sb").localCheckpoint(true)
+    val dist = GraphOps.pagerankDistributed(spark, e, edges.length.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = GraphOps.pagerankLocal(edges.toArray).toMap
+    assert(local == dist, s"local $local vs distributed $dist")
+  }
+
   test("pagerank conserves mass up to truncation and is deterministic") {
     val spark = TestSpark.spark
     val rows = GraphOps.pagerank(spark, dir).collect()

@@ -12,13 +12,42 @@ import graft.etl.TestSpark
 class ConnectedComponentsSpec extends AnyFunSuite {
 
   test("a 500-long chain collapses to one component within 20 rounds") {
+    // force the DISTRIBUTED loop (the local union-find gate would
+    // otherwise absorb every spec-sized graph): this is the path that
+    // runs at 100 TB and the one the round cap protects
     val spark = TestSpark.spark
     import spark.implicits._
-    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain).collect()
-    assert(labels.length == 501)
-    assert(labels.forall(_.getLong(1) == 0L),
-      s"all labels must be the component min, got ${labels.take(5).toSeq}")
+    spark.conf.set("graft.cc.localEdges", "0")
+    try {
+      val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponents(chain).collect()
+      assert(labels.length == 501)
+      assert(labels.forall(_.getLong(1) == 0L),
+        s"all labels must be the component min, got ${labels.take(5).toSeq}")
+    } finally spark.conf.unset("graft.cc.localEdges")
+  }
+
+  test("local union-find and distributed loop agree on a random graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // deterministic pseudo-random edges: enough structure for chains,
+    // merges, singleton-free components of varied size
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val df = edges.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.cc.localEdges", "0")
+    val dist =
+      try Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.cc.localEdges")
+    assert(local == dist,
+      s"paths disagree on ${(local.toSet diff dist.toSet).take(5)}")
   }
 
   test("separate components keep separate minimum labels") {
