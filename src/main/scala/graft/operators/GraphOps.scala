@@ -84,6 +84,57 @@ object GraphOps {
     s.conf.getOption("graft.graph.broadcastEdges")
       .flatMap(_.toLongOption).getOrElse(4000000L)
 
+  /** Edge budget for the DRIVER-side triangle close — tighter than the
+    * broadcast budget because the local cost is the wedge intersection
+    * work (Σ min-degree over edges, O(m^1.5) adversarial worst case),
+    * not just the memory: 256k edges bounds the worst case near 2·10^8
+    * merge steps. Overridable via `graft.graph.localTriangleEdges`.
+    */
+  private def localTriangleBudget(s: SparkSession): Long =
+    s.conf.getOption("graft.graph.localTriangleEdges")
+      .flatMap(_.toLongOption).getOrElse(262144L)
+
+  /** Driver-side twin of the degree-oriented enumeration: orient each
+    * edge from its lower-(degree, id) endpoint, sort the out-adjacency
+    * lists, and count each oriented edge's common out-neighbors by
+    * sorted-merge intersection. Exactly the distributed semantics
+    * (every triangle has ONE apex under the total order), pinned equal
+    * by GraphOpsSpec.
+    */
+  private[operators] def triangleCountLocal(edges: Array[(Long, Long)])
+      : Long = {
+    val deg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (a, b) =>
+      deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+    }
+    def lowFirst(a: Long, b: Long): Boolean = {
+      val (da, db) = (deg.get(a), deg.get(b))
+      da < db || (da == db && a < b)
+    }
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (a, b) =>
+      val (u, v) = if (lowFirst(a, b)) (a, b) else (b, a)
+      adj.computeIfAbsent(u, _ => scala.collection.mutable.ArrayBuffer.empty)
+        .append(v)
+    }
+    adj.replaceAll((_, buf) => buf.sortInPlace())
+    var tri = 0L
+    val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+    edges.foreach { case (a, b) =>
+      val (u, v) = if (lowFirst(a, b)) (a, b) else (b, a)
+      val nu = adj.getOrDefault(u, empty)
+      val nv = adj.getOrDefault(v, empty)
+      var (i, j) = (0, 0)
+      while (i < nu.length && j < nv.length) {
+        val c = java.lang.Long.compare(nu(i), nv(j))
+        if (c == 0) { tri += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    tri
+  }
+
   /** The triangle-closing subplan over a MATERIALIZED edge list `e`
     * (sa < sb) with a known count — unexecuted, so the plan spec can
     * pin the broadcast-vs-shuffle decision without a 4M-edge fixture.
@@ -137,6 +188,14 @@ object GraphOps {
     // materialization is O(edges), never O(fact table).
     val e = coEdges(s, d).localCheckpoint(true) // sa < sb
     val nEdges = e.count()
+    if (nEdges <= localTriangleBudget(s)) {
+      // in-budget: bounded collect, driver-side oriented intersection
+      // (microseconds at this size), one 1-row frame back
+      val tri = triangleCountLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      import s.implicits._
+      return Seq((tri, nEdges)).toDF("n_triangles", "n_edges")
+    }
     // capture the SESSION fan-out before entering the static block: the
     // wedge stage EXPANDS rows (edges × out-degree), so its repartition
     // must use the full session width — inside the block fanout() would

@@ -15,8 +15,14 @@ class GraphOpsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
 
   test("degree-oriented triangle count equals the id-oriented count") {
+    // force the DISTRIBUTED enumeration (the local gate would absorb
+    // the fixture graph): this is the 100 TB path under test here; the
+    // local twin is pinned equal in its own test below
     val spark = TestSpark.spark
-    val got = GraphOps.triangles(spark, dir).collect().head
+    spark.conf.set("graft.graph.localTriangleEdges", "0")
+    val got =
+      try GraphOps.triangles(spark, dir).collect().head
+      finally spark.conf.unset("graft.graph.localTriangleEdges")
     val (nTri, nEdges) = (got.getLong(0), got.getLong(1))
 
     val li = graft.Tables.lineitem(spark, dir)
@@ -36,6 +42,21 @@ class GraphOpsSpec extends AnyFunSuite {
     val idCount = e1.join(e2, "b").join(e3, Seq("a", "c")).count()
     assert(nTri == idCount, s"degree-oriented $nTri vs id-oriented $idCount")
     assert(nTri > 0, "fixture graph should contain triangles")
+  }
+
+  test("local and distributed triangle counts agree on the fixture graph") {
+    val spark = TestSpark.spark
+    // local path (default budget absorbs the fixture's edge list)
+    val local = GraphOps.triangles(spark, dir).collect().head
+    spark.conf.set("graft.graph.localTriangleEdges", "0")
+    val dist =
+      try GraphOps.triangles(spark, dir).collect().head
+      finally spark.conf.unset("graft.graph.localTriangleEdges")
+    assert(local.getLong(0) == dist.getLong(0) &&
+      local.getLong(1) == dist.getLong(1),
+      s"local (${local.getLong(0)},${local.getLong(1)}) vs " +
+        s"distributed (${dist.getLong(0)},${dist.getLong(1)})")
+    assert(local.getLong(0) > 0)
   }
 
   test("local and distributed pagerank are bit-identical") {
