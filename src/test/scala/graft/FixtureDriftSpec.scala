@@ -66,6 +66,53 @@ class FixtureDriftSpec extends AnyFunSuite {
     assert(y >= loYear && y <= hiYear, s"stream max(ts) year $y — unit slip")
   }
 
+  test("all three ts layouts decode to the same instants (synthetic)") {
+    // the fixtures only ever exhibit ONE layout at a time; this pins
+    // the other branches so the next regeneration cannot surprise the
+    // readers in either direction. Base instants: two events a minute
+    // apart in the 2024 era.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val us = Seq(1704067200000000L, 1704067260000000L) // 2024-01-01 UTC
+    val base = java.nio.file.Files.createTempDirectory("ts_layouts")
+    def dirFor(name: String): String = {
+      val d = base.resolve(name); d.toFile.mkdirs(); d.toString
+    }
+    // layout 1: raw ns-since-epoch long (what nanosAsLong yields)
+    val dLong = dirFor("as_long")
+    us.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t * 1000L, i.toLong, "a", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dLong/events.parquet")
+    // layout 2: TIMESTAMP_NTZ micros
+    val dNtz = dirFor("as_ntz")
+    us.zipWithIndex.map { case (t, i) =>
+      (i.toLong, java.time.LocalDateTime.ofEpochSecond(
+        t / 1000000L, ((t % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC), i.toLong, "a", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    // layout 3: adjusted-to-UTC TimestampType micros
+    val dTz = dirFor("as_tz")
+    us.zipWithIndex.map { case (t, i) =>
+      (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        t / 1000000L, (t % 1000000L) * 1000L)), i.toLong, "a", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dTz/events.parquet")
+    val decoded = Seq(dLong, dNtz, dTz).map { d =>
+      Tables.events(spark, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("ts_ns"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    }
+    val want = us.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, t * 1000L) }
+    decoded.zip(Seq("long", "ntz", "tz")).foreach { case (got, name) =>
+      assert(got == want, s"layout $name decoded $got, want $want")
+    }
+  }
+
   test("non-ts fixture schemas carry the columns the operators assume") {
     val spark = TestSpark.spark
     // cheap footer-only guard: a renamed/retyped column in a
