@@ -27,6 +27,50 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.cc.localEdges")
   }
 
+  test("union-find labels match a reference BFS on 60 random graphs") {
+    // the driver-side kernel now carries five queries' correctness —
+    // pin it against an independent formulation (pure JVM, no Spark):
+    // BFS from each unvisited vertex, label = component minimum
+    def bfsLabels(edges: Array[(Long, Long)]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      edges.foreach { case (a, b) =>
+        adj(a) = b :: adj.getOrElse(a, Nil)
+        adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!label.contains(start)) {
+          var comp = List(start)
+          val queue = scala.collection.mutable.Queue(start)
+          val seen = scala.collection.mutable.Set(start)
+          while (queue.nonEmpty) {
+            adj(queue.dequeue()).foreach { n =>
+              if (seen.add(n)) { comp ::= n; queue.enqueue(n) }
+            }
+          }
+          val m = comp.min
+          comp.foreach(v => label(v) = m)
+        }
+      }
+      label.toMap
+    }
+    (0 until 60).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(80)
+      val m = rnd.nextInt(120)
+      val edges = Array.fill(m) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      if (edges.nonEmpty) {
+        val got = Dedup.unionFindLabels(edges).toMap
+        val want = bfsLabels(edges)
+        assert(got == want, s"seed $seed: union-find $got vs bfs $want")
+      }
+    }
+  }
+
   test("local union-find and distributed loop agree on a random graph") {
     val spark = TestSpark.spark
     import spark.implicits._
