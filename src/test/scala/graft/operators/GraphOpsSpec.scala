@@ -59,6 +59,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(local.getLong(0) > 0)
   }
 
+  test("local triangle count matches naive enumeration on 60 random graphs") {
+    // the driver-side close now carries q_g1 in-budget — pin the
+    // oriented-intersection kernel against the O(n^3) definition
+    (0 until 60).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 3 + rnd.nextInt(40)
+      val m = rnd.nextInt(160)
+      val edges = Array.fill(m) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (b + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      if (edges.nonEmpty) {
+        val set = edges.toSet
+        val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        var naive = 0L
+        for {
+          i <- vs.indices; j <- (i + 1) until vs.length
+          if set((vs(i), vs(j)))
+          k <- (j + 1) until vs.length
+          if set((vs(j), vs(k))) && set((vs(i), vs(k)))
+        } naive += 1
+        val got = GraphOps.triangleCountLocal(edges)
+        assert(got == naive, s"seed $seed: oriented $got vs naive $naive")
+      }
+    }
+  }
+
   test("local and distributed pagerank are bit-identical") {
     // the in-budget driver solve and the over-budget distributed loop
     // share one integer-arithmetic definition — any drift between them
