@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off validation harness: at a given sf dir, run the graph
+  * operators' BOTH paths (budget-gated local vs distributed) and
+  * assert equal results — the end-to-end form of the unit pins, on
+  * real derived graphs big enough to cross the budgets.
+  */
+object GateCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/.bench/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[gatecheck] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // triangles: default budget (256k) vs forced-local vs forced-dist
+    val dist = timed("triangles distributed") {
+      spark.conf.set("graft.graph.localTriangleEdges", "0")
+      try graft.operators.GraphOps.triangles(spark, sfDir).collect().head
+      finally spark.conf.unset("graft.graph.localTriangleEdges")
+    }
+    val local = timed("triangles local") {
+      spark.conf.set("graft.graph.localTriangleEdges", Long.MaxValue.toString)
+      try graft.operators.GraphOps.triangles(spark, sfDir).collect().head
+      finally spark.conf.unset("graft.graph.localTriangleEdges")
+    }
+    assert(dist.getLong(0) == local.getLong(0) &&
+      dist.getLong(1) == local.getLong(1),
+      s"triangles disagree: dist=$dist local=$local")
+    println(s"[gatecheck] triangles agree: n=${dist.getLong(0)} " +
+      s"edges=${dist.getLong(1)}")
+
+    // components: local union-find vs distributed hop+jump
+    def comps(): Map[Long, Long] =
+      graft.operators.GraphOps.components(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cLocal = timed("components local")(comps())
+    val cDist = timed("components distributed") {
+      spark.conf.set("graft.cc.localEdges", "0")
+      try comps() finally spark.conf.unset("graft.cc.localEdges")
+    }
+    assert(cLocal == cDist, "components disagree")
+    println(s"[gatecheck] components agree: n=${cLocal.size}")
+
+    // pagerank: local integer iteration vs distributed
+    def pr(): Map[Long, Long] =
+      graft.operators.GraphOps.pagerank(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pLocal = timed("pagerank local")(pr())
+    val pDist = timed("pagerank distributed") {
+      spark.conf.set("graft.graph.broadcastEdges", "0")
+      try pr() finally spark.conf.unset("graft.graph.broadcastEdges")
+    }
+    assert(pLocal == pDist, "pagerank disagrees")
+    println(s"[gatecheck] pagerank agree (bit-identical): n=${pLocal.size}")
+    spark.stop()
+  }
+}
