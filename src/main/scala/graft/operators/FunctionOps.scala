@@ -122,9 +122,16 @@ object FunctionOps {
     * stream broadcast into a clamp; the clipped mean sums in decimal.
     */
   def winsorize(s: SparkSession, d: String): DataFrame = {
+    // DISCRETE percentiles (order statistics), not interpolated: the
+    // clamp bounds pass through a decimal(18,2) cast in the mean, and
+    // cent-quantizing an INTERPOLATED bound amplifies a 1-ulp
+    // cross-engine float difference into a 0.01 bound shift whenever
+    // the interpolation lands near a half-cent (observed at sf0.001:
+    // winsor_mean off by 5e-4 against the oracle). An order statistic
+    // is an actual data value — engine-exact at every SF.
     val bounds = events(s, d).groupBy("event_type")
-      .agg(expr("percentile(value, 0.05)").as("lo"),
-        expr("percentile(value, 0.95)").as("hi"))
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
     events(s, d)
       .join(broadcast(bounds), "event_type")
       .withColumn("v", greatest(least(col("value"), col("hi")), col("lo")))
@@ -204,8 +211,8 @@ object FunctionOps {
   val oracles: Map[String, String] = Map(
     "q_a18_winsorize" ->
       """WITH b AS (
-        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
-        |    quantile_cont(value, 0.95) AS hi
+        |  SELECT event_type, quantile_disc(value, 0.05) AS lo,
+        |    quantile_disc(value, 0.95) AS hi
         |  FROM events GROUP BY 1)
         |SELECT e.event_type, count(*) AS n,
         |  round(CAST(SUM(CAST(greatest(least(e.value, b.hi), b.lo)
