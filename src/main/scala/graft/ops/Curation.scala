@@ -355,9 +355,15 @@ object Curation {
     * as a 1-row frame; the gate itself is a narrow scan filter.
     */
   def lengthGate(s: SparkSession, d: String): DataFrame = {
+    // DISCRETE percentiles (order statistics): the gate compares
+    // INTEGER n_chars against the bound, and an interpolated bound
+    // that lands on an exact integer computed 1 ulp low (99.9999...
+    // vs 100.0) flips whole documents in or out between engines — the
+    // same cross-engine amplifier the winsorize clamp hit. An order
+    // statistic is an actual length; the comparison is integer-exact.
     val bounds = documents(s, d).agg(
-      expr("percentile(n_chars, 0.05)").as("lo"),
-      expr("percentile(n_chars, 0.95)").as("hi"))
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("hi"))
     documents(s, d)
       .join(broadcast(bounds))
       .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
@@ -641,8 +647,8 @@ object Curation {
         |SELECT doc_id, h FROM batch
         |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = batch.h)""".stripMargin,
     "q_cur_lengthgate" ->
-      """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
-        |                  quantile_cont(n_chars, 0.95) AS hi
+      """WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+        |                  quantile_disc(n_chars, 0.95) AS hi
         |           FROM documents)
         |SELECT lang, count(*) AS n_kept,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
