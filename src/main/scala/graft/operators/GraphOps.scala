@@ -277,6 +277,14 @@ object GraphOps {
     // consumer would dominate the whole query
     val e = coEdges(s, d).localCheckpoint(true)
     val nEdges = e.count()
+    // empty above-threshold graph (possible at tiny SF / sparse
+    // corpora): no vertices, no ranks — NOT a division by zero on the
+    // vertex count (both the local and distributed iterations divide
+    // by it)
+    if (nEdges == 0L) {
+      import s.implicits._
+      return Seq.empty[(Long, Long)].toDF("v", "pr")
+    }
     if (nEdges <= broadcastEdgeBudget(s)) {
       // in-budget: bounded collect (broadcast-build-side memory class),
       // bit-identical local iteration, one distributed frame back

@@ -103,6 +103,15 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(local == dist, s"local $local vs distributed $dist")
   }
 
+  test("an empty above-threshold graph yields empty ranks, not an error") {
+    // sf0.001's supplier graph has NO above-threshold edges — the
+    // vertex count is zero and both iteration paths divide by it;
+    // the early exit must return an empty frame instead of throwing
+    val rows = GraphOps.pagerank(TestSpark.spark, "/root/testdata/sf0.001")
+    assert(rows.columns.toSeq == Seq("v", "pr"))
+    assert(rows.count() == 0L)
+  }
+
   test("pagerank conserves mass up to truncation and is deterministic") {
     val spark = TestSpark.spark
     val rows = GraphOps.pagerank(spark, dir).collect()
