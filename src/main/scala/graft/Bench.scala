@@ -52,14 +52,21 @@ object Bench {
       // makes round-over-round medians attributable to code changes.
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val runs = (1 to reps).map { _ =>
-        // drain accumulated garbage BEFORE each rep's timer starts —
-        // per QUERY was not enough: 100+ queries in, checkpoint-heavy
-        // chains (4 executions per benched query) leave enough debt
-        // that a major collection lands inside rep 2 or 3, producing
-        // the r8 median>>min artifacts (q_dedup_pipeline 21.5 s median
-        // over a 3.7 s min on an unchanged plan). GC debt from OTHER
-        // executions is session noise, not query cost; outside the
-        // timed window it cannot poison round-over-round attribution.
+        // drop accumulated STORAGE before each rep's timer starts: the
+        // checkpoint-heavy chains (graph/dedup/cdc) eagerly persist
+        // blocks they never unpersist, and 185 queries × 4 executions
+        // stack hundreds of dead RDDs — by the alphabetically-late
+        // q_g* cluster, eviction/recompute churn from other queries'
+        // debris lands inside the timed reps (r9: triangles median
+        // 9.67 s over a 3.10 s min on an unchanged plan). Pinned ids
+        // (session-lifetime memos with truncated lineage) survive;
+        // everything else is per-execution debris that a fresh
+        // application would never have seen.
+        Pinned.dropUnpinned(spark.sparkContext)
+        // then drain accumulated garbage — per QUERY was not enough:
+        // GC debt from OTHER executions is session noise, not query
+        // cost; outside the timed window it cannot poison
+        // round-over-round attribution (the r8 median>>min artifacts).
         System.gc()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -118,6 +125,20 @@ object Bench {
     results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
 
+  /** Queries whose median sits far above their own min — the signature
+    * of a recurring cross-execution artifact (storage churn, GC debt),
+    * not scheduler noise (which shows median ≈ min with one outlying
+    * max). Same rule as BenchContractSpec's spread gate: median more
+    * than doubles the min AND the gap is material (> 1 s).
+    */
+  def volatileNames(results: Seq[(String, Double, Boolean, Double, Double)]): Seq[String] =
+    results.collect {
+      case (k, med, _, lo, _) if med > lo * 2 && med - lo > 1.0 => k
+    }
+
+  private def volatileArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
+    volatileNames(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+
   /** The complete per-query map — every registered query priced.
     * Written to BENCH_LAST.json (too long for reliable log-tail
     * capture at the current query count). "queries" carries medians;
@@ -129,7 +150,7 @@ object Bench {
     */
   def renderJson(results: Seq[(String, Double, Boolean, Double, Double)], sfDir: String): String = {
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"failed":${failedArr(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
   }
 
   /** The driver-contract stdout line: ONE JSON object, bounded-length.
@@ -142,6 +163,6 @@ object Bench {
                       top: Int = 30): String = {
     val total = results.map(_._2).sum
     val head = results.sortBy(-_._2).take(top).sortBy(_._1)
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(head)},"n_all":${results.size},"failed":${failedArr(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(head)},"n_all":${results.size},"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
   }
 }

@@ -23,28 +23,94 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** `events.ts` has shipped in two physical layouts, so the reader is
-    * schema-adaptive (branching on the parquet footer type, a
-    * metadata-only read):
-    *
-    *  - TIMESTAMP(NANOS): Spark 4 refuses it by default
-    *    ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it surfaces as a
-    *    raw ns-since-epoch LongType, converted here to a µs
-    *    TimestampType.
-    *  - TIMESTAMP(MICROS) (adjusted-to-UTC or not): surfaces as
-    *    TimestampType / TimestampNTZType; the NTZ wall clock is pinned
-    *    to an instant via the session zone (always UTC in graft entry
-    *    points), matching how the DuckDB oracle's `epoch_ns(ts)` reads
-    *    the same naive values.
-    *
-    * Either way the result contract is fixed: `ts` µs TimestampType,
-    * `ts_ns` ns-since-epoch long for exact range predicates.
+  /** Physical layout of `events.ts`, probed from ONE parquet footer
+    * with parquet-hadoop directly — metadata-only AND conf-free, so
+    * looking at the schema no longer mutates session state (the old
+    * probe had to pre-set `nanosAsLong` just to be allowed to read the
+    * footer through Spark).
+    */
+  private[graft] sealed trait TsLayout
+  private[graft] object TsLayout {
+    /** TIMESTAMP(NANOS): Spark 4 refuses it by default
+      * ([PARQUET_TYPE_ILLEGAL]); only readable via the session-wide
+      * `nanosAsLong` legacy conf, as a raw ns-since-epoch long. */
+    case object NanosLong extends TsLayout
+    /** Unannotated INT64 — already ns-since-epoch by fixture contract. */
+    case object PlainLong extends TsLayout
+    /** TIMESTAMP(MICROS) adjusted-to-UTC → TimestampType (an instant). */
+    case object Micros extends TsLayout
+    /** TIMESTAMP(MICROS) naive → TimestampNTZType (a wall clock). */
+    case object MicrosNtz extends TsLayout
+  }
+
+  private[graft] def probeTsLayout(s: SparkSession, d: String): TsLayout = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val table = new java.io.File(d, "events.parquet")
+    // flat file (driver testdata) or Spark-written directory (GenScale
+    // replicas) — one leaf footer describes the column for the table
+    val leaf =
+      if (table.isDirectory)
+        table.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .minBy(_.getName)
+      else table
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(leaf.getPath), s.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      val field = schema.getType(schema.getFieldIndex("ts"))
+      field.getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          if (ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) TsLayout.NanosLong
+          else if (ts.isAdjustedToUTC) TsLayout.Micros
+          else TsLayout.MicrosNtz
+        case _ =>
+          // un-annotated physical types: INT96 is the legacy parquet
+          // timestamp encoding (no logical annotation by definition,
+          // Spark reads it as TimestampType); a bare INT64 is the
+          // fixture contract's raw ns-since-epoch long
+          if (field.asPrimitiveType().getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)
+            TsLayout.Micros
+          else TsLayout.PlainLong
+      }
+    } finally r.close()
+  }
+
+  /** The naive-wall-clock layouts are pinned to instants via the
+    * session zone; graft's contract (matching the DuckDB oracle's
+    * `epoch_ns(ts)` reading) is that the wall clock IS UTC. Assert
+    * instead of silently shifting every timestamp when an entry point
+    * forgot the conf.
+    */
+  private[graft] def requireUtc(s: SparkSession, who: String): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "+00:00",
+      s"$who decodes naive (NTZ) event timestamps via the session zone; " +
+        s"set spark.sql.session.timeZone=UTC (found '$tz') or every ts shifts silently")
+  }
+
+  /** `events.ts` has shipped in several physical layouts, so the reader
+    * is schema-adaptive (branching on a conf-free footer probe). Either
+    * way the result contract is fixed: `ts` µs TimestampType, `ts_ns`
+    * ns-since-epoch long for exact range predicates.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val layout = probeTsLayout(s, d)
+    layout match {
+      case TsLayout.NanosLong =>
+        // the ONE case that genuinely needs the legacy conf — and needs
+        // it for the whole lifetime of the (lazy) frame, because the
+        // scan re-reads it at execution; setting it here is the
+        // documented price of the NANOS layout, not a probe side effect
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      case TsLayout.MicrosNtz => requireUtc(s, "Tables.events")
+      case _ => ()
+    }
     val raw = t(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+    layout match {
+      case TsLayout.NanosLong | TsLayout.PlainLong =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ =>

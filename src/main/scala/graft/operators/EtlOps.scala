@@ -24,9 +24,13 @@ object EtlOps {
   // session; retention is bounded by the number of sessions in the JVM
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.sql.Dataset[Directory.Entry]]()
+  // the eager checkpoint's blocks are PINNED: lineage is truncated, so
+  // if a cross-query cleanup (Bench.dropUnpinned) dropped them the memo
+  // would hand out an unrecoverable frame
   private def memoized(s: SparkSession, key: String)(
       f: => org.apache.spark.sql.Dataset[Directory.Entry]) =
-    memo.computeIfAbsent((s, key), _ => f.localCheckpoint(true))
+    memo.computeIfAbsent((s, key), _ =>
+      graft.Pinned.pinning(s.sparkContext)(f.localCheckpoint(true)))
 
   /** Full initial_load against the reference fixtures; returns the
     * canonical dump as one row per directory entry (deterministic).

@@ -439,9 +439,14 @@ object Dedup {
 
   /** Edge-count budget under which the labeling solves on the driver
     * with union-find instead of the distributed hop+jump loop. The
-    * memory class is the same as a broadcast join build side (~4M rows
-    * of two longs ≈ 64 MB) — if the edge list is small enough to
-    * BROADCAST it is small enough to SOLVE, and the driver solve
+    * 4M-edge default is a broadcast-join-build-side DATA size (two
+    * longs/edge ≈ 64 MB raw) — but the driver-side PRICE is JVM object
+    * form, not raw bytes: ~4M Row objects from collect(), boxed
+    * (Long, Long) tuples, and the union-find HashMaps put the transient
+    * peak at several hundred MB, so size driver memory for ~100×
+    * the raw figure (≥2 GiB headroom at the default budget) or lower
+    * `graft.cc.localEdges`. The principle stands: if the edge list is
+    * small enough to BROADCAST it is small enough to SOLVE, and the driver solve
     * replaces ~5 rounds × 3 shuffles of pure job-launch constants with
     * microseconds of pointer chasing. Candidate-pair lists here are
     * bucket-capped (LSH) or relative-thresholded (co-occurrence), so at

@@ -39,7 +39,6 @@ object EventStream {
     * reading DuckDB's `epoch_ns(ts)` gives the naive values).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the table is either a single flat file (driver testdata) or a
     // Spark-written DIRECTORY of part files (GenScale sf replicas). A
     // file stream source lists a directory, so: stream the table dir
@@ -49,19 +48,50 @@ object EventStream {
     // parquet files inside events.parquet/ would all be filtered out,
     // silently producing an EMPTY stream.
     val tablePath = new java.io.File(dir, "events.parquet")
-    val tsType = spark.read.parquet(tablePath.getPath).schema("ts").dataType
+    // conf-free footer probe (Tables.probeTsLayout); only the genuine
+    // TIMESTAMP(NANOS) layout needs the session-wide legacy conf, and
+    // needs it for the stream's lifetime — every other layout leaves
+    // session state untouched
+    val layout = Tables.probeTsLayout(spark, dir)
+    val tsType: org.apache.spark.sql.types.DataType = layout match {
+      case Tables.TsLayout.NanosLong =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        LongType
+      case Tables.TsLayout.PlainLong => LongType
+      case Tables.TsLayout.Micros    => TimestampType
+      case Tables.TsLayout.MicrosNtz => TimestampNTZType
+    }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
+    // Trigger budget ∝ shard count: each micro-batch pays fixed
+    // per-trigger costs (state-store open/commit × stores × partitions,
+    // offset-log fsyncs) that are INDEPENDENT of row volume, so with
+    // maxFilesPerTrigger=1 a many-part-file table serializes one full
+    // state cycle per shard — cost grows with FILE COUNT, not data
+    // (the sf1 slope-6.25 pattern on q_stream_tumbling). Size the
+    // budget so a drain takes ~4 triggers at any layout (still >1
+    // trigger on multi-file tables, keeping incremental semantics
+    // exercised), and at real scale the equivalent knob is
+    // maxBytesPerTrigger against the cluster's per-batch capacity.
+    val nFiles =
+      if (tablePath.isDirectory)
+        tablePath.listFiles()
+          .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      else 1
+    val filesPerTrigger = math.max(1, math.ceil(nFiles / 4.0).toInt)
     val reader = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
     val src =
       if (tablePath.isDirectory) reader.parquet(tablePath.getPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     if (tsType == LongType)
       src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else
+    else {
+      if (tsType == TimestampNTZType)
+        Tables.requireUtc(spark, "EventStream.readEvents")
       src.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Custom keyed state: a running per-user profile (event count,

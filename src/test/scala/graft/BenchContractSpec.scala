@@ -56,6 +56,24 @@ class BenchContractSpec extends AnyFunSuite {
     allNames.foreach(n => assert(line.contains("\"" + n + "\""), n))
   }
 
+  // real JSON parse of the repo-root artifact (a substring/regex gate
+  // tracked the hand-rolled writer's formatting, not the data)
+  private def latestArtifact: org.json4s.JValue = {
+    val p = java.nio.file.Paths.get("BENCH_LAST.json")
+    assume(java.nio.file.Files.exists(p), "no BENCH_LAST.json in repo root")
+    org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  }
+
+  private def strArray(v: org.json4s.JValue, field: String): Seq[String] = {
+    import org.json4s._
+    v \ field match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case JNothing   => fail(s"artifact has no $field list — stale bench format")
+      case other      => fail(s"artifact $field is not an array: $other")
+    }
+  }
+
   test("latest bench artifact has no pathological spread band") {
     // the r7 warm-up artifact (q_dedup_canonical median 10.85, spread
     // [5.0, 13.7]) reached the judge before the build: gate it here
@@ -64,26 +82,32 @@ class BenchContractSpec extends AnyFunSuite {
     // artifact. Scheduler noise has the opposite shape (median ≈ min,
     // one outlying max: q_t4_except [0.49, 1.75] around a 0.55 median),
     // so a max/min ratio test cannot separate the two — and at 2.7×,
-    // the r7 artifact would have PASSED a 3× ratio gate. Flag when the
-    // median doubles the min and the gap is material (> 1 s).
-    val p = java.nio.file.Paths.get("BENCH_LAST.json")
-    assume(java.nio.file.Files.exists(p), "no BENCH_LAST.json in repo root")
-    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    val at = json.indexOf("\"spread\":")
-    assert(at >= 0, "artifact has no spread map — stale bench format")
-    val med = """"([^"]+)":([0-9.]+)""".r
-    val medians = med.findAllMatchIn(json.substring(0, at))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val band = """"([^"]+)":\[([0-9.]+),([0-9.]+)\]""".r
-    val bad = band.findAllMatchIn(json.substring(at)).flatMap { m =>
-      val (n, lo) = (m.group(1), m.group(2).toDouble)
-      val mid = medians.getOrElse(n, lo)
-      if (mid > lo * 2 && mid - lo > 1.0)
-        Some(f"$n median $mid%.2f vs min $lo%.2f")
-      else None
-    }.toSeq
-    assert(bad.isEmpty,
-      s"median>>min — recurring warm-up/GC artifact in: ${bad.mkString(", ")}")
+    // the r7 artifact would have PASSED a 3× ratio gate. The bench
+    // itself computes the list (Bench.volatileNames: median > 2×min
+    // AND gap > 1 s) into the artifact's "volatile" field; a non-empty
+    // list is a red build, and also recompute it from the spread map so
+    // the field can't silently go stale.
+    import org.json4s._
+    val artifact = latestArtifact
+    val volatileList = strArray(artifact, "volatile")
+    val medians = (artifact \ "queries") match {
+      case JObject(fs) => fs.collect {
+        case (n, JDouble(d)) => n -> d
+        case (n, JInt(i)) => n -> i.toDouble
+      }.toMap
+      case _ => fail("artifact has no queries map")
+    }
+    val recomputed = (artifact \ "spread") match {
+      case JObject(fs) => fs.collect {
+        case (n, JArray(List(lo: JDouble, _)))
+          if medians.get(n).exists(m => m > lo.num * 2 && m - lo.num > 1.0) => n
+      }
+      case _ => fail("artifact has no spread map — stale bench format")
+    }
+    assert(volatileList.sorted == recomputed.sorted,
+      "artifact volatile list disagrees with its own spread data")
+    assert(volatileList.isEmpty,
+      s"median>>min — recurring storage/GC artifact in: ${volatileList.mkString(", ")}")
   }
 
   test("latest bench artifact ran every query (failed list empty)") {
@@ -91,14 +115,19 @@ class BenchContractSpec extends AnyFunSuite {
     // events reader broke on regenerated fixtures — the artifact said so
     // in `failed` and nothing gated it. A non-empty failed list is a
     // red build, period.
-    val p = java.nio.file.Paths.get("BENCH_LAST.json")
-    assume(java.nio.file.Files.exists(p), "no BENCH_LAST.json in repo root")
-    val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    val at = json.indexOf("\"failed\":[")
-    assert(at >= 0, "artifact has no failed list — stale bench format")
-    assert(json.startsWith("]", at + "\"failed\":[".length),
-      "bench artifact lists failed queries: " +
-        json.substring(at, math.min(json.length, at + 300)))
+    val failed = strArray(latestArtifact, "failed")
+    assert(failed.isEmpty, s"bench artifact lists failed queries: $failed")
+  }
+
+  test("volatileNames flags median>>min, not plain scheduler noise") {
+    // churn shape: median 9.67 over a 3.10 min — flagged
+    // noise shape: median 0.55 with max outlier 1.75 — not flagged
+    // small-absolute shape: 0.30 over 0.10 — ratio trips but gap < 1 s
+    val rs = Seq(
+      ("q_churn", 9.67, true, 3.10, 10.11),
+      ("q_noise", 0.55, true, 0.49, 1.75),
+      ("q_tiny", 0.30, true, 0.10, 0.35))
+    assert(Bench.volatileNames(rs) == Seq("q_churn"))
   }
 
   test("median averages the two middle elements for even n") {

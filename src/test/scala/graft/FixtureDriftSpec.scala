@@ -115,6 +115,9 @@ class FixtureDriftSpec extends AnyFunSuite {
 
   test("non-ts fixture schemas carry the columns the operators assume") {
     val spark = TestSpark.spark
+    // same convention as the first two tests: a checkout without
+    // fixtures skips instead of hard-failing
+    assume(new java.io.File(sfDir).exists)
     // cheap footer-only guard: a renamed/retyped column in a
     // regenerated fixture should name itself here, not five operators in
     val want = Map(
