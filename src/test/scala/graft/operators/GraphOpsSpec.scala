@@ -87,6 +87,37 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sf0.1: forced local and distributed paths agree end-to-end") {
+    // the in-suite form of the GateCheck harness: the sf0.1 derived
+    // graph is big enough to make the equality non-vacuous, and forcing
+    // BOTH sides of every budget gate here pins the distributed path —
+    // the one that runs at 100 TB — every `sbt test`, not only in a
+    // manual sf1 sweep
+    val spark = TestSpark.spark
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).exists)
+    def forced[T](k: String, v: String)(f: => T): T = {
+      spark.conf.set(k, v)
+      try f finally spark.conf.unset(k)
+    }
+    val triDist = forced("graft.graph.localTriangleEdges", "0")(
+      GraphOps.triangles(spark, sf01).collect().head)
+    val triLocal = forced("graft.graph.localTriangleEdges",
+      Long.MaxValue.toString)(GraphOps.triangles(spark, sf01).collect().head)
+    assert(triDist.getLong(0) == triLocal.getLong(0) &&
+      triDist.getLong(1) == triLocal.getLong(1),
+      s"sf0.1 triangles: dist $triDist vs local $triLocal")
+    assert(triLocal.getLong(0) > 0, "sf0.1 graph should contain triangles")
+
+    def pr(): Map[Long, Long] =
+      GraphOps.pagerank(spark, sf01).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prLocal = pr() // default budget absorbs the sf0.1 edge list
+    val prDist = forced("graft.graph.broadcastEdges", "0")(pr())
+    assert(prLocal == prDist, "sf0.1 pagerank paths disagree")
+    assert(prLocal.nonEmpty)
+  }
+
   test("local and distributed pagerank are bit-identical") {
     // the in-budget driver solve and the over-budget distributed loop
     // share one integer-arithmetic definition — any drift between them

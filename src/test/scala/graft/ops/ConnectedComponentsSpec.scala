@@ -94,6 +94,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       s"paths disagree on ${(local.toSet diff dist.toSet).take(5)}")
   }
 
+  test("sf0.1: forced local and distributed component paths agree end-to-end") {
+    // in-suite GateCheck: the real sf0.1 candidate-pair graph through
+    // the production operator, both sides of the budget gate — pins
+    // the distributed loop (the 100 TB path) every `sbt test`
+    val spark = TestSpark.spark
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(sf01).exists)
+    def comps(): Map[Long, Long] =
+      graft.operators.GraphOps.components(spark, sf01).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = comps() // default budget absorbs the sf0.1 edge list
+    spark.conf.set("graft.cc.localEdges", "0")
+    val dist =
+      try comps() finally spark.conf.unset("graft.cc.localEdges")
+    assert(local == dist,
+      s"sf0.1 paths disagree on ${(local.toSet diff dist.toSet).take(5)}")
+    assert(local.nonEmpty)
+  }
+
   test("separate components keep separate minimum labels") {
     val spark = TestSpark.spark
     import spark.implicits._
