@@ -21,10 +21,23 @@ object GateCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Bench-comparable timing: one untimed warm-up, then median of 3
+    // reps with a storage drop + GC drain outside each timed window —
+    // the per-path medians feed the BENCH_sf1 forced-path slopes, so
+    // they must be measured the way Bench measures.
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[T](tag: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[gatecheck] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      var r: T = f // warm-up (untimed)
+      val ts = (1 to 3).map { _ =>
+        graft.Pinned.dropUnpinned(spark.sparkContext)
+        System.gc()
+        val t0 = System.nanoTime()
+        r = f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = graft.Bench.median(ts)
+      medians(tag) = med
+      println(f"[gatecheck] $tag: $med%.2f s (median of ${ts.map(t => f"$t%.2f").mkString(",")})")
       r
     }
 
@@ -68,6 +81,11 @@ object GateCheck {
     }
     assert(pLocal == pDist, "pagerank disagrees")
     println(s"[gatecheck] pagerank agree (bit-identical): n=${pLocal.size}")
+    // one machine-readable line for the BENCH_sf1 slope bookkeeping
+    println("GATECHECK_JSON {" + medians.map { case (k, v) =>
+      "\"" + k.replace(' ', '_') + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString(",") + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }
