@@ -31,10 +31,27 @@ object Profile {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    // with -jobs: per-job wall time + the triggering call site, so a
+    // query whose cost is a particular exchange/action names it
+    val showJobs = args.contains("-jobs")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        jobStart.put(j.jobId, (System.nanoTime(),
+          Option(j.properties).map { p =>
+            val d = p.getProperty("spark.job.description",
+              p.getProperty("callSite.short", "?"))
+            if (d.length > 80) d.take(80) + "…" else d
+          }.getOrElse("?")))
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobStart.remove(j.jobId)).foreach { case (t0, site) =>
+          if (showJobs)
+            println(f"    job ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $site")
+        }
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()

@@ -198,6 +198,14 @@ object EtlOps {
     // unbounded batch: the scale query processes every event, and the
     // oracle asserts a verdict per event — a finite cap would silently
     // under-report at a large enough sf
+    //
+    // Planning note: ~2 s of this query's ~3 s sf0.1 cost is driver-side
+    // work around the 11 AQE jobs (the CDC tree is one of the engine's
+    // largest plans). The dedup-loop static-width treatment was tried
+    // and REGRESSED it (3.1 s → 4.5-5.0 s at widths 1-8): here AQE's
+    // per-stage replanning pays for itself by collapsing/reusing
+    // exchanges (11 stages / 32 tasks under AQE vs 22 / 163 static), so
+    // the adaptive plan stands.
     val r = Cdc.cycle(snap, users, ev,
       scaleConf.copy(etlTimestamp = "20170101000300Z"),
       maxRecords = Int.MaxValue)
