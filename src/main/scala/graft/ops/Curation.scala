@@ -466,7 +466,51 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
   }
 
+  /** Deterministic global shuffle (training-order randomization): every
+    * epoch's order is a pure function of (seed, doc_id), so any worker
+    * can recompute any shard's order without coordination and a re-run
+    * is bit-identical. The order key is a 60-bit integer from
+    * md5(seed|doc_id) with doc_id as tiebreak.
+    *
+    * The GLOBAL POSITION is assigned the scale-correct way: a global
+    * `row_number()` window would funnel the corpus through ONE
+    * partition (the classic driver-shaped bottleneck); instead the
+    * frame is range-partitioned and sorted on the key — Spark's
+    * distributed sort — and positions are composed from
+    * `monotonically_increasing_id`'s (partition, intra-partition
+    * counter) encoding plus per-partition cumulative offsets. The
+    * offset table is one row per partition (bounded by cluster width,
+    * never by data), so its window and the join back are both tiny; the
+    * sorted frame is checkpointed so the offset count and the join
+    * consume ONE materialization (AQE re-planning between two actions
+    * could otherwise renumber partitions between the two reads).
+    */
+  def shuffleOrder(s: SparkSession, d: String): DataFrame = {
+    val key = conv(substring(
+      md5(concat(lit("epoch0|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val sorted = documents(s, d)
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .repartitionByRange(fanout(s), col("shuffle_key"), col("doc_id"))
+      .sortWithinPartitions("shuffle_key", "doc_id")
+      .withColumn("mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    // mid = pid << 33 | intra (consecutive from 0 within a partition)
+    val pid = shiftright(col("mid"), 33)
+    val intra = col("mid") - shiftleft(pid, 33)
+    val offW = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(pid.as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .select(col("pid"), col("off"))
+    sorted.join(broadcast(offsets), pid === col("pid"))
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("off") + intra).as("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cur_shuffle" -> (shuffleOrder _),
     "q_cur_boilerplate" -> (boilerplate _),
     "q_cur_classifier" -> (classifier _),
     "q_cur_mixture" -> (mixture _),
@@ -488,6 +532,16 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // positions are 0-based; the key is the same 15-hex-digit (60-bit)
+    // integer both engines derive from md5(seed|doc_id)
+    "q_cur_shuffle" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('epoch0|' || doc_id), 1, 15))::BIGINT
+        |    AS shuffle_key,
+        |  (row_number() OVER (ORDER BY
+        |     ('0x' || substr(md5('epoch0|' || doc_id), 1, 15))::BIGINT,
+        |     doc_id) - 1)::BIGINT AS pos
+        |FROM documents""".stripMargin,
     "q_cur_classifier" ->
       """WITH f AS (
         |  SELECT doc_id, n_chars, str_split(text, ' ') AS t FROM documents),

@@ -77,4 +77,30 @@ class CurationSpec extends AnyFunSuite {
     assert(means(true) > means(false),
       s"target-domain docs must score higher per token: $means")
   }
+
+  test("shuffle order is a 0-based permutation consistent with its key") {
+    // the scale path composes positions from monotonically_increasing_id
+    // partition encodings + per-partition offsets; the CONTRACT is that
+    // this equals the flat "row_number over global key order" the oracle
+    // states. Pin: pos is exactly 0..n-1, ordered by (shuffle_key,
+    // doc_id), and a re-run is bit-identical (pure function of doc_id).
+    val spark = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val rows = Curation.shuffleOrder(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq,
+      "pos must be exactly 0..n-1")
+    val byPos = rows.sortBy(_._3).map(x => (x._2, x._1)).toSeq
+    assert(byPos == byPos.sorted,
+      "pos order must equal (shuffle_key, doc_id) order")
+    // deterministic: the epoch order re-derives bit-identically
+    val again = Curation.shuffleOrder(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq == again.toSeq)
+    // and it is a genuine shuffle: not the identity order over doc_id
+    assert(byPos.map(_._2) != byPos.map(_._2).sorted,
+      "shuffle should not preserve doc_id order")
+  }
 }
