@@ -304,4 +304,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
       s"only the 3 referenced columns should be read:\n$p")
   }
+
+  test("epoch shuffle joins offsets via broadcast, never sort-merges the corpus") {
+    // the corpus-sized side is the checkpointed range-sorted frame; the
+    // only join in the final plan attaches the per-partition offset
+    // table (≤ fan-out rows) and must broadcast. A SortMergeJoin or a
+    // hash exchange of the corpus side here would mean the "no global
+    // funnel" position composition regressed to a wide plan. (The
+    // offset table's own unpartitioned window is fine — it is bounded
+    // by cluster width, not data.)
+    val p = plan("q_cur_shuffle")
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
+  }
 }
