@@ -509,7 +509,43 @@ object Curation {
         (col("off") + intra).as("pos"))
   }
 
+  /** Deterministic fractional up-/down-sampling to a language-balanced
+    * epoch mix: each document's replication factor is the ratio of its
+    * language's target share (uniform across languages here) to its
+    * natural share, r = N / (L · n_lang), applied as floor(r) whole
+    * copies plus one more iff a content-keyed hash falls under the
+    * fractional part — so a re-run, on any cluster, yields the SAME
+    * epoch multiset without any RNG state. All arithmetic is integer
+    * micro-units (cross-engine exact); rates and the language table are
+    * vocabulary-bounded, so the joins broadcast and the only
+    * corpus-sized work is the explode, whose output is ~N rows by
+    * construction (the mix redistributes mass, it doesn't grow it).
+    */
+  def upsample(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_l"))
+    val totals = counts.agg(sum(col("n_l")).as("n"),
+      count(lit(1)).as("nl"))
+    val rated = documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(totals))
+      .withColumn("r_micro", expr("(1000000 * n) DIV (nl * n_l)"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("up|"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("copies",
+        expr("r_micro DIV 1000000") +
+          when(col("h") < col("r_micro") % 1000000L, 1L).otherwise(0L))
+    // guard BEFORE sequence(): Spark's sequence(1, 0) auto-steps -1 and
+    // yields [1, 0] instead of an empty list — a down-sampled-out doc
+    // would silently contribute two phantom rows
+    rated.filter(col("copies") >= 1L)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies"))).as("rep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cur_upsample" -> (upsample _),
     "q_cur_shuffle" -> (shuffleOrder _),
     "q_cur_boilerplate" -> (boilerplate _),
     "q_cur_classifier" -> (classifier _),
@@ -532,6 +568,22 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cur_upsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n, (SELECT count(*) FROM c) AS nl
+        |      FROM documents),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        (1000000 * t.n) // (t.nl * c.n_l) AS r_micro,
+        |        ('0x' || substr(md5('up|' || d.doc_id), 1, 8))::BIGINT
+        |          % 1000000 AS h
+        |      FROM documents d, c, t WHERE d.lang = c.lang),
+        |k AS (SELECT doc_id, lang,
+        |        r_micro // 1000000
+        |          + CASE WHEN h < r_micro % 1000000 THEN 1 ELSE 0 END
+        |          AS copies
+        |      FROM r)
+        |SELECT doc_id, lang, unnest(generate_series(1, copies))::BIGINT AS rep
+        |FROM k WHERE copies >= 1""".stripMargin,
     // positions are 0-based; the key is the same 15-hex-digit (60-bit)
     // integer both engines derive from md5(seed|doc_id)
     "q_cur_shuffle" ->

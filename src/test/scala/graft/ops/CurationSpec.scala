@@ -103,4 +103,37 @@ class CurationSpec extends AnyFunSuite {
     assert(byPos.map(_._2) != byPos.map(_._2).sorted,
       "shuffle should not preserve doc_id order")
   }
+
+  test("upsample balances the language mix and preserves total mass") {
+    val spark = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Curation.upsample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // (doc_id, rep) pairs are unique — replication, not duplication bugs
+    assert(out.map(x => (x._1, x._3)).distinct.length == out.length)
+    val byLang = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.values.sum
+    val target = n / docs.size
+    // every language lands near the uniform target (fractional hash
+    // rounding is per-doc ±1, so allow a generous band), which means
+    // rare languages were up-sampled and dominant ones down-sampled
+    byLang.foreach { case (l, m) =>
+      assert(math.abs(m - target) <= math.max(3L, target / 3),
+        s"$l: $m rows vs uniform target $target (natural ${docs(l)})")
+    }
+    val rarest = docs.minBy(_._2)._1
+    val top = docs.maxBy(_._2)._1
+    assert(byLang(rarest) >= docs(rarest), "rarest language must up-sample")
+    assert(byLang(top) <= docs(top), "dominant language must down-sample")
+    // total mass ≈ N: the mix redistributes, it does not grow the epoch
+    assert(math.abs(out.length - n) <= docs.size * 2,
+      s"total ${out.length} vs corpus $n")
+    // deterministic
+    val again = Curation.upsample(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
 }
