@@ -544,7 +544,29 @@ object Curation {
         explode(sequence(lit(1L), col("copies"))).as("rep"))
   }
 
+  /** Per-worker epoch shard manifest: the loader-facing composition of
+    * the deterministic shuffle — worker w of W reads exactly the
+    * positions ≡ w (mod W), so shards are equal-sized to ±1 doc with
+    * no coordination, and the manifest (docs, token mass, position
+    * range per worker) is what a training job uses to budget steps.
+    * Output is W rows; the only corpus-scale work is the shuffle-order
+    * derivation plus one join and one aggregation keyed on worker.
+    */
+  def epochShards(s: SparkSession, d: String): DataFrame = {
+    val workers = 8
+    val order = shuffleOrder(s, d)
+    val tok = documents(s, d).select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"))
+    order.join(tok, "doc_id")
+      .groupBy((col("pos") % workers).as("worker"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cur_epoch_shards" -> (epochShards _),
     "q_cur_upsample" -> (upsample _),
     "q_cur_shuffle" -> (shuffleOrder _),
     "q_cur_boilerplate" -> (boilerplate _),
@@ -568,6 +590,17 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cur_epoch_shards" ->
+      """WITH o AS (SELECT doc_id,
+        |  (row_number() OVER (ORDER BY
+        |     ('0x' || substr(md5('epoch0|' || doc_id), 1, 15))::BIGINT,
+        |     doc_id) - 1)::BIGINT AS pos
+        |  FROM documents)
+        |SELECT o.pos % 8 AS worker, count(*) AS n_docs,
+        |  sum(len(str_split(d.text, ' ')))::BIGINT AS sum_tokens,
+        |  min(o.pos) AS first_pos, max(o.pos) AS last_pos
+        |FROM o JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     "q_cur_upsample" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
         |t AS (SELECT count(*) AS n, (SELECT count(*) FROM c) AS nl
