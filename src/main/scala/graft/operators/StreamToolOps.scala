@@ -71,16 +71,21 @@ object StreamToolOps {
     // stores per partition) is handled centrally in drain(); a width
     // sweep at sf0.1 confirmed the shared 8 is this query's optimum
     // too (4 → 3.5 s, 8 → 3.1 s, 16 → 4.4 s): narrower serializes the
-    // join work faster than it saves store setup, wider pays setup
+    // join work faster than it saves store setup, wider pays setup.
+    // Watermark = the REPLAY's disorder bound (EventStream.
+    // replayWatermark): with multi-file layouts the triggers arrive
+    // out of event-time order, and a small watermark silently dropped
+    // cross-trigger join state (sf1 emitted 2.4× instead of 10×)
     drain(s, { ss =>
+      val wm = EventStream.replayWatermark(ss, d)
       val l = EventStream.readEvents(ss, d)
         .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
           col("ts").as("l_ts"))
-        .withWatermark("l_ts", "10 minutes")
+        .withWatermark("l_ts", wm)
       val r = EventStream.readEvents(ss, d)
         .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
           col("ts").as("r_ts"))
-        .withWatermark("r_ts", "10 minutes")
+        .withWatermark("r_ts", wm)
       l.join(r,
         col("l_uid") === col("r_uid") &&
           col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
@@ -118,9 +123,13 @@ object StreamToolOps {
     * arrives outside the horizon) it equals batch DISTINCT exactly.
     */
   def streamDedupWm(s: SparkSession, d: String): DataFrame =
+    // replay-bounded watermark: the horizon must exceed the replay's
+    // out-of-orderness or a duplicate key first seen in a LATE trigger
+    // is dropped outright (sf1 lost 11 of 75,000 keys at 10 minutes);
+    // a live stream would use its real arrival-lateness bound here
     drain(s, ss =>
       EventStream.readEvents(ss, d)
-        .withWatermark("ts", "10 minutes")
+        .withWatermark("ts", EventStream.replayWatermark(ss, d))
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type")),
       "stream_dedup_wm", "append")
@@ -136,8 +145,13 @@ object StreamToolOps {
     * (Spark timestamps are µs; DuckDB keeps ns).
     */
   def streamSession(s: SparkSession, d: String): DataFrame = {
+    // session merge drops below-watermark input EVEN in complete mode
+    // (unlike plain aggregations), so the replay needs the full
+    // disorder-bound watermark — a 0-second watermark halved the sf1
+    // session count when triggers arrived out of event-time order
     drain(s, ss =>
-      EventStream.readEvents(ss, d).withWatermark("ts", "0 seconds")
+      EventStream.readEvents(ss, d)
+        .withWatermark("ts", EventStream.replayWatermark(ss, d))
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events")),
       "stream_session", "complete")

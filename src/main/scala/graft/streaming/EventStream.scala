@@ -94,6 +94,32 @@ object EventStream {
     }
   }
 
+  /** Watermark delay for REPLAYING a bounded historical table through a
+    * stateful stream: a watermark promises "input is at most D late",
+    * and a multi-file replay breaks any small D — the file source
+    * delivers files in listing order, not event-time order, so with
+    * shard-replicated part files every trigger spans the whole time
+    * range and a 10-minute watermark silently drops most cross-trigger
+    * state (measured at sf1: the interval join emitted 2.4× instead of
+    * 10×, sessionization 5.1×). The honest disorder bound for a replay
+    * is the table's full time span, so that is what this returns (plus
+    * the query's own natural lateness margin); state is then bounded by
+    * the replay size — which a drain holds anyway. A LIVE deployment
+    * keeps a small watermark because its disorder bound is genuinely
+    * small; the bound is a property of the ARRIVAL ORDER, not of the
+    * query. Memoized per dir (pure file metadata).
+    */
+  private val spanMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def replayWatermark(spark: SparkSession, dir: String, marginSec: Long = 600L): String = {
+    val span = spanMemo.computeIfAbsent(dir, _ => {
+      val r = Tables.events(spark, dir)
+        .agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
+      if (r.isNullAt(0)) 0L
+      else (r.getLong(1) - r.getLong(0)) / 1000000000L + 1L
+    })
+    s"${span + marginSec} seconds"
+  }
+
   /** Custom keyed state: a running per-user profile (event count,
     * value total, last event id) maintained with mapGroupsWithState —
     * the arbitrary-state path for logic windowed aggregation can't

@@ -22,6 +22,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("multi-file out-of-order replay drains to the exact batch answer") {
+    // the shard-replica shape that silently broke the sf1 stream
+    // numbers in round 9: a DIRECTORY events table whose part files all
+    // span the same time range, so triggers arrive out of event-time
+    // order and any small watermark drops cross-trigger state (the
+    // interval join emitted 2.4× instead of 10×, sessions 5.1×). The
+    // replay-bounded watermark (EventStream.replayWatermark) must make
+    // the drained answers EXACTLY equal their batch twins.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01 UTC, µs
+    // 4 shards × 50 events: same timestamps in every shard (maximal
+    // overlap), disjoint user ids, events 20 s apart (inside the 60 s
+    // join window and the 30 min session gap)
+    val rows = for (shard <- 0 until 4; i <- 0 until 50) yield (
+      shard * 1000L + i, // event_id
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        base / 1000000L + i * 20L)),
+      shard * 100L + (i % 3), // 3 users per shard
+      s"t${i % 2}", i.toDouble, "{}")
+    val d = java.nio.file.Files.createTempDirectory("replay").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4) // round-robin: every file spans the full range
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val nFiles = new java.io.File(s"$d/events.parquet").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 4, s"need a multi-file layout, got $nFiles")
+
+    // interval join: drained stream vs batch on the same frame
+    val got = graft.operators.StreamToolOps.streamJoin(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val e = graft.Tables.events(spark, d)
+    val l = e.select(col("event_id").as("l_id"), col("user_id").as("u"),
+      col("ts_ns").as("l_ns"))
+    val r = e.select(col("event_id").as("r_id"), col("user_id").as("u"),
+      col("ts_ns").as("r_ns"))
+    val want = l.join(r, "u")
+      .filter(col("r_ns") >= col("l_ns") - expr("60000000000") &&
+        col("r_ns") < col("l_ns"))
+      .select("l_id", "r_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(want.nonEmpty, "fixture must produce cross-file joins")
+    assert(got == want, s"stream ${got.length} pairs vs batch ${want.length}")
+
+    // watermarked dedup: must equal DISTINCT despite late duplicates
+    val dd = graft.operators.StreamToolOps.streamDedupWm(spark, d).count()
+    val ddWant = e.select("user_id", "event_type").distinct().count()
+    assert(dd == ddWant, s"dedup_wm $dd vs distinct $ddWant")
+  }
+
   test("poll loop drains backlog without sleeping, then reproduces ldap01") {
     val spark = TestSpark.spark
     val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
