@@ -281,7 +281,7 @@ object Curation {
         expr("(1000000 * CAST(n_stop AS BIGINT)) DIV n_toks"))
       .withColumn("len_micro",
         expr("(1000000 * (n_chars - (n_toks - 1))) DIV n_toks"))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("text"), col("n_toks"),
         (lit(10L) * col("stop_micro")
           - abs(col("len_micro") - lit(4500000L))).as("score_micro"))
 
@@ -565,7 +565,61 @@ object Curation {
         max(col("pos")).as("last_pos"))
   }
 
+  /** Curriculum schedule: documents ordered best-quality-first and cut
+    * into 4 phases of (near-)equal TOKEN mass — the manifest a staged
+    * training run consumes (phase 0 = cleanest quarter of the token
+    * budget, phase 3 = the tail). A doc's phase is determined by the
+    * cumulative token mass STRICTLY BEFORE it in the quality order, so
+    * the assignment is exact integer arithmetic with no float
+    * boundaries: phase = (mass_before · 4) div mass_total.
+    *
+    * The running mass is computed the scale-correct way (same
+    * discipline as `shuffleOrder`): a single global-order window would
+    * funnel the corpus through one partition, so instead the projected
+    * (doc_id, score, n_tokens) frame — three fixed-width columns, not
+    * the text — is range-partitioned on the quality order, running
+    * sums are taken per partition, and per-partition mass offsets (one
+    * row per partition, bounded by cluster width) are broadcast back.
+    * The eager checkpoint pins partition ids across the two consumers
+    * (AQE re-planning between actions could otherwise renumber them).
+    * Output is 4 rows: docs, token mass, and the score range per phase.
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val phases = 4
+    val sorted = scoredDocs(s, d)
+      .select(col("doc_id"), col("score_micro"),
+        col("n_toks").cast("long").as("n_tokens"))
+      .repartitionByRange(fanout(s), col("score_micro").desc, col("doc_id"))
+      .sortWithinPartitions(col("score_micro").desc, col("doc_id"))
+      .withColumn("spid", spark_partition_id())
+      .localCheckpoint(true)
+    // intra-partition running mass: the window regroups by spid — a
+    // ≤fanout-ary exchange of the narrow projection, each group sorted
+    // independently (parallel across partitions, never a global funnel)
+    val w = Window.partitionBy("spid")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val cum = sorted.withColumn("cum_in",
+      sum(col("n_tokens")).over(w) - col("n_tokens"))
+    val offW = Window.orderBy("spid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("spid"))
+      .agg(sum(col("n_tokens")).as("m"))
+      .withColumn("off", coalesce(sum(col("m")).over(offW), lit(0L)))
+      .select(col("spid"), col("off"))
+    val total = sorted.agg(sum(col("n_tokens")).as("mass_total"))
+    cum.join(broadcast(offsets), "spid")
+      .crossJoin(broadcast(total))
+      .withColumn("phase",
+        expr(s"((cum_in + off) * $phases) DIV mass_total"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("score_micro")).as("min_score"),
+        max(col("score_micro")).as("max_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cur_curriculum" -> (curriculum _),
     "q_cur_epoch_shards" -> (epochShards _),
     "q_cur_upsample" -> (upsample _),
     "q_cur_shuffle" -> (shuffleOrder _),
@@ -590,6 +644,32 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // same quality score as q_cur_classifier; the phase cut uses the
+    // EXCLUSIVE running token mass so both engines land identical
+    // integer boundaries
+    "q_cur_curriculum" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars, str_split(text, ' ') AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |    10 * ((1000000 * len(list_filter(t,
+        |           x -> x IN ('the', 'a', 'of', 'and', 'is')))) // len(t))
+        |      - abs((1000000 * (n_chars - (len(t) - 1))) // len(t)
+        |             - 4500000) AS score_micro
+        |  FROM f),
+        |c AS (
+        |  SELECT *,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY score_micro DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_in,
+        |    sum(n_tokens) OVER () AS mass_total
+        |  FROM sc)
+        |SELECT ((cum_in * 4) // mass_total)::BIGINT AS phase,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens,
+        |  min(score_micro)::BIGINT AS min_score,
+        |  max(score_micro)::BIGINT AS max_score
+        |FROM c GROUP BY 1""".stripMargin,
     "q_cur_epoch_shards" ->
       """WITH o AS (SELECT doc_id,
         |  (row_number() OVER (ORDER BY

@@ -339,6 +339,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Tokenizer-vocabulary coverage: derive the top-V corpus vocabulary
+    * by occurrence count and report each source's out-of-vocabulary
+    * rate — the signal a pipeline reads before committing a tokenizer
+    * (a source with high OOV under the candidate vocab will fragment
+    * into long byte-fallback sequences and inflate its token bill).
+    *
+    * Scale shape: the token explode is scanned ONCE into a lazy
+    * checkpoint read by both consumers. The vocabulary reduction is a
+    * map-side-combinable count keyed on token (vocabulary-bounded, not
+    * corpus-bounded) and the top-V cut is `orderBy(...).limit(V)` —
+    * Spark's TakeOrdered, a per-partition top-V then a single
+    * V·partitions merge, never a global sort of the vocabulary. The
+    * V-row vocab then broadcasts back onto the occurrence stream, so
+    * the corpus side is one scan + one final per-source aggregation.
+    * The OOV rate is an integer micro-unit division (engine-exact).
+    * Ties at the V boundary are broken by the token string, so the
+    * vocabulary is a deterministic set on both engines.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val vocabSize = 1000
+    val occ = documents(s, d)
+      .repartition(fanout(s), col("doc_id"))
+      .select(col("source"), explode(toks(col("text"))).as("tk"))
+      .localCheckpoint(false)
+    val vocab = occ.groupBy("tk").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(vocabSize)
+      .select(col("tk"), lit(1L).as("in_v"))
+    occ.join(broadcast(vocab), Seq("tk"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro", expr("(1000000 * n_oov) DIV n_occ"))
+  }
+
   /** Composite corpus pipeline: quality filter → exact dedup
     * (first-doc survivor) → per-language counts — the end-to-end shape
     * of a training-data preparation job, as one declarative plan.
@@ -369,6 +403,7 @@ object TextAnalysis {
     "q_text_bigram_lm" -> (bigramLm _),
     "q_text_bpe_step" -> (bpeStep _),
     "q_text_diversity" -> (diversity _),
+    "q_text_vocab_oov" -> (vocabCoverage _),
     "q_pipeline_corpus" -> (corpusPipeline _),
   )
 
@@ -376,6 +411,18 @@ object TextAnalysis {
     s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracles: Map[String, String] = Map(
+    "q_text_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS tk FROM documents),
+        |v AS (SELECT tk, 1 AS in_v FROM (
+        |  SELECT tk, count(*) AS c FROM tok GROUP BY 1
+        |  ORDER BY c DESC, tk LIMIT 1000))
+        |SELECT source, count(*)::BIGINT AS n_occ,
+        |  sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  ((1000000 * sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END))
+        |    // count(*))::BIGINT AS oov_micro
+        |FROM tok LEFT JOIN v USING (tk)
+        |GROUP BY source""".stripMargin,
     "q_pipeline_corpus" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
