@@ -317,4 +317,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
   }
+
+  test("curriculum windows per partition id, never a global funnel") {
+    // the running token mass must come from per-spid windows (a
+    // bounded-arity regroup) plus the broadcast offset/total frames —
+    // a WindowExec with an empty partition spec over the corpus, or a
+    // sort-merge join attaching the offsets, would be the
+    // single-partition cut the operator exists to avoid
+    val p = plan("q_cur_curriculum")
+    assert(p.contains("hashpartitioning(spid#"),
+      s"running mass must regroup by spid:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
+    // exactly one 1-row nested-loop broadcast: the total-mass crossJoin
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+  }
+
+  test("vocab OOV takes top-V without a global sort and probes by broadcast") {
+    val p = plan("q_text_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must be a per-partition take, not a full vocabulary sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
+  }
 }
