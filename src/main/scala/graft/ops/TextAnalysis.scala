@@ -339,6 +339,97 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Multi-round BPE tokenizer training — the iterative companion to
+    * the single candidate-scan `bpeStep`. Returns the learned merge
+    * table (step, left, right, freq), the artifact a tokenizer build
+    * actually ships.
+    *
+    * Scale shape: the corpus is scanned ONCE into the distinct-word
+    * count table — the classic BPE reduction, after which every round
+    * works on VOCABULARY-bounded state, never the corpus. Each round
+    * is (a) one explode+sum pair count over that table (map-side
+    * combinable), (b) a 1-row TakeOrdered argmax pulled to the driver
+    * (the same bounded-collect class as the k-means centroid pull —
+    * one row per round, gated by the round count), and (c) a row-local
+    * greedy left-to-right merge fold applied to every symbol sequence
+    * (codegen `aggregate`, no UDF). State is lazily checkpointed per
+    * round so the fold expressions don't nest across rounds and each
+    * round's shuffle reads the materialized previous state. At 100 TB
+    * the distinct-word table may hold billions of rows — everything
+    * here stays distributed except the single argmax row.
+    *
+    * Greedy semantics (pinned by BpeTrainSpec against an independent
+    * in-memory reference): merges apply left-to-right without overlap,
+    * so a run `l l l l` under merge (l,l) becomes `ll ll`, and ties on
+    * pair frequency break by (left, right) string order. Not
+    * SQL-expressible (iterative argmax); rows-only by contract, exact
+    * by spec.
+    */
+  def bpeTrain(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // NUL sentinel for "no pending symbol": corpus tokens come from a
+    // whitespace split, so no symbol can BE the empty marker
+    val none = "\u0000"
+    def mergeFold(syms: Column, a: String, b: String): Column = {
+      val merged = a + b
+      aggregate(
+        syms,
+        struct(array().cast(ArrayType(StringType)).as("out"),
+          lit(none).as("pend")),
+        (acc, x) => {
+          val hit = acc.getField("pend") === a && x === b
+          struct(
+            when(hit, array_append(acc.getField("out"), merged))
+              .when(acc.getField("pend") =!= none,
+                array_append(acc.getField("out"), acc.getField("pend")))
+              .otherwise(acc.getField("out")).as("out"),
+            when(hit, none).otherwise(x).as("pend"))
+        },
+        acc => when(acc.getField("pend") =!= none,
+          array_append(acc.getField("out"), acc.getField("pend")))
+          .otherwise(acc.getField("out")))
+    }
+    var cur = documents(s, d)
+      .repartition(fanout(s), col("doc_id"))
+      .select(explode(toks(col("text"))).as("w"))
+      // drop empty tokens (double spaces): length(w)=0 would trip the
+      // same sequence(1, 0) step trap as the pair transform below
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      // size guard BEFORE the pair transform: sequence(1, 0) auto-steps
+      // to [1, 0] and would fabricate a phantom pair for 1-char words
+      val top = cur.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, a, b, n))
+        cur = cur.select(mergeFold(col("syms"), a, b).as("syms"), col("cnt"))
+          .localCheckpoint(false)
+      }
+    }
+    import s.implicits._
+    // lhs/rhs, not left/right: the comparator re-selects columns by
+    // name and LEFT/RIGHT are reserved words in SQL engines
+    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+      .select(col("step").cast("long").as("step"), col("lhs"),
+        col("rhs"), col("freq"))
+  }
+
   /** Tokenizer-vocabulary coverage: derive the top-V corpus vocabulary
     * by occurrence count and report each source's out-of-vocabulary
     * rate — the signal a pipeline reads before committing a tokenizer
@@ -402,6 +493,7 @@ object TextAnalysis {
     "q_text_postings" -> (postings _),
     "q_text_bigram_lm" -> (bigramLm _),
     "q_text_bpe_step" -> (bpeStep _),
+    "q_text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "q_text_diversity" -> (diversity _),
     "q_text_vocab_oov" -> (vocabCoverage _),
     "q_pipeline_corpus" -> (corpusPipeline _),
@@ -410,7 +502,68 @@ object TextAnalysis {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** DuckDB oracle for the iterative BPE trainer, unrolled to `rounds`
+    * CTE stages. The greedy left-to-right non-overlapping merge has a
+    * closed form over the exploded (word, pos, sym) table: within each
+    * maximal run of CONSECUTIVE pair-match positions (stride-1 runs
+    * only arise when left == right), greedy picks the alternating
+    * positions starting at the run head — a gaps-and-islands window,
+    * no recursion needed. Each stage is pair-count → 1-row argmax
+    * (ties (freq desc, left, right)) → islands merge → renumber; an
+    * exhausted round leaves its `top` CTE empty, which empties every
+    * later stage via the cross join — the same early stop as the
+    * operator's driver loop. Generated programmatically because the
+    * eight stages are textually identical up to the index.
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val base =
+      """WITH words AS (
+        |  SELECT w, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS w FROM documents) x
+        |  WHERE length(w) >= 1 GROUP BY w),
+        |pos1 AS (
+        |  SELECT w AS word_id, cnt, unnest(range(1, length(w) + 1)) AS pos
+        |  FROM words),
+        |st1 AS (
+        |  SELECT word_id, cnt, pos, substr(word_id, pos::INT, 1) AS sym
+        |  FROM pos1)""".stripMargin
+    val stages = (1 to rounds).map { k =>
+      s"""adj$k AS (
+         |  SELECT word_id, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt
+         |  FROM st$k),
+         |top$k AS (
+         |  SELECT sym AS a, nxt AS b, sum(cnt)::BIGINT AS n
+         |  FROM adj$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |mrk$k AS (
+         |  SELECT j.word_id, j.cnt, j.pos, j.sym, t.a, t.b,
+         |    coalesce(j.sym = t.a AND j.nxt = t.b, FALSE) AS m
+         |  FROM adj$k j CROSS JOIN top$k t),
+         |run$k AS (
+         |  SELECT *, CASE WHEN m THEN pos - ROW_NUMBER()
+         |    OVER (PARTITION BY word_id, m ORDER BY pos) END AS grp
+         |  FROM mrk$k),
+         |ms$k AS (
+         |  SELECT *, m AND (pos - MIN(pos)
+         |    OVER (PARTITION BY word_id, grp)) % 2 = 0 AS ms
+         |  FROM run$k),
+         |st${k + 1} AS (
+         |  SELECT word_id, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY word_id ORDER BY pos) AS pos,
+         |    CASE WHEN ms THEN a || b ELSE sym END AS sym
+         |  FROM (SELECT *, coalesce(lag(ms)
+         |      OVER (PARTITION BY word_id ORDER BY pos), FALSE) AS consumed
+         |    FROM ms$k) WHERE NOT consumed)""".stripMargin
+    }
+    val union = (1 to rounds).map { k =>
+      s"""SELECT $k::BIGINT AS step, a AS lhs, b AS rhs, n AS freq FROM top$k"""
+    }.mkString("\nUNION ALL\n")
+    (base +: stages).mkString(",\n") + "\n" + union
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeTrainOracle(8),
     "q_text_vocab_oov" ->
       """WITH tok AS (
         |  SELECT source, unnest(str_split(text, ' ')) AS tk FROM documents),

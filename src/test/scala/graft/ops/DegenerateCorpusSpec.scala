@@ -58,6 +58,7 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       "postings" -> (() => TextAnalysis.postings(s, dir)),
       "diversity" -> (() => TextAnalysis.diversity(s, dir)),
       "bpeStep" -> (() => TextAnalysis.bpeStep(s, dir)),
+      "bpeTrain" -> (() => TextAnalysis.bpeTrain(s, dir, rounds = 3)),
       "cooccurrence" -> (() => TextAnalysis.cooccurrence(s, dir)),
       "bigramLm" -> (() => TextAnalysis.bigramLm(s, dir)),
       "lmScore" -> (() => TextAnalysis.lmScore(s, dir)),
