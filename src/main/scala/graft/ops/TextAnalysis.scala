@@ -366,36 +366,130 @@ object TextAnalysis {
     * by spec.
     */
   def bpeTrain(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    val merges = bpeFit(s, d, rounds)
+    import s.implicits._
+    // lhs/rhs, not left/right: the comparator re-selects columns by
+    // name and LEFT/RIGHT are reserved words in SQL engines
+    merges.toDF("step", "lhs", "rhs", "freq")
+      .select(col("step").cast("long").as("step"), col("lhs"),
+        col("rhs"), col("freq"))
+  }
+
+  /** Greedy left-to-right non-overlapping application of merge (a,b)
+    * to a symbol array, as a codegen `aggregate` fold (no UDF). The
+    * NUL sentinel marks "no pending symbol" - corpus tokens come from
+    * a whitespace split, so no symbol can BE the sentinel.
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    // NUL sentinel for "no pending symbol": corpus tokens come from a
-    // whitespace split, so no symbol can BE the empty marker
     val none = "\u0000"
-    def mergeFold(syms: Column, a: String, b: String): Column = {
-      val merged = a + b
-      aggregate(
-        syms,
-        struct(array().cast(ArrayType(StringType)).as("out"),
-          lit(none).as("pend")),
-        (acc, x) => {
-          val hit = acc.getField("pend") === a && x === b
-          struct(
-            when(hit, array_append(acc.getField("out"), merged))
-              .when(acc.getField("pend") =!= none,
-                array_append(acc.getField("out"), acc.getField("pend")))
-              .otherwise(acc.getField("out")).as("out"),
-            when(hit, none).otherwise(x).as("pend"))
-        },
-        acc => when(acc.getField("pend") =!= none,
-          array_append(acc.getField("out"), acc.getField("pend")))
-          .otherwise(acc.getField("out")))
+    val merged = a + b
+    aggregate(
+      syms,
+      struct(array().cast(ArrayType(StringType)).as("out"),
+        lit(none).as("pend")),
+      (acc, x) => {
+        val hit = acc.getField("pend") === a && x === b
+        struct(
+          when(hit, array_append(acc.getField("out"), merged))
+            .when(acc.getField("pend") =!= none,
+              array_append(acc.getField("out"), acc.getField("pend")))
+            .otherwise(acc.getField("out")).as("out"),
+          when(hit, none).otherwise(x).as("pend"))
+      },
+      acc => when(acc.getField("pend") =!= none,
+        array_append(acc.getField("out"), acc.getField("pend")))
+        .otherwise(acc.getField("out")))
+  }
+
+  /** Word-count budget under which the merge loop solves on the
+    * driver. The corpus reduces to the distinct-word count table
+    * before ANY training round, so the iteration state is
+    * vocabulary-bounded — and when that vocabulary fits the
+    * broadcast-build-side memory class (500k words × tens of bytes ≈
+    * tens of MB raw; budget driver heap for ~10× that in JVM object
+    * form), eight rounds of pair-count → argmax → re-merge are
+    * microseconds of array walking instead of ~16 scheduled jobs
+    * whose cost is pure job-launch constants. Same discipline as the
+    * graph local solves (Dedup.localEdgeBudget): if it is small
+    * enough to broadcast it is small enough to solve. Over budget,
+    * the unchanged distributed loop runs; both paths are pinned equal
+    * by BpeTrainSpec. Overridable via `graft.bpe.localWords`.
+    */
+  private def localWordBudget(s: SparkSession): Long =
+    s.conf.getOption("graft.bpe.localWords")
+      .flatMap(_.toLongOption).getOrElse(500000L)
+
+  /** Driver-side merge-loop twin of the distributed path: identical
+    * contract (all-adjacent pair counts weighted by word count, ties
+    * (freq desc, left, right), greedy left-to-right non-overlapping
+    * application, early stop when no pair remains).
+    */
+  private[ops] def localBpeMerges(words: Array[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var state: Array[(Array[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      state.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, n) =>
+          if (best == null || n > best._2 ||
+            (n == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, n)
+        }
+        val ((a, b), n) = best
+        merges += ((r, a, b, n))
+        state = state.map { case (syms, c) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        r += 1
+      }
     }
-    var cur = documents(s, d)
+    merges.result()
+  }
+
+  /** Shared BPE training core: reduces the corpus to the distinct-word
+    * count table (the one corpus scan), then learns `rounds` merges —
+    * on the driver when the vocabulary fits `localWordBudget`, else
+    * via the distributed pair-count/argmax/fold loop. See `bpeTrain`
+    * for the scale contract; `bpeEncode` reapplies the merge list
+    * row-locally.
+    */
+  private def bpeFit(s: SparkSession, d: String, rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    val wc = documents(s, d)
       .repartition(fanout(s), col("doc_id"))
       .select(explode(toks(col("text"))).as("w"))
       // drop empty tokens (double spaces): length(w)=0 would trip the
       // same sequence(1, 0) step trap as the pair transform below
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val nWords = wc.count()
+    if (nWords <= localWordBudget(s)) {
+      return localBpeMerges(
+        wc.collect().map(r => (r.getString(0), r.getLong(1))), rounds)
+    }
+    var cur = wc
       .select(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"), col("cnt"))
@@ -422,12 +516,46 @@ object TextAnalysis {
           .localCheckpoint(false)
       }
     }
-    import s.implicits._
-    // lhs/rhs, not left/right: the comparator re-selects columns by
-    // name and LEFT/RIGHT are reserved words in SQL engines
-    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
-      .select(col("step").cast("long").as("step"), col("lhs"),
-        col("rhs"), col("freq"))
+    merges.toSeq
+  }
+
+  /** Token bill under the trained tokenizer: train the 8-merge BPE,
+    * then re-encode the corpus and report, per source, the whitespace
+    * word count, character count, BPE token count, and the milli-
+    * precision chars-per-token compression — the number a pipeline
+    * reads to price a source's token budget before a run.
+    *
+    * Scale shape: the merge table is driver-known (≤8 rows from
+    * `bpeFit`), so encoding is a ROW-LOCAL composition of the eight
+    * greedy folds applied inside the one corpus scan — no join against
+    * a vocabulary table (which at 100 TB holds billions of rows and
+    * would shuffle the full exploded corpus), no broadcast, no extra
+    * shuffle beyond the final partial-aggregated groupBy(source).
+    * Integer milli units keep the ratio exact cross-engine; chars ×
+    * 1000 stays under 2^63 to ~9e15 corpus characters, and the same
+    * unit bound is why milli, not micro, precision.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeFit(s, d, 8)
+    val chars = expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    val encoded = merges.foldLeft(chars) { case (c, (_, a, b, _)) =>
+      mergeFold(c, a, b)
+    }
+    documents(s, d)
+      .repartition(fanout(s), col("doc_id"))
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("source"), length(col("w")).cast("long").as("n_chars"),
+        size(encoded).cast("long").as("n_bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_bpe").as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("n_chars * 1000L DIV n_bpe_tokens")
+          .as("chars_per_token_milli"))
   }
 
   /** Tokenizer-vocabulary coverage: derive the top-V corpus vocabulary
@@ -494,6 +622,7 @@ object TextAnalysis {
     "q_text_bigram_lm" -> (bigramLm _),
     "q_text_bpe_step" -> (bpeStep _),
     "q_text_bpe_train" -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "q_text_bpe_encode" -> (bpeEncode _),
     "q_text_diversity" -> (diversity _),
     "q_text_vocab_oov" -> (vocabCoverage _),
     "q_pipeline_corpus" -> (corpusPipeline _),
@@ -510,12 +639,13 @@ object TextAnalysis {
     * positions starting at the run head — a gaps-and-islands window,
     * no recursion needed. Each stage is pair-count → 1-row argmax
     * (ties (freq desc, left, right)) → islands merge → renumber; an
-    * exhausted round leaves its `top` CTE empty, which empties every
-    * later stage via the cross join — the same early stop as the
+    * exhausted round has an empty `top` CTE, and the LEFT JOIN carries
+    * the state through unchanged — the same early stop as the
     * operator's driver loop. Generated programmatically because the
-    * eight stages are textually identical up to the index.
+    * eight stages are textually identical up to the index; the shared
+    * prefix also feeds the `bpeEncodeOracle` re-tokenization.
     */
-  private def bpeTrainOracle(rounds: Int): String = {
+  private def bpeStages(rounds: Int): String = {
     val base =
       """WITH words AS (
         |  SELECT w, count(*)::BIGINT AS cnt FROM (
@@ -539,7 +669,7 @@ object TextAnalysis {
          |mrk$k AS (
          |  SELECT j.word_id, j.cnt, j.pos, j.sym, t.a, t.b,
          |    coalesce(j.sym = t.a AND j.nxt = t.b, FALSE) AS m
-         |  FROM adj$k j CROSS JOIN top$k t),
+         |  FROM adj$k j LEFT JOIN top$k t ON TRUE),
          |run$k AS (
          |  SELECT *, CASE WHEN m THEN pos - ROW_NUMBER()
          |    OVER (PARTITION BY word_id, m ORDER BY pos) END AS grp
@@ -556,14 +686,41 @@ object TextAnalysis {
          |      OVER (PARTITION BY word_id ORDER BY pos), FALSE) AS consumed
          |    FROM ms$k) WHERE NOT consumed)""".stripMargin
     }
+    (base +: stages).mkString(",\n")
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
     val union = (1 to rounds).map { k =>
       s"""SELECT $k::BIGINT AS step, a AS lhs, b AS rhs, n AS freq FROM top$k"""
     }.mkString("\nUNION ALL\n")
-    (base +: stages).mkString(",\n") + "\n" + union
+    bpeStages(rounds) + "\n" + union
   }
+
+  /** Re-tokenization oracle: the trained state st{rounds+1} holds each
+    * word's final symbol rows, so per-word token count is a count per
+    * word_id, probed from the re-exploded corpus. Sums cast to BIGINT
+    * (uncast DuckDB sums are HUGEINT and hash differently).
+    */
+  private def bpeEncodeOracle(rounds: Int): String =
+    bpeStages(rounds) +
+      s""",
+         |enc AS (
+         |  SELECT word_id, count(*)::BIGINT AS n_bpe
+         |  FROM st${rounds + 1} GROUP BY word_id),
+         |tok AS (
+         |  SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+         |SELECT t.source, count(*)::BIGINT AS n_words,
+         |  sum(length(t.w))::BIGINT AS n_chars,
+         |  sum(e.n_bpe)::BIGINT AS n_bpe_tokens,
+         |  (sum(length(t.w))::BIGINT * 1000
+         |    // sum(e.n_bpe)::BIGINT)::BIGINT AS chars_per_token_milli
+         |FROM tok t JOIN enc e ON t.w = e.word_id
+         |WHERE length(t.w) >= 1
+         |GROUP BY t.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeTrainOracle(8),
+    "q_text_bpe_encode" -> bpeEncodeOracle(8),
     "q_text_vocab_oov" ->
       """WITH tok AS (
         |  SELECT source, unnest(str_split(text, ' ')) AS tk FROM documents),

@@ -111,6 +111,44 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.exists { case (_, a, b, _) => a == "ll" && b == "ll" })
   }
 
+  test("forced distributed merge loop equals the local solve") {
+    val spark = TestSpark.spark
+    assume(new java.io.File(s"$d/documents.parquet").exists)
+    def table() = TextAnalysis.bpeTrain(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val local = table() // sf0.001 vocabulary is far under the budget
+    spark.conf.set("graft.bpe.localWords", "0")
+    try assert(table() == local)
+    finally spark.conf.unset("graft.bpe.localWords")
+  }
+
+  test("encode reports the reference token bill per source") {
+    val spark = TestSpark.spark
+    assume(new java.io.File(s"$d/documents.parquet").exists)
+    val docs = graft.Tables.documents(spark, d)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val merges = trainRef(wordCounts(docs.map(_._2)), 8)
+    def encode(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (_, a, b, _)) => mergeRef(syms, a, b)
+      }.length
+    val expect = docs
+      .flatMap { case (src, t) =>
+        Option(t).toSeq.flatMap(_.split(" ")).filter(_.nonEmpty)
+          .map(w => (src, w)) }
+      .groupMapReduce(_._1) { case (_, w) =>
+        (1L, w.length.toLong, encode(w).toLong) } {
+        case ((a1, b1, c1), (a2, b2, c2)) => (a1 + a2, b1 + b2, c1 + c2) }
+      .map { case (src, (nw, nc, nb)) => (src, nw, nc, nb, nc * 1000L / nb) }
+      .toSet
+    val got = TextAnalysis.bpeEncode(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+  }
+
   test("all-single-char corpus terminates with an empty merge table") {
     val spark = TestSpark.spark
     import spark.implicits._
