@@ -333,6 +333,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
   }
 
+  test("BPE encode joins nothing: merges fold row-locally in the scan") {
+    val p = plan("q_text_bpe_encode")
+    // the merge table is driver-known, so re-encoding must never join
+    // or broadcast a vocabulary — at 100 TB that join would shuffle
+    // the full exploded corpus
+    assert(!p.contains("Join"), s"encode grew a vocabulary join:\n$p")
+    // exactly the two deliberate exchanges: the pre-explode fan-out
+    // repartition and the partial-aggregated groupBy(source)
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+  }
+
   test("vocab OOV takes top-V without a global sort and probes by broadcast") {
     val p = plan("q_text_vocab_oov")
     assert(p.contains("TakeOrderedAndProject"),
