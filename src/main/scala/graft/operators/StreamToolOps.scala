@@ -245,6 +245,7 @@ object StreamToolOps {
     "q_s6_csv_source" -> (csvSource _),
     "q_s7_csv_cutoff" -> (csvCutoff _),
     "q_f13_anonymize" -> (anonymize _),
+    "q_src_jsonl" -> (graft.tools.JsonlTools.roundTrip _),
   )
 
 
@@ -258,6 +259,14 @@ object StreamToolOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the JSONL round trip must reproduce the parquet originals
+    // exactly — long/string aggregates only (floats are not bit-stable
+    // through a text format)
+    "q_src_jsonl" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, 0::BIGINT AS n_corrupt,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

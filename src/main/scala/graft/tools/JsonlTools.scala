@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL corpus interchange — the de-facto wire format for LLM
+  * training corpora (one JSON document per line). The reference's
+  * source surface is CSV/ODBC snapshots (SURVEY §2.1); JSONL is the
+  * corpus-side analog a pipeline needs on top: schema-enforced reads
+  * with malformed lines ROUTED, not thrown (the P3 validation
+  * discipline applied to a source).
+  *
+  * Scale notes: the schema is explicit — `inferSchema` on JSONL costs
+  * a full extra corpus pass at 100 TB and can drift a column's type
+  * between shards (a doc_id that is all-numeric in one file and
+  * quoted in another infers LONG vs STRING and the union fails).
+  * PERMISSIVE mode with a corrupt-record column keeps one bad line
+  * from killing a thousand-file read; the router splits good rows
+  * from quarantined raw lines in the same scan.
+  */
+object JsonlTools {
+
+  /** Corpus schema (matches the documents table) plus the corrupt
+    * capture column. Fields nullable: presence is a row-level quality
+    * gate (Curation), not a read-time crash.
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt_record", StringType)))
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Schema-enforced JSONL read; malformed lines land whole in
+    * `_corrupt_record` with every data column null.
+    */
+  def readJsonl(s: SparkSession, path: String): DataFrame =
+    s.read.schema(docSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Round-trip audit: dump the documents table to JSONL, read it
+    * back under the enforced schema, and report per-source exact
+    * counts/sums — any parse or type drift in the round trip breaks
+    * the oracle match against the parquet originals. Long-only
+    * aggregates: float columns through a text format are not
+    * bit-stable, longs and strings are.
+    */
+  def roundTrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_jsonl").toString
+    writeJsonl(graft.Tables.documents(s, d), tmp)
+    val back = readJsonl(s, tmp)
+    back
+      .withColumn("corrupt", col("_corrupt_record").isNotNull.cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("corrupt")).as("n_corrupt"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+}
