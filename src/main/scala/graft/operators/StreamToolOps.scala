@@ -60,6 +60,18 @@ object StreamToolOps {
         .dropDuplicates("user_id", "event_type"),
       "stream_dedup", "append")
 
+  /** Custom-state streaming dedup — the flatMapGroupsWithState twin of
+    * `streamDedup`: per-user seen-type state, one emission per novel
+    * pair (0..n outputs per group per batch — the shape the flatMap
+    * form exists for). Drained, the emission union equals batch
+    * DISTINCT on any replay file order.
+    */
+  def streamStateDedup(s: SparkSession, d: String): DataFrame =
+    drain(s, ss =>
+      EventStream.firstSeenPairs(EventStream.readEvents(ss, d))
+        .toDF("user_id", "event_type"),
+      "stream_state_dedup", "append")
+
   /** Stream-stream interval join: each event joined to the same user's
     * events in the preceding 60 s, with watermarks on both sides so
     * join state evicts as event time advances (bounded state — the only
@@ -236,6 +248,7 @@ object StreamToolOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_state_dedup" -> (streamStateDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
     "q_stream_static" -> (streamStatic _),
@@ -269,6 +282,8 @@ object StreamToolOps {
         |FROM documents GROUP BY source""".stripMargin,
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_state_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",

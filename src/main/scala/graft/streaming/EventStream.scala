@@ -151,6 +151,36 @@ object EventStream {
       }
   }
 
+  /** First-seen pair emission via flatMapGroupsWithState — the
+    * 0..n-outputs custom-state path (mapGroupsWithState must emit
+    * exactly one row per group per batch; a keyed first-seen dedup
+    * emits one row per NOVEL (user, event_type) pair in the batch,
+    * which needs the flatMap form). State per user is the set of seen
+    * types — bounded by the type vocabulary per user; a live
+    * deployment adds an event-time timeout to retire idle users. The
+    * union of emissions is arrival-order-INDEPENDENT (it converges to
+    * the DISTINCT pair set however the replay shuffles triggers),
+    * which is what makes the replay oracle exact on any file layout.
+    */
+  def firstSeenPairs(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[String], (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val seen = state.getOption.getOrElse(Array.empty[String])
+        val fresh = rows.map(_._2).toArray.distinct
+          .filterNot(seen.contains).sorted
+        if (fresh.nonEmpty) state.update(seen ++ fresh)
+        fresh.iterator.map(t => (uid, t))
+      }
+  }
+
   /** Watermarked tumbling 1-hour aggregation — the streaming twin of
     * operators.Windows.tumbling; late data beyond 10 min is dropped and
     * state is evicted (bounded state at scale).

@@ -70,6 +70,17 @@ class StreamingSpec extends AnyFunSuite {
     val dd = graft.operators.StreamToolOps.streamDedupWm(spark, d).count()
     val ddWant = e.select("user_id", "event_type").distinct().count()
     assert(dd == ddWant, s"dedup_wm $dd vs distinct $ddWant")
+
+    // flatMapGroupsWithState first-seen: the cross-trigger state must
+    // suppress re-emission of a pair already seen in an earlier batch
+    // (every pair recurs in every shard here), and the emission union
+    // must be EXACTLY the distinct set — no drops, no duplicates
+    val fs = graft.operators.StreamToolOps.streamStateDedup(spark, d)
+      .collect().map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    val fsWant = e.select("user_id", "event_type").distinct()
+      .collect().map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    assert(fs == fsWant,
+      s"state dedup emitted ${fs.length} vs distinct ${fsWant.length}")
   }
 
   test("poll loop drains backlog without sleeping, then reproduces ldap01") {
