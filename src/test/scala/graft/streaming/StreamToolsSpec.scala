@@ -83,6 +83,77 @@ class StreamingSpec extends AnyFunSuite {
       s"state dedup emitted ${fs.length} vs distinct ${fsWant.length}")
   }
 
+  test("chained stateful ops: dedup then windowed agg in one stream") {
+    // Spark 4 multi-stateful support: dropDuplicatesWithinWatermark
+    // followed by a windowed aggregation inside a SINGLE streaming
+    // query (append mode — the only mode chained stateful allows).
+    // The replay carries every event TWICE (duplicates adjacent in the
+    // same file, inside the dedup watermark); a far-future sentinel
+    // file arrives last so the final watermark advance closes every
+    // real window — without it an append-mode drain silently
+    // under-emits the tail windows and the equality below would be a
+    // coin flip on the fixture's last hour.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = 1704067200L // 2024-01-01 UTC, seconds
+    val d = java.nio.file.Files.createTempDirectory("chain").toString
+    val tableDir = new java.io.File(d, "events.parquet")
+    tableDir.mkdirs()
+    def writeFile(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+        modTime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("chain_part").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(tableDir, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+    }
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val now = System.currentTimeMillis()
+    for (h <- 0 until 4) {
+      val rows = (0 until 30).flatMap { i =>
+        val r = (h * 100L + i, ts(base + h * 3600L + i * 60L),
+          (i % 5).toLong, s"t${i % 3}", i.toDouble, "{}")
+        Seq(r, r) // exact duplicate, adjacent: inside the dedup bound
+      }
+      writeFile(s"part-h$h.parquet", rows, now + h * 1000L)
+    }
+    writeFile("part-sentinel.parquet",
+      Seq((99999L, ts(base + 365L * 86400L), 0L, "flush", 0.0, "{}")),
+      now + 10000L)
+
+    val streamed = {
+      val q = EventStream.readEvents(spark, d)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("chain_dedup_agg").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("chain_dedup_agg")
+        .filter(col("event_type") =!= "flush")
+        .orderBy("hour", "event_type").collect().toSeq
+    }
+    val batch = graft.Tables.events(spark, d)
+      .filter(col("event_type") =!= "flush")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"chained stateful drain ${streamed.length} rows vs batch ${batch.length}")
+    // and the dedup actually did something: raw rows are 2x the distinct
+    val raw = graft.Tables.events(spark, d)
+      .filter(col("event_type") =!= "flush").count()
+    assert(raw == 240L && batch.map(_.getLong(2)).sum == 120L)
+  }
+
   test("poll loop drains backlog without sleeping, then reproduces ldap01") {
     val spark = TestSpark.spark
     val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))
