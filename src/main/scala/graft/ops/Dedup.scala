@@ -596,7 +596,36 @@ object Dedup {
     labels
   }
 
+  /** Cross-modal duplicate consensus: the full outer join of the two
+    * INDEPENDENT candidate generators — banded-MinHash lexical pairs
+    * and hyperplane-bucketed embedding-cosine pairs (per-document
+    * embeddings share the doc_id key space). A pair flagged by BOTH
+    * modalities is a near-certain duplicate (the high-precision kill
+    * set); lexical-only is the template/boilerplate shape paraphrase
+    * embeddings miss, semantic-only is the paraphrase shape shingles
+    * miss — the union is the recall sweep a curation pass reviews.
+    *
+    * Scale shape: both inputs are bucket-capped candidate lists
+    * (corpus-SUBLINEAR — they grow with duplicate structure, not the
+    * corpus), and the consensus join is pair-keyed over those lists,
+    * so the whole operator lives downstream of the two capped
+    * generators; nothing here rescans documents or embeddings.
+    */
+  def crossModalConsensus(s: SparkSession, d: String): DataFrame = {
+    val lex = lshPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("lex"))
+    val sem = Similarity.embedDupPairs(s, d)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"),
+        col("sim").as("cos_sim"), lit(1L).as("sem"))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("lex"), lit(0L)).as("lex"),
+        coalesce(col("sem"), lit(0L)).as("sem"),
+        col("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_crossmodal" -> (crossModalConsensus _),
     "q_dedup_exact" -> (exact _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_containment" -> (containment _),
@@ -627,6 +656,21 @@ object Dedup {
        |        FROM documents) t),
        |bits AS (SELECT doc_id, $bitCols FROM wh GROUP BY doc_id)
        |SELECT doc_id, $sumExpr AS simhash FROM bits""".stripMargin
+  }
+
+  private lazy val lshPairsSql: String = {
+    val bands = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sig AS ($sigSql), bands0 AS ($bands),
+       |small AS (SELECT band, h FROM bands0 GROUP BY band, h
+       |          HAVING count(*) <= $maxBucket),
+       |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+       |  AND a.doc_id < b.doc_id""".stripMargin
   }
 
   private val sigSql: String = {
@@ -697,20 +741,18 @@ object Dedup {
         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 6)
         |    AS containment_b
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
-    "q_dedup_lsh_pairs" -> {
-      val bands = (0 until 4).map { b =>
-        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH sig AS ($sigSql), bands0 AS ($bands),
-         |small AS (SELECT band, h FROM bands0 GROUP BY band, h
-         |          HAVING count(*) <= $maxBucket),
-         |bands AS (SELECT bands0.* FROM bands0 JOIN small USING (band, h))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-         |  AND a.doc_id < b.doc_id""".stripMargin
-    },
+    "q_dedup_lsh_pairs" -> lshPairsSql,
+    // consensus = full outer of the two candidate oracles on the pair
+    // key; flags as BIGINT 0/1 (cross-engine-stable, unlike booleans)
+    "q_dedup_crossmodal" ->
+      s"""SELECT coalesce(l.doc_a, e.va) AS doc_a,
+         |  coalesce(l.doc_b, e.vb) AS doc_b,
+         |  (CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END)::BIGINT AS lex,
+         |  (CASE WHEN e.va IS NULL THEN 0 ELSE 1 END)::BIGINT AS sem,
+         |  e.sim AS cos_sim
+         |FROM ($lshPairsSql) l
+         |FULL JOIN (${Similarity.oracles("q_dedup_embed")}) e
+         |  ON l.doc_a = e.va AND l.doc_b = e.vb""".stripMargin,
     "q_dedup_groups" ->
       s"""$groupsCte
          |SELECT doc_id, dup_group FROM groups""".stripMargin,
