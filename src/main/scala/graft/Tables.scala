@@ -43,17 +43,29 @@ object Tables {
     case object MicrosNtz extends TsLayout
   }
 
+  /** Data part files of a parquet table directory, null-safe (an IO
+    * error makes listFiles() return null) — shared by the footer probe
+    * and the streaming trigger budget so the two can never disagree on
+    * what counts as a data file.
+    */
+  private[graft] def parquetParts(table: java.io.File): Array[java.io.File] =
+    Option(table.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
   private[graft] def probeTsLayout(s: SparkSession, d: String): TsLayout = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val table = new java.io.File(d, "events.parquet")
     // flat file (driver testdata) or Spark-written directory (GenScale
     // replicas) — one leaf footer describes the column for the table
     val leaf =
-      if (table.isDirectory)
-        table.listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-          .minBy(_.getName)
-      else table
+      if (table.isDirectory) {
+        val parts = parquetParts(table)
+        // fail readably: a directory holding only _SUCCESS (empty-table
+        // write, partial copy) would otherwise die on empty.minBy
+        require(parts.nonEmpty,
+          s"no parquet part files under ${table.getPath} — empty or partially-copied events table")
+        parts.minBy(_.getName)
+      } else table
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(leaf.getPath), s.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -420,15 +420,39 @@ object TextAnalysis {
     s.conf.getOption("graft.bpe.localWords")
       .flatMap(_.toLongOption).getOrElse(500000L)
 
+  /** Spark/DuckDB-consistent string primitives for the driver twin:
+    * symbols are CODE POINTS (Spark's substring splits by code point —
+    * a UTF-16 `map(_.toString)` would halve surrogate pairs into
+    * different symbols than the distributed path), and the tie-break
+    * order is unsigned UTF-8 BYTES (both engines compare binary UTF-8;
+    * Java String `<` is UTF-16 code-unit order, which ranks U+E000..
+    * U+FFFF and supplementary-plane characters oppositely).
+    */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  private[ops] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Driver-side merge-loop twin of the distributed path: identical
     * contract (all-adjacent pair counts weighted by word count, ties
-    * (freq desc, left, right), greedy left-to-right non-overlapping
-    * application, early stop when no pair remains).
+    * (freq desc, left, right) in UTF-8 byte order, greedy left-to-right
+    * non-overlapping application, early stop when no pair remains).
     */
   private[ops] def localBpeMerges(words: Array[(String, Long)], rounds: Int)
       : Seq[(Int, String, String, Long)] = {
     var state: Array[(Array[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      words.map { case (w, c) => (codePointSyms(w), c) }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -446,8 +470,9 @@ object TextAnalysis {
         var best: ((String, String), Long) = null
         counts.forEach { (k, n) =>
           if (best == null || n > best._2 ||
-            (n == best._2 && (k._1 < best._1._1 ||
-              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, n)
+            (n == best._2 && (utf8Less(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Less(k._2, best._1._2)))))
+            best = (k, n)
         }
         val ((a, b), n) = best
         merges += ((r, a, b, n))

@@ -74,9 +74,7 @@ object EventStream {
     // exercised), and at real scale the equivalent knob is
     // maxBytesPerTrigger against the cluster's per-batch capacity.
     val nFiles =
-      if (tablePath.isDirectory)
-        tablePath.listFiles()
-          .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      if (tablePath.isDirectory) Tables.parquetParts(tablePath).length
       else 1
     val filesPerTrigger = math.max(1, math.ceil(nFiles / 4.0).toInt)
     val reader = spark.readStream
@@ -111,7 +109,17 @@ object EventStream {
     */
   private val spanMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   def replayWatermark(spark: SparkSession, dir: String, marginSec: Long = 600L): String = {
-    val span = spanMemo.computeIfAbsent(dir, _ => {
+    // memo key carries a file-metadata fingerprint (part count, max
+    // modTime, total bytes), not just the path: the SPAN is data-
+    // derived, and a rewritten/extended table at the same path (fixture
+    // regeneration, a spec writing twice to one tmp dir) must re-probe
+    // or the watermark silently shrinks below the new disorder bound —
+    // the exact cross-trigger drop class this method exists to prevent
+    val table = new java.io.File(dir, "events.parquet")
+    val parts =
+      if (table.isDirectory) Tables.parquetParts(table) else Array(table)
+    val fp = s"$dir|${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
+    val span = spanMemo.computeIfAbsent(fp, _ => {
       val r = Tables.events(spark, dir)
         .agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
       if (r.isNullAt(0)) 0L

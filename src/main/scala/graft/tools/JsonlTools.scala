@@ -53,8 +53,15 @@ object JsonlTools {
     * bit-stable, longs and strings are.
     */
   def roundTrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_jsonl").toString
+    // deterministic per-dataset target, not a fresh createTempDirectory:
+    // this is a registered query, so Bench executes it 4x per round and
+    // would otherwise strand a corpus-sized JSONL copy per execution
+    // until the bench box's tmp fills; overwrite mode makes repeat runs
+    // reuse one footprint
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(16)).getPath
     writeJsonl(graft.Tables.documents(s, d), tmp)
     val back = readJsonl(s, tmp)
     back

@@ -27,13 +27,20 @@ class BpeTrainSpec extends AnyFunSuite {
     out.result()
   }
 
-  /** Reference trainer over a word→count table (chars as seed symbols,
-    * ALL adjacent pairs counted — overlaps included — weighted by word
-    * count, ties broken by (left, right) ascending).
+  /** Reference trainer over a word→count table (CODE POINTS as seed
+    * symbols — Spark's substring splits by code point, not UTF-16
+    * unit; ALL adjacent pairs counted — overlaps included — weighted
+    * by word count, ties broken by (left, right) ascending in UTF-8
+    * BYTE order, the ordering both Spark and DuckDB compare with).
     */
+  private def utf8Key(s: String): Seq[Int] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(_ & 0xff).toSeq
+
   private def trainRef(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
     var state: Map[Vector[String], Long] =
-      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      words.map { case (w, c) =>
+        (w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))), c) }
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var done = false
@@ -49,7 +56,10 @@ class BpeTrainSpec extends AnyFunSuite {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) =>
+          (-n, utf8Key(a), utf8Key(b)) }(
+          Ordering.Tuple3(Ordering.Long, Ordering.Implicits.seqOrdering,
+            Ordering.Implicits.seqOrdering))
         out += ((r.toLong, a, b, n))
         state = state.toSeq.map { case (syms, c) => (mergeRef(syms, a, b), c) }
           .groupMapReduce(_._1)(_._2)(_ + _)
@@ -147,6 +157,31 @@ class BpeTrainSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))).toSet
     assert(got == expect)
+  }
+
+  test("non-BMP ties: code-point symbols, UTF-8 byte-order tie-break") {
+    // U+FFFF is three UTF-8 bytes (EF BF BF); 😀 (U+1F600) is four
+    // (F0 9F 98 80) but a SMALLER UTF-16 lead unit (D83D), so the two
+    // orderings disagree exactly here: UTF-8 picks the U+FFFF pair,
+    // UTF-16 would pick the emoji pair. The emoji also pins code-point
+    // symbol splitting — a UTF-16 split would halve its surrogates.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_nonbmp").toString
+    val texts = Seq((1L, "￿￿ ￿￿ 😀😀 😀😀"))
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def table() = TextAnalysis.bpeTrain(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val local = table()
+    assert(local == trainRef(wordCounts(texts.map(_._2)), 8))
+    assert(local.head._2 == "￿" && local.head._3 == "￿",
+      s"tie must break toward the UTF-8-smaller pair, got ${local.head}")
+    // and the forced-distributed path agrees on the same corpus
+    spark.conf.set("graft.bpe.localWords", "0")
+    try assert(table() == local)
+    finally spark.conf.unset("graft.bpe.localWords")
   }
 
   test("all-single-char corpus terminates with an empty merge table") {
