@@ -59,6 +59,8 @@ class DegenerateCorpusSpec extends AnyFunSuite {
       "diversity" -> (() => TextAnalysis.diversity(s, dir)),
       "bpeStep" -> (() => TextAnalysis.bpeStep(s, dir)),
       "bpeTrain" -> (() => TextAnalysis.bpeTrain(s, dir, rounds = 3)),
+      "bpeEncode" -> (() => TextAnalysis.bpeEncode(s, dir)),
+      "jsonlRoundTrip" -> (() => graft.tools.JsonlTools.roundTrip(s, dir)),
       "cooccurrence" -> (() => TextAnalysis.cooccurrence(s, dir)),
       "bigramLm" -> (() => TextAnalysis.bigramLm(s, dir)),
       "lmScore" -> (() => TextAnalysis.lmScore(s, dir)),
