@@ -60,6 +60,33 @@ object StreamToolOps {
         .dropDuplicates("user_id", "event_type"),
       "stream_dedup", "append")
 
+  /** Streaming JSONL corpus ingest: the landing-zone shape — document
+    * shards arrive as JSONL files, are read schema-enforced
+    * (JsonlTools.readStreamJsonl), deduped in-stream by content hash
+    * WITHIN source (cross-source duplicate attribution would depend on
+    * arrival order; per-source keying keeps the drained counts
+    * layout-independent), and summarized per source. The dedup state
+    * is keyed by (source, hash) — at a live 100 TB landing zone the
+    * same query runs with dropDuplicatesWithinWatermark so state
+    * evicts with arrival time.
+    */
+  def streamJsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val path = graft.tools.JsonlTools.dumpDir(d)
+    graft.tools.JsonlTools.writeJsonl(graft.Tables.documents(s, d), path)
+    drain(s, ss =>
+      graft.tools.JsonlTools.readStreamJsonl(ss, path)
+        .filter(col("text").isNotNull)
+        .withColumn("h", md5(col("text")))
+        .dropDuplicates("source", "h"),
+      "stream_jsonl", "append")
+      .groupBy("source")
+      // lengths recomputed from the surviving text, not the stored
+      // n_chars column: identical texts have identical lengths by
+      // construction, so the sum is survivor-independent
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+  }
+
   /** Custom-state streaming dedup — the flatMapGroupsWithState twin of
     * `streamDedup`: per-user seen-type state, one emission per novel
     * pair (0..n outputs per group per batch — the shape the flatMap
@@ -249,6 +276,7 @@ object StreamToolOps {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_state_dedup" -> (streamStateDedup _),
+    "q_stream_jsonl" -> (streamJsonlIngest _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
     "q_stream_static" -> (streamStatic _),
@@ -285,6 +313,12 @@ object StreamToolOps {
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_state_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_jsonl" ->
+      """SELECT source, count(*)::BIGINT AS n_distinct,
+        |  sum(length(text))::BIGINT AS sum_chars
+        |FROM (SELECT DISTINCT source, text FROM documents
+        |      WHERE text IS NOT NULL) x
+        |GROUP BY source""".stripMargin,
     "q_stream_dedup_wm" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_hll" -> graft.ops.Sketches.oracles("q_sk_hll"),

@@ -45,6 +45,29 @@ object JsonlTools {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** Streaming JSONL reader — the continuous-ingest twin of
+    * `readJsonl`: same enforced schema and corrupt-record routing over
+    * `readStream` (a corpus landing zone where shards arrive over
+    * time). File-source semantics: each new file is a micro-batch
+    * input; schema enforcement is mandatory here (streaming readers
+    * cannot infer).
+    */
+  def readStreamJsonl(s: SparkSession, path: String): DataFrame =
+    s.readStream.schema(docSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Deterministic per-dataset JSONL dump target (overwritten per run,
+    * never accumulated — this feeds registered queries that Bench
+    * executes repeatedly).
+    */
+  def dumpDir(d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(16)).getPath
+
   /** Round-trip audit: dump the documents table to JSONL, read it
     * back under the enforced schema, and report per-source exact
     * counts/sums — any parse or type drift in the round trip breaks
@@ -58,10 +81,7 @@ object JsonlTools {
     // would otherwise strand a corpus-sized JSONL copy per execution
     // until the bench box's tmp fills; overwrite mode makes repeat runs
     // reuse one footprint
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_jsonl_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(16)).getPath
+    val tmp = dumpDir(d)
     writeJsonl(graft.Tables.documents(s, d), tmp)
     val back = readJsonl(s, tmp)
     back

@@ -56,6 +56,45 @@ class JsonlSourceSpec extends AnyFunSuite {
     assert(rows.count(r => !r.isNullAt(0) && r.getLong(0) == 7L) == 1)
   }
 
+  test("streaming ingest dedups across triggers on a multi-file landing zone") {
+    // the landing-zone shape: 4 JSONL shards, every document repeated
+    // in TWO different shards, so suppression must span trigger
+    // boundaries (in-batch dedup alone would double-count everything)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"text body $i ${"pad " * (i % 5)}".trim, "en",
+        if (i % 2 == 0) "web" else "books", 0L))
+    for (shard <- 0 until 4) {
+      val mine = docs.filter(_._1 % 4 == shard) ++
+        docs.filter(d => (d._1 + 1) % 4 == shard) // each doc in 2 shards
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl_shard").toString
+      mine.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val parquetDocsDir = new java.io.File(d, "shards")
+      parquetDocsDir.mkdirs()
+      java.nio.file.Files.copy(part.toPath,
+        parquetDocsDir.toPath.resolve(s"shard-$shard.json"))
+    }
+    val name = s"jsonl_ingest_${System.nanoTime()}"
+    val q = JsonlTools.readStreamJsonl(spark, s"$d/shards")
+      .filter(col("text").isNotNull)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("source", "h")
+      .writeStream.outputMode("append")
+      .option("maxFilesPerTrigger", "1") // force one shard per trigger
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).groupBy("source")
+      .agg(count(lit(1)).as("n")).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("books", 20L), ("web", 20L)),
+      s"cross-trigger duplicates not suppressed: $got")
+  }
+
   test("round trip reproduces the parquet originals exactly") {
     val spark = TestSpark.spark
     val d = "/root/testdata/sf0.001"
