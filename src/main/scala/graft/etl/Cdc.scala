@@ -127,9 +127,13 @@ object Cdc {
     val rowCounts = newRows0.groupBy(col("src_uid"))
       .agg(count(lit(1)).as("row_n"))
 
-    // delete-mark uids with no user row left (etl.py:684–688)
+    // delete-mark uids with no user row left (etl.py:684–688).
+    // Deliberately the UNhinted frame: a broadcast hint on the LEFT
+    // (stream) side of a left_anti is unsupported — Spark would log
+    // "Hint ... not supported" and ignore it. The hint belongs only to
+    // the semi-join above, where batchUids is the build side.
     val uidsWithRows = rowCounts.select(col("src_uid"))
-    val goneUids = batchUids
+    val goneUids = batchUids0
       .join(uidsWithRows, col("uid").cast("string") === col("src_uid"),
         "left_anti")
       .select(col("uid").cast("string")).as[String]
