@@ -376,28 +376,32 @@ object TextAnalysis {
   }
 
   /** Greedy left-to-right non-overlapping application of merge (a,b)
-    * to a symbol array, as a codegen `aggregate` fold (no UDF). The
-    * NUL sentinel marks "no pending symbol" - corpus tokens come from
-    * a whitespace split, so no symbol can BE the sentinel.
+    * to a symbol array, as a codegen `aggregate` fold (no UDF).
+    * Pending-symbol presence is an EXPLICIT boolean field, not a
+    * sentinel value: dirty web text can contain any code point
+    * (including NUL), so no string is safe to reserve — a sentinel
+    * would make the fold silently drop/mangle that symbol while the
+    * driver twin and the oracle handle it correctly.
     */
   private def mergeFold(syms: Column, a: String, b: String): Column = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val none = "\u0000"
     val merged = a + b
     aggregate(
       syms,
       struct(array().cast(ArrayType(StringType)).as("out"),
-        lit(none).as("pend")),
+        lit("").as("pend"), lit(false).as("has")),
       (acc, x) => {
-        val hit = acc.getField("pend") === a && x === b
+        val hit = acc.getField("has") && acc.getField("pend") === a &&
+          x === b
         struct(
           when(hit, array_append(acc.getField("out"), merged))
-            .when(acc.getField("pend") =!= none,
+            .when(acc.getField("has"),
               array_append(acc.getField("out"), acc.getField("pend")))
             .otherwise(acc.getField("out")).as("out"),
-          when(hit, none).otherwise(x).as("pend"))
+          when(hit, lit("")).otherwise(x).as("pend"),
+          (!hit).as("has"))
       },
-      acc => when(acc.getField("pend") =!= none,
+      acc => when(acc.getField("has"),
         array_append(acc.getField("out"), acc.getField("pend")))
         .otherwise(acc.getField("out")))
   }

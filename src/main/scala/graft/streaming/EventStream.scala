@@ -107,24 +107,36 @@ object EventStream {
     * small; the bound is a property of the ARRIVAL ORDER, not of the
     * query. Memoized per dir (pure file metadata).
     */
-  private val spanMemo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  // one entry PER DIR — (fingerprint, span), replaced on fingerprint
+  // mismatch — so table rewrites at one path never accumulate stale
+  // entries (unbounded growth in a long-lived session)
+  private val spanMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   def replayWatermark(spark: SparkSession, dir: String, marginSec: Long = 600L): String = {
-    // memo key carries a file-metadata fingerprint (part count, max
+    // memo entry carries a file-metadata fingerprint (part count, max
     // modTime, total bytes), not just the path: the SPAN is data-
     // derived, and a rewritten/extended table at the same path (fixture
     // regeneration, a spec writing twice to one tmp dir) must re-probe
     // or the watermark silently shrinks below the new disorder bound —
-    // the exact cross-trigger drop class this method exists to prevent
+    // the exact cross-trigger drop class this method exists to prevent.
+    // Byte total is part of the print because mtime granularity can be
+    // 1s on some filesystems; a same-second same-size rewrite of
+    // IDENTICAL span data is the only aliasing left, which is benign.
     val table = new java.io.File(dir, "events.parquet")
     val parts =
       if (table.isDirectory) Tables.parquetParts(table) else Array(table)
-    val fp = s"$dir|${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
-    val span = spanMemo.computeIfAbsent(fp, _ => {
-      val r = Tables.events(spark, dir)
-        .agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
-      if (r.isNullAt(0)) 0L
-      else (r.getLong(1) - r.getLong(0)) / 1000000000L + 1L
-    })
+    val fp = s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
+    val span = spanMemo.compute(dir, (_, prev) => {
+      if (prev != null && prev._1 == fp) prev
+      else {
+        val r = Tables.events(spark, dir)
+          .agg(min(col("ts_ns")).as("lo"), max(col("ts_ns")).as("hi")).head()
+        val s =
+          if (r.isNullAt(0)) 0L
+          else (r.getLong(1) - r.getLong(0)) / 1000000000L + 1L
+        (fp, s)
+      }
+    })._2
     s"${span + marginSec} seconds"
   }
 

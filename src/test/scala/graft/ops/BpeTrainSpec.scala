@@ -184,6 +184,32 @@ class BpeTrainSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.bpe.localWords")
   }
 
+  test("NUL-bearing tokens survive the distributed merge fold") {
+    // Dirty web text can contain literal U+0000. A sentinel-based fold
+    // (pend = NUL meaning "none") fabricates a merge at word start —
+    // the initial "no pending" state compares equal to a NUL left
+    // symbol — so the distributed path diverged from the driver solve
+    // and the oracle exactly on this input. The fold now tracks
+    // pending-presence as an explicit boolean.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_nul").toString
+    val nul = 0.toChar.toString
+    val texts = Seq((1L, s"$nul$nul $nul$nul ab x$nul"))
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def table() = TextAnalysis.bpeTrain(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val local = table()
+    assert(local == trainRef(wordCounts(texts.map(_._2)), 8))
+    assert(local.head == ((1L, nul, nul, 2L)),
+      s"first merge must be the NUL pair with count 2, got ${local.head}")
+    spark.conf.set("graft.bpe.localWords", "0")
+    try assert(table() == local)
+    finally spark.conf.unset("graft.bpe.localWords")
+  }
+
   test("all-single-char corpus terminates with an empty merge table") {
     val spark = TestSpark.spark
     import spark.implicits._
