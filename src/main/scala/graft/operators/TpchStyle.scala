@@ -253,7 +253,235 @@ object TpchStyle {
         col("total_rev").cast("double").as("total_rev"))
   }
 
+  /** Q2 shape — min-cost supplier: for each qualifying part, the
+    * region's supplier(s) achieving the MINIMUM price, i.e. the classic
+    * correlated scalar-min subquery, decorrelated into a per-part min
+    * aggregate joined back on (key, price). The fixture has no partsupp
+    * relation, so lineitem stands in as the part↔supplier offer table;
+    * the min is a DECIMAL equality (a float min would make "equal to
+    * the minimum" engine-dependent at the boundary). The offers join is
+    * computed once and feeds both the aggregate and the rejoin — at
+    * 100 TB AQE's exchange reuse materializes it a single time.
+    */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    val eur = supplier(s, d)
+      .join(broadcast(nation(s, d)
+          .join(region(s, d).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offers = lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        dec(col("l_extendedprice")).as("price"))
+      .join(part(s, d).filter(col("p_size") === 15).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+    val minCost = offers.groupBy(col("l_partkey").as("mp_key"))
+      .agg(min(col("price")).as("min_price"))
+    offers
+      .join(minCost, col("l_partkey") === col("mp_key")
+        && col("price") === col("min_price"))
+      .select(col("s_acctbal").cast("double").as("s_acctbal"), col("s_name"),
+        col("n_name"), col("l_partkey").as("p_partkey"), col("s_suppkey"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** Q9 shape — product-type profit by nation and year: five-way join
+    * with a LIKE-filtered part dim and a profit expression spanning two
+    * tables' columns (revenue minus retail cost — the fixture carries
+    * no ps_supplycost). Decimal-exact accumulation; the nation dim
+    * broadcasts, the part/supplier joins shuffle on their keys.
+    */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val redParts = part(s, d).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), dec(col("p_retailprice")).as("p_retail"))
+    lineitem(s, d)
+      .join(redParts, col("p_partkey") === col("l_partkey"))
+      .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          - col("p_retail") * dec(col("l_quantity")))
+        .cast("double").as("sum_profit"))
+  }
+
+  /** Q11 shape — important stock: per-part value restricted to one
+    * nation's suppliers, keeping parts whose value exceeds a global
+    * threshold — the classic HAVING-against-scalar-subquery. The
+    * threshold is 2× the mean (scale-free, unlike the spec's
+    * 0.0001/SF fraction) and compares in exact decimal
+    * (val·n > total·2 ⟺ val > 2·total/n) so no boundary row flips
+    * between engines. The per-part aggregate is computed once; the
+    * 1-row global sum broadcasts back over it (exchange reuse melds
+    * the two consumers of `v`).
+    */
+  def q11Important(s: SparkSession, d: String): DataFrame = {
+    val n13 = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_13")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = lineitem(s, d)
+      .join(n13, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("val_d"))
+    val tot = v.agg(sum(col("val_d")).as("total"),
+      count(lit(1)).as("n_parts"))
+    v.join(broadcast(tot))
+      .filter(col("val_d") * col("n_parts") > col("total") * lit(2))
+      .select(col("l_partkey"), col("val_d").cast("double").as("val"))
+  }
+
+  /** Q12 shape — late-shipment priority mix: lines shipped ≥30 days
+    * after their order date in one year, counted per linestatus split
+    * by order priority (the two-sided conditional aggregate). The
+    * late predicate references BOTH join sides so it stays a post-join
+    * residual; the year bound pushes to the lineitem scan.
+    */
+  def q12Late(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS")
+        && col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join
+    * with the filter INSIDE the join condition (pushing it below the
+    * outer join would drop zero-order customers), then a two-level
+    * aggregate — group per customer, then histogram the counts.
+    */
+  def q13Custdist(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"))
+      .join(orders(s, d)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q16 shape — supplier counts per part attribute triple, excluding
+    * a NOT IN supplier set (negative balances; anti-join-safe because
+    * neither side's key is nullable) — count(DISTINCT) over a
+    * three-column group with the exclusion applied BEFORE the part
+    * join so the anti join runs on the narrow (partkey, suppkey)
+    * projection.
+    */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val badSupp = supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part(s, d).filter(col("p_brand") =!= "Brand#12"
+          && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q19 shape — disjunctive brand/size/quantity revenue: three OR'd
+    * conjunct groups over columns of BOTH join sides, each carrying
+    * the same returnflag conjunct — the query that exercises common-
+    * factor extraction from a disjunction (the shared conjunct and the
+    * per-side prunable ranges should reach the scans; the cross-side
+    * residual stays on the join).
+    */
+  def q19Disjunct(s: SparkSession, d: String): DataFrame = {
+    val rf = col("l_returnflag").isin("N", "R")
+    lineitem(s, d).join(part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11) && rf) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20) && rf) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30) && rf))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Q20 shape — the nested-IN-with-aggregate-subquery decorrelation
+    * workout: suppliers (of one nation) IN the set of suppliers whose
+    * shipped quantity of LIKE-matched parts over a year exceeds a
+    * threshold, where the part restriction is itself an IN subquery.
+    * Set-based: innermost IN → left-semi on partkey, HAVING → post-agg
+    * filter, outer IN → left-semi on suppkey; each semi-reduction runs
+    * before the next join so the fact table is scanned exactly once.
+    */
+  def q20Excess(s: SparkSession, d: String): DataFrame = {
+    val redParts = part(s, d).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    val bigShippers = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("ship_qty"))
+      .filter(col("ship_qty") > 50)
+      .select(col("l_suppkey"))
+    supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_13")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+  }
+
+  /** Q21 shape — the multi-EXISTS anti/semi chain: one-nation suppliers
+    * whose returned line sits in a finished multi-supplier order where
+    * NO other supplier's line was returned. EXISTS with an inequality
+    * correlation becomes a left-semi join keyed on the order with the
+    * supplier inequality as residual; NOT EXISTS the matching
+    * left-anti. The supplier/nation reduction joins FIRST so the two
+    * self-join passes over lineitem run on the ~1/25 slice.
+    */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val n13supp = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_13")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(n13supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> (q2MinCost _),
+    "q_tpch_q9" -> (q9Profit _),
+    "q_tpch_q11" -> (q11Important _),
+    "q_tpch_q12" -> (q12Late _),
+    "q_tpch_q13" -> (q13Custdist _),
+    "q_tpch_q16" -> (q16SupplierCnt _),
+    "q_tpch_q19" -> (q19Disjunct _),
+    "q_tpch_q20" -> (q20Excess _),
+    "q_tpch_q21" -> (q21Waiting _),
     "q_tpch_q15" -> (q15TopSupplier _),
     "q_tpch_q17" -> (q17SmallQty _),
     "q_tpch_q4" -> (q4Priority _),
@@ -268,6 +496,111 @@ object TpchStyle {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """SELECT DISTINCT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name,
+        |  n_name, p_partkey, s_suppkey
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND r_name = 'EUROPE'
+        |  AND CAST(l_extendedprice AS DECIMAL(18,2)) = (
+        |    SELECT min(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_13'
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(val) AS total, count(*) AS n_parts FROM v)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS val
+        |FROM v, tot WHERE val * n_parts > total * 2""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) t
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11 AND l_returnflag IN ('N', 'R'))
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('N', 'R'))
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30 AND l_returnflag IN ('N', 'R'))"""
+        .stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_13'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)""".stripMargin,
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_13'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

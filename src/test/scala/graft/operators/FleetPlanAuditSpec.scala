@@ -30,6 +30,7 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     */
   private val bnljCensus: Map[String, Int] = Map(
     "q_tpch_q22" -> 1,          // 1-row mean-balance threshold, non-equi compare
+    "q_tpch_q11" -> 1,          // 1-row global value-total threshold frame
     "q_cur_curriculum" -> 1,    // 1-row corpus token-mass total
     "q_a13_histogram" -> 1,     // 1-row global min/max range frame
     "q_cur_boilerplate" -> 1,   // 1-row doc-count threshold frame

@@ -54,6 +54,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(anti).size == 1, anti)
   }
 
+  test("q20/q21 decorrelate to hash semi/anti chains, fact scanned once") {
+    // Q20: nested IN + aggregate-HAVING subquery → two left-semi
+    // reductions around one grouped scan; the date bounds must reach
+    // the lineitem scan and the fact table must be read exactly once.
+    val p20 = plan("q_tpch_q20")
+    assert("LeftSemi".r.findAllIn(p20).size == 2, p20)
+    assert(!p20.contains("CartesianProduct") &&
+      !p20.contains("BroadcastNestedLoopJoin"), p20)
+    assert("lineitem\\.parquet".r.findAllIn(p20).size == 1,
+      s"fact table must scan once:\n$p20")
+    assert(p20.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-date bound must push to the scan:\n$p20")
+    // Q21: EXISTS/NOT-EXISTS with inequality correlation → left-semi +
+    // left-anti keyed on the order with the supplier inequality as
+    // residual — hash-based, never a nested loop (the residual rides
+    // the equi-join), and the top-k is a TakeOrdered.
+    val p21 = plan("q_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+    assert(p21.contains("TakeOrderedAndProject"), p21)
+  }
+
   test("row-local curation/text ops compile to zero-shuffle plans") {
     // classifier, split, chunking, thumbnail: pure per-row arithmetic —
     // an Exchange appearing here means someone added an accidental
