@@ -71,21 +71,36 @@ object StreamToolOps {
     * evicts with arrival time.
     */
   def streamJsonlIngest(s: SparkSession, d: String): DataFrame = {
-    val path = graft.tools.JsonlTools.dumpDir(d)
+    val path = graft.tools.JsonlTools.dumpDir(d, "stream")
     graft.tools.JsonlTools.writeJsonl(graft.Tables.documents(s, d), path)
+    streamJsonlSummary(s, path, "stream_jsonl")
+  }
+
+  /** The gz twin of `streamJsonlIngest`: shards land as .json.gz and
+    * stream through the identical schema-enforced dedup — compressed
+    * landing zones are the common case, and the file-stream source
+    * dispatches the codec by extension exactly like the batch reader.
+    */
+  def streamJsonlIngestGz(s: SparkSession, d: String): DataFrame = {
+    val path = graft.tools.JsonlTools.dumpDir(d, "stream_gz")
+    graft.tools.JsonlTools.writeJsonlGz(graft.Tables.documents(s, d), path)
+    streamJsonlSummary(s, path, "stream_jsonl_gz")
+  }
+
+  private def streamJsonlSummary(s: SparkSession, path: String,
+      name: String): DataFrame =
     drain(s, ss =>
       graft.tools.JsonlTools.readStreamJsonl(ss, path)
         .filter(col("text").isNotNull)
         .withColumn("h", md5(col("text")))
         .dropDuplicates("source", "h"),
-      "stream_jsonl", "append")
+      name, "append")
       .groupBy("source")
       // lengths recomputed from the surviving text, not the stored
       // n_chars column: identical texts have identical lengths by
       // construction, so the sum is survivor-independent
       .agg(count(lit(1)).as("n_distinct"),
         sum(length(col("text")).cast("long")).as("sum_chars"))
-  }
 
   /** Custom-state streaming dedup — the flatMapGroupsWithState twin of
     * `streamDedup`: per-user seen-type state, one emission per novel
@@ -287,6 +302,8 @@ object StreamToolOps {
     "q_s7_csv_cutoff" -> (csvCutoff _),
     "q_f13_anonymize" -> (anonymize _),
     "q_src_jsonl" -> (graft.tools.JsonlTools.roundTrip _),
+    "q_src_jsonl_gz" -> (graft.tools.JsonlTools.roundTripGz _),
+    "q_stream_jsonl_gz" -> (streamJsonlIngestGz _),
   )
 
 
@@ -314,6 +331,19 @@ object StreamToolOps {
     "q_stream_state_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_jsonl" ->
+      """SELECT source, count(*)::BIGINT AS n_distinct,
+        |  sum(length(text))::BIGINT AS sum_chars
+        |FROM (SELECT DISTINCT source, text FROM documents
+        |      WHERE text IS NOT NULL) x
+        |GROUP BY source""".stripMargin,
+    // the gz shards must round-trip to the identical summaries — the
+    // codec is transparent to schema enforcement and dedup
+    "q_src_jsonl_gz" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, 0::BIGINT AS n_corrupt,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
+    "q_stream_jsonl_gz" ->
       """SELECT source, count(*)::BIGINT AS n_distinct,
         |  sum(length(text))::BIGINT AS sum_chars
         |FROM (SELECT DISTINCT source, text FROM documents

@@ -36,6 +36,19 @@ object JsonlTools {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Gzip-compressed JSONL shards (.json.gz) — how real corpora ship.
+    * Reading needs no codec flag: Spark's text/json sources decode by
+    * file extension, so `readJsonl`/`readStreamJsonl` work unchanged,
+    * with the SAME corrupt-record routing (decompression happens
+    * before line parsing). Scale note: gzip is NOT splittable — one
+    * shard = one read task — so shard size, set by the writer's
+    * partitioning, IS the read parallelism; keep shards in the
+    * 100 MB–1 GB class at scale (zstd/bzip2 splittable variants relax
+    * this where the cluster's native codecs allow).
+    */
+  def writeJsonlGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
   /** Schema-enforced JSONL read; malformed lines land whole in
     * `_corrupt_record` with every data column null.
     */
@@ -58,15 +71,21 @@ object JsonlTools {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Deterministic per-dataset JSONL dump target (overwritten per run,
-    * never accumulated — this feeds registered queries that Bench
-    * executes repeatedly).
+  /** Deterministic per-(process, dataset, purpose) JSONL dump target.
+    * Stable WITHIN a JVM so Bench's repeated executions overwrite one
+    * footprint instead of accumulating corpus-sized copies; namespaced
+    * by pid so two concurrent processes benching the same dataset on
+    * one host never clobber each other's dump mid-read; namespaced by
+    * `tag` so the registered queries that each dump-then-read
+    * (q_src_jsonl / q_stream_jsonl / the gz variants) never share a
+    * target either.
     */
-  def dumpDir(d: String): String =
+  def dumpDir(d: String, tag: String = "batch"): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_jsonl_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(16)).getPath
+      "graft_jsonl_" + ProcessHandle.current().pid() + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(16) + "_" + tag).getPath
 
   /** Round-trip audit: dump the documents table to JSONL, read it
     * back under the enforced schema, and report per-source exact
@@ -83,7 +102,21 @@ object JsonlTools {
     // reuse one footprint
     val tmp = dumpDir(d)
     writeJsonl(graft.Tables.documents(s, d), tmp)
-    val back = readJsonl(s, tmp)
+    roundTripAgg(readJsonl(s, tmp))
+  }
+
+  /** The gz twin of `roundTrip`: dump as .json.gz shards, read back
+    * through the extension-dispatched codec path, same exactness
+    * contract — proves compressed corpora flow through the identical
+    * schema/corrupt-routing machinery with no plaintext special case.
+    */
+  def roundTripGz(s: SparkSession, d: String): DataFrame = {
+    val tmp = dumpDir(d, "batch_gz")
+    writeJsonlGz(graft.Tables.documents(s, d), tmp)
+    roundTripAgg(readJsonl(s, tmp))
+  }
+
+  private def roundTripAgg(back: DataFrame): DataFrame =
     back
       .withColumn("corrupt", col("_corrupt_record").isNotNull.cast("long"))
       .groupBy("source")
@@ -92,5 +125,4 @@ object JsonlTools {
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
-  }
 }
