@@ -102,6 +102,68 @@ object StreamToolOps {
       .agg(count(lit(1)).as("n_distinct"),
         sum(length(col("text")).cast("long")).as("sum_chars"))
 
+  /** Append-mode streaming sessionization — the LIVE-deployment shape.
+    * Complete mode re-emits the whole session table every trigger, so
+    * sink write volume grows with accumulated history (the measured
+    * 6.1× sf1 slope on `streamSession`); append emits each session
+    * exactly ONCE, when the watermark passes its end, making per-
+    * trigger output proportional to sessions that CLOSED — the only
+    * shape that survives an unbounded stream.
+    *
+    * The price of append is FINITE lateness, which is only honest when
+    * arrival order tracks event time. A raw multi-file replay breaks
+    * that (listing order ≠ event-time order — why `streamSession`
+    * needs the full-span replay watermark), so this replay stages the
+    * events into range-partitioned time slices whose listing order IS
+    * event-time order: exactly what a real time-partitioned landing
+    * zone delivers. One slice per trigger; the 10-minute lateness then
+    * never drops input (slice k+1's min ts ≥ slice k's max by
+    * construction). Sessions whose end is still inside the lateness
+    * horizon at drain end are not yet final — not emitted — and the
+    * oracle applies the same horizon to the batch islands.
+    */
+  def streamSessionAppend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType,
+      TimestampType}
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_evslices_" + ProcessHandle.current().pid() + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(12)).getPath
+    graft.Tables.events(s, d).select(col("user_id"), col("ts"))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(path)
+    // the file-stream source orders arrival by MODIFICATION TIME, and
+    // one write job stamps every part file with the same second — a
+    // tie the lister breaks arbitrarily, which scrambled the replay
+    // into event-time disorder (early sessions dropped below the
+    // watermark). Stamp strictly ascending mtimes in part order
+    // (part index = range-partition index = time order) so arrival
+    // order is deterministically event-time order.
+    locally {
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 2000L)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    drain(s, ss =>
+      ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events")),
+      "stream_session_append", "append")
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+  }
+
   /** Custom-state streaming dedup — the flatMapGroupsWithState twin of
     * `streamDedup`: per-user seen-type state, one emission per novel
     * pair (0..n outputs per group per batch — the shape the flatMap
@@ -294,6 +356,7 @@ object StreamToolOps {
     "q_stream_jsonl" -> (streamJsonlIngest _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
+    "q_stream_session_append" -> (streamSessionAppend _),
     "q_stream_static" -> (streamStatic _),
     "q_stream_hll" -> (streamHll _),
     "q_stream_dedup_wm" -> (streamDedupWm _),
@@ -376,6 +439,28 @@ object StreamToolOps {
         |SELECT user_id, min(tus) AS start_us,
         |  max(tus) + 1800000000 AS end_us, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // append-mode emission horizon: watermark at drain end is
+    // max(event time) - 10 min, and a session is final (emitted) iff
+    // its end has fallen at-or-below it — the same horizon applied to
+    // the batch islands
+    "q_stream_session_append" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |m AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, start_us, end_us, n_events FROM (
+        |  SELECT user_id, min(tus) AS start_us,
+        |    max(tus) + 1800000000 AS end_us, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid) sess
+        |WHERE end_us <= (SELECT max(tus) FROM e) - 600000000""".stripMargin,
     // the watermark only bounds state, never drops rows here: the
     // fixture is one file = one in-order batch, so the drained stream
     // join equals the batch interval join exactly. The oracle compares
