@@ -138,6 +138,28 @@ object GraphOps {
   /** The triangle-closing subplan over a MATERIALIZED edge list `e`
     * (sa < sb) with a known count — unexecuted, so the plan spec can
     * pin the broadcast-vs-shuffle decision without a 4M-edge fixture.
+    *
+    * ADJACENCY-INTERSECTION close (round 11): the previous shape
+    * enumerated wedges (src's out-neighbor pairs) and joined them back
+    * against the edge list — on a DENSE affinity graph that
+    * materializes Σ od²/2 wedge rows (7.5M per sf0.1 shard, 75M at
+    * sf1) through a shuffle and a hash probe; wedge work, not data,
+    * dominated the forced-distributed slope (4.8×, 10.9 s at sf1).
+    * Instead: build each oriented vertex's SORTED out-neighbor array
+    * (one groupBy over m edge rows — total payload m entries no matter
+    * how skewed), join the two arrays onto every oriented edge, and
+    * count |N+(u) ∩ N+(v)| ROW-LOCALLY (each triangle has exactly one
+    * apex under the total order, and it closes at exactly one oriented
+    * edge: u→v with both u→w and v→w). Join output stays at m rows —
+    * no fan-out stage exists at all, so there is nothing for a hub to
+    * blow up; per-row weight is bounded by the orientation's od ≤
+    * √(2m). Edges whose dst has no out-edges contribute 0 and drop out
+    * of the inner join.
+    *
+    * Broadcast-vs-shuffle: the adjacency table's payload is exactly m
+    * entries, so the same edge-count budget that governed the old
+    * self-join governs broadcasting it; over budget both joins shuffle
+    * on their vertex keys (m rows each — never wedge volume).
     */
   private[operators] def triangleCount(s: SparkSession, e: DataFrame,
       nEdges: Long, wedgeFan: Int): DataFrame = {
@@ -150,27 +172,21 @@ object GraphOps {
     val dE = e.join(da, "sa").join(db, "sb")
       .select(when(lowFirst, col("sa")).otherwise(col("sb")).as("src"),
         when(lowFirst, col("sb")).otherwise(col("sa")).as("dst"))
-    // The wedge fan-out multiplies the edge list by out-degree — the
-    // parallelism that matters is DOWNSTREAM of this join, which a
-    // size estimator cannot see from the tiny pre-join row counts (it
-    // would coalesce the probe side to one partition and run the
-    // enumeration on one core). Pin an explicit partition count on
-    // the probe side and — WHEN THE KNOWN EDGE COUNT FITS THE
-    // BROADCAST BUDGET — broadcast the build sides, keeping wedge
-    // generation and the closing probe narrow and fully parallel. An
-    // over-budget edge list instead shuffles both joins on their
-    // equi keys (src; (v,w)): two extra exchanges, no driver copy —
-    // the only shape that survives a dense graph.
+    // explicit width on the adjacency build: the tiny pre-join row
+    // counts would otherwise coalesce the intersection stage — where
+    // ALL the CPU lives — onto too few cores
+    val adj = dE.repartition(wedgeFan, col("src")).groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
     val fits = nEdges <= broadcastEdgeBudget(s)
     def side(df: DataFrame): DataFrame =
       if (fits) broadcast(df) else df
-    val wedges = dE.repartition(wedgeFan, col("src"))
-      .select(col("src"), col("dst").as("v"))
-      .join(side(dE.select(col("src"), col("dst").as("w"))), "src")
-      .filter(col("v") < col("w"))
-    val closed = wedges.join(side(e),
-      col("sa") === col("v") && col("sb") === col("w"))
-    closed.agg(count(lit(1)).as("n_triangles"))
+    val closed = dE
+      .join(side(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+      .join(side(adj.select(col("src").as("dk"), col("nbrs").as("nv"))),
+        col("dst") === col("dk"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("tc"))
+    closed.agg(coalesce(sum(col("tc")), lit(0L)).cast("long")
+        .as("n_triangles"))
       .join(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_triangles"), col("n_edges"))
   }
