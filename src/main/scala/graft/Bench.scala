@@ -129,12 +129,21 @@ object Bench {
     * of a recurring cross-execution artifact (storage churn, GC debt),
     * not scheduler noise (which shows median ≈ min with one outlying
     * max). Same rule as BenchContractSpec's spread gate: median more
-    * than doubles the min AND the gap is material (> 1 s).
+    * than doubles the min AND the gap is material (> 1 s). The graph
+    * cluster (q_g*) gets a TIGHTER 1.5× ratio: it is the most
+    * churn-exposed corner of the suite (r9 triangles median 9.67 over
+    * a 3.10 min; r10 pagerank 1.85× slipped under the 2× gate while
+    * still being context-poisoned), so a smaller residual there is
+    * already signal.
     */
   def volatileNames(results: Seq[(String, Double, Boolean, Double, Double)]): Seq[String] =
     results.collect {
-      case (k, med, _, lo, _) if med > lo * 2 && med - lo > 1.0 => k
+      case (k, med, _, lo, _)
+        if med > lo * volatileRatio(k) && med - lo > 1.0 => k
     }
+
+  def volatileRatio(name: String): Double =
+    if (name.startsWith("q_g")) 1.5 else 2.0
 
   private def volatileArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     volatileNames(results).map("\"" + _ + "\"").mkString("[", ",", "]")
