@@ -169,7 +169,7 @@ object StreamToolOps {
         .withWatermark("ts", "10 minutes")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events")),
-      "stream_session_append", "append", partitions = 4)
+      "stream_session_append", "append", partitions = 8)
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
