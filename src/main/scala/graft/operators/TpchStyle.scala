@@ -290,6 +290,21 @@ object TpchStyle {
       .limit(100)
   }
 
+  /** Q6 shape — forecast revenue change: the pure scan-and-aggregate
+    * query (no join at all) whose entire cost is how much of the scan
+    * the predicates prune — every range bound must reach PushedFilters
+    * and the projection must read exactly four columns. Completes the
+    * 22/22 TPC-H shape set (Q1 ≙ q1_pricing).
+    */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double"), 6).as("revenue"))
+
   /** Q9 shape — product-type profit by nation and year: five-way join
     * with a LIKE-filtered part dim and a profit expression spanning two
     * tables' columns (revenue minus retail cost — the fixture carries
@@ -474,6 +489,7 @@ object TpchStyle {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q2" -> (q2MinCost _),
+    "q_tpch_q6" -> (q6Forecast _),
     "q_tpch_q9" -> (q9Profit _),
     "q_tpch_q11" -> (q11Important _),
     "q_tpch_q12" -> (q12Late _),
@@ -514,6 +530,14 @@ object TpchStyle {
         |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_tpch_q9" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
