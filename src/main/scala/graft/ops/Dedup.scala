@@ -624,7 +624,56 @@ object Dedup {
         col("cos_sim"))
   }
 
+  /** Cross-document EXACT-SUBSTRING overlap (the token-window
+    * rolling-hash method of exact-substring training-data dedup):
+    * every W=8-token window of every document is hashed; documents
+    * sharing ≥2 window hashes are overlap pairs, reported with the
+    * shared-window count — the evidence an exact-substring deduper
+    * trims on (n_shared ≈ overlap length − W + 1 for one contiguous
+    * run). Complements the shingle/MinHash family: MinHash estimates
+    * WHOLE-document similarity; this finds verbatim SPANS copied
+    * between otherwise-different documents (the contamination shape
+    * license plates and boilerplate leave in web corpora).
+    *
+    * Scale shape: the window table is corpus-TOKEN-linear (one row per
+    * token position, deduped per doc), one shuffle to count docs per
+    * hash, and the pair join runs only through hashes shared by
+    * 2..64 docs — the same bucket-cap discipline as the LSH bands, so
+    * pair fan-out is O(windows · cap), never all-pairs. Hashes above
+    * the cap are ubiquitous boilerplate by definition — dropped HERE
+    * by design (the boilerplate detector owns that signal); the
+    * windowing is row-local behind an explicit pre-explode width.
+    * Docs shorter than W are filtered BEFORE the window sequence —
+    * sequence(1, 0) auto-steps downward and would fabricate windows
+    * (the BPE pair-transform trap).
+    */
+  def substringOverlap(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val toks = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
+      .filter(size(col("tk")) >= W)
+    val win = toks
+      .repartition(fanout(s), col("doc_id"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - (W - 1)),
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(W)))))).as("wh"))
+      .distinct()
+      .localCheckpoint(false)
+    val capped = win.groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, 64))
+      .select(col("wh"))
+    win.select(col("wh"), col("doc_id").as("doc_a"))
+      .join(capped, Seq("wh"), "left_semi")
+      .join(win.select(col("wh"), col("doc_id").as("doc_b")), Seq("wh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> (substringOverlap _),
     "q_dedup_crossmodal" -> (crossModalConsensus _),
     "q_dedup_exact" -> (exact _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -713,6 +762,25 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |win AS (
+        |  SELECT DISTINCT doc_id, wh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+        |        i -> md5(array_to_string(tk[i : i + 7], ' ')))) AS wh
+        |    FROM toks) u),
+        |capped AS (
+        |  SELECT wh FROM win GROUP BY wh HAVING count(*) BETWEEN 2 AND 64)
+        |SELECT doc_a, doc_b, n_shared FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM win a JOIN capped USING (wh) JOIN win b USING (wh)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) p
+        |WHERE n_shared >= 2""".stripMargin,
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
     "q_dedup_ngram_jaccard" ->
