@@ -174,8 +174,14 @@ object Tables {
     * action, so callers materialize (checkpoint) results in-block.
     */
   def withStaticWidth[T](s: SparkSession, rows: Long, perPart: Long = 250000L)
-                        (body: => T): T = {
-    val parts = math.min(fanout(s).toLong, rows / perPart + 1L).toInt
+                        (body: => T): T =
+    withStaticParts(s, math.min(fanout(s).toLong, rows / perPart + 1L).toInt)(body)
+
+  /** The explicit-width form of `withStaticWidth` — for callers whose
+    * optimal width is not a linear rows/perPart rule (e.g. the CC loop,
+    * whose per-round constants make width ∝ √rows the balance point).
+    */
+  def withStaticParts[T](s: SparkSession, parts: Int)(body: => T): T = {
     val aqeWas = s.conf.get("spark.sql.adaptive.enabled")
     val partsWas = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.adaptive.enabled", "false")

@@ -547,8 +547,20 @@ object Dedup {
     // the single-partition hop aggregation serializes the per-round
     // work without saving job constants (w=32 re-creates the r7
     // full-width dead end, ~2x slower; see SCALING.md).
-    graft.Tables.withStaticWidth(pairs0.sparkSession, 2L * nPairs,
-        perPart = 32768L) {
+    // Loop width grows as √(rows), not linearly: each round pays a
+    // per-partition job/launch constant while per-task work shrinks
+    // with width, so the balance point is the geometric mean — a width
+    // sweep at sf1 (2.2M label rows) measured 8.70 s at the old
+    // linear-rule width 32, 6.59 s at 17, 5.93 s at 5, 7.05 s at 2;
+    // the √ rule lands width 11 there and width 5 at sf0.1 (inside the
+    // measured 4–8 optimum band), and still scales up for genuinely
+    // large label frames before the fanout cap. Overridable via
+    // `graft.cc.width`.
+    val ccWidth = sess.conf.getOption("graft.cc.width")
+      .flatMap(_.toIntOption).getOrElse(
+        math.min(graft.Tables.fanout(sess).toDouble,
+          math.sqrt(2.0 * nPairs / 32768.0) + 3.0).toInt.max(1))
+    graft.Tables.withStaticParts(pairs0.sparkSession, ccWidth) {
     // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
     // that we fail loudly rather than return split groups
     while (!converged && iter < 20) {
