@@ -54,6 +54,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(anti).size == 1, anti)
   }
 
+  test("q19 extracts common factors from the disjunction into both scans") {
+    // the query's whole point: the shared returnflag conjunct and the
+    // per-side prunable pieces of the three OR'd conjunct groups must
+    // reach the scans — the lineitem side as the extracted IN plus the
+    // quantity-range disjunction, the part side as the derived common
+    // size lower bound plus the brand/size disjunction; the join
+    // carries only the cross-side residual
+    val p = plan("q_tpch_q19")
+    assert(p.contains("In(l_returnflag, [N,R])"),
+      s"common returnflag factor must push to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity disjunction must push to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(p_size,1)"),
+      s"derived common size bound must push to the part scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      s"brand/size disjunction must push to the part scan:\n$p")
+  }
+
   test("q20/q21 decorrelate to hash semi/anti chains, fact scanned once") {
     // Q20: nested IN + aggregate-HAVING subquery → two left-semi
     // reductions around one grouped scan; the date bounds must reach
