@@ -41,6 +41,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (BenchTrace.enabled) BenchTrace.install(spark.sparkContext)
     val results = selected.map { case (name, fn) =>
       // ONE untimed warm-up rep at the TARGET SF before the timed reps
       // (replaces the old all-queries sf0.001 warm pass): the first
@@ -68,9 +69,13 @@ object Bench {
         // cost; outside the timed window it cannot poison
         // round-over-round attribution (the r8 median>>min artifacts).
         System.gc()
+        val w0 = BenchTrace.nowMs
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (BenchTrace.enabled)
+          System.err.println(BenchTrace.report(name, w0, BenchTrace.nowMs))
+        (dt, ok)
       }
       val ts = runs.map(_._1)
       (name, median(ts), runs.forall(_._2), ts.min, ts.max)
@@ -94,6 +99,16 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>
         System.err.println(s"BENCH_LAST.json write failed: $e") }
+    // explicit artifact path (SPARK_GRAFT_BENCH_OUT): full per-query
+    // JSON regardless of filtering — the sf1 sweep runs a filtered
+    // headline slice at two SF dirs and assembles BENCH_sf1.json from
+    // these files; stdout's short line would truncate past 30 queries
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"$p write failed: $e") }
+    }
     System.out.println(short)
     System.out.flush()
     spark.stop()

@@ -371,6 +371,18 @@ object Cdc {
   /** C3 — end-of-cycle rename propagation into ph15 (etl.py:762–781):
     * re-sync user rows whose benutzername matches either side of a
     * queued rename, against the ph15 base.
+    *
+    * Scale bound: `renames` is derived from the CURRENT cycle's
+    * outcomes (one row per rename event in the batch), so its size is
+    * ≤ the cycle's event cap (`maxRecords` — 100 in the reference's
+    * poll loop, 10k in the bench) regardless of snapshot or user-table
+    * size; the key set is ≤ 2× that. It is therefore always a small
+    * frame at 100 TB too — but we deliberately do NOT hint
+    * `broadcast(keys)`: Catalyst's size-estimated auto-broadcast makes
+    * the same choice when the bound holds, and if an operator misuse
+    * ever feeds an unbounded frame here the plan degrades to a shuffle
+    * semi join instead of a driver OOM. RenameCascadeSpec pins the
+    * absence of an unconditional hint.
     */
   def updatePh15Cn(snapshot: Dataset[Entry], users: DataFrame,
       renames: DataFrame, ph15Conf: EtlConf): Dataset[Entry] = {

@@ -18,6 +18,32 @@ case class ScoredId(score: Double, id: Long)
   * under any partitioning; `finish` renders the ids as a comma-joined
   * string (scalar cell for the oracle compare).
   */
+/** Size-capped sorted id collection: keeps the SMALLEST `cap`+1 ids in
+  * every partial buffer. Downstream reads the result as "the full
+  * (sorted) id set if the group has ≤ cap members, else a saturated
+  * list of cap+1 ids" — a size filter then drops saturated groups, so
+  * over-cap groups (ubiquitous hashes, boilerplate buckets) cost
+  * O(cap) per PARTIAL buffer instead of materializing an unbounded
+  * `collect_list` row before the filter. Keeping the smallest ids (not
+  * the first seen) makes the surviving lists deterministic under any
+  * partitioning. Input ids must be distinct per group (the callers'
+  * window tables are per-doc deduped); the cap+1 saturation marker
+  * needs no dedup to be correct either way.
+  */
+class CappedSortedIds(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val keep = cap + 1
+  def zero: Seq[Long] = Seq.empty
+  def reduce(b: Seq[Long], a: Long): Seq[Long] =
+    // fast path: saturated buffer and a sorts after everything kept
+    if (b.length >= keep && a >= b.last) b
+    else (b :+ a).sorted.take(keep)
+  def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+    (x ++ y).sorted.take(keep)
+  def finish(r: Seq[Long]): Seq[Long] = r
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
 class TopKIds(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
   // java.lang.Double.compare, not >: IEEE > is not a strict weak order
   // when NaN appears (sortWith could throw or order nondeterministically);

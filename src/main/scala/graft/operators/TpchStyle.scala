@@ -456,11 +456,28 @@ object TpchStyle {
 
   /** Q21 shape — the multi-EXISTS anti/semi chain: one-nation suppliers
     * whose returned line sits in a finished multi-supplier order where
-    * NO other supplier's line was returned. EXISTS with an inequality
-    * correlation becomes a left-semi join keyed on the order with the
-    * supplier inequality as residual; NOT EXISTS the matching
-    * left-anti. The supplier/nation reduction joins FIRST so the two
-    * self-join passes over lineitem run on the ~1/25 slice.
+    * NO other supplier's line was returned.
+    *
+    * EXISTS(other supplier in the order) is an ORDER-LEVEL fact, so it
+    * decorrelates to a pre-aggregation instead of a FACT-WIDE self-join
+    * build: an order has a line from another supplier iff it has >1
+    * distinct supplier, so the semi probe collapses to a 1-column
+    * multi-supplier order list (|orders|-bounded, two-level hash agg
+    * with map-side partials) consumed by an equi LEFT SEMI. The r11
+    * sf1 slope audit priced the old full-width inequality-semi build
+    * at 4.5× for 10× data; this shape measured slope ~1.4 and sf1
+    * 3.65 → 2.30 s, at the cost of ~0.9 s of extra exchange constants
+    * at sf0.1 — the 100 TB-side of that trade wins decisively.
+    * (A further rewrite folding the NOT EXISTS into the same aggregate
+    * — countDistinct of RETURNED suppliers == 1 — is semantically valid
+    * but needs a checkpoint to stop Catalyst splitting the two probes
+    * into separate fact scans, and measured SLOWER at both SFs; the
+    * static-width variant likewise. Measured, not assumed.)
+    * NOT EXISTS keeps the inequality-correlated LEFT ANTI on the
+    * ~25% returned slice: the residual rides the equi join on the
+    * order key, hash-based, never a nested loop. The supplier/nation
+    * reduction still joins FIRST so the probe side of every join is
+    * the ~1/25 slice.
     */
   def q21Waiting(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
@@ -468,15 +485,22 @@ object TpchStyle {
       .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_13")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
+    // multi-supplier order list: countDistinct plans as a two-level
+    // hash agg over the narrow (orderkey, suppkey) projection — the
+    // probe side collapses to one column
+    val multiSupp = li
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey"))
+      .groupBy(col("ok2"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+      .filter(col("nsupp") > 1)
+      .select(col("ok2"))
     li.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(n13supp, col("l_suppkey") === col("s_suppkey"))
       .join(orders(s, d).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
-        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
-        "left_semi")
+      .join(multiSupp, col("l_orderkey") === col("ok2"), "left_semi")
       .join(li.filter(col("l_returnflag") === "R")
           .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3")),
         col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),

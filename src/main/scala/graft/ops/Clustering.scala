@@ -25,9 +25,10 @@ object Clustering {
 
   /** embedding (float) → micro-unit BIGINT vector. float→double is
     * exact; round() half-up matches DuckDB's round-half-away for the
-    * magnitudes here.
+    * magnitudes here. Shared with Similarity's trained dedup quantizer
+    * (same exactness argument).
     */
-  private def microVec(c: Column): Column =
+  private[ops] def microVec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1e6).cast("long"))
 
   /** Squared L2 distance over two long vectors — values ≤ 1.2e6 per

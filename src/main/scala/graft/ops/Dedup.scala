@@ -556,10 +556,13 @@ object Dedup {
     // measured 4–8 optimum band), and still scales up for genuinely
     // large label frames before the fanout cap. Overridable via
     // `graft.cc.width`.
+    // clamp AFTER the conf override resolves: a "0"/negative conf value
+    // must be corrected too, not just the computed default — it would
+    // otherwise reach withStaticParts/shuffle.partitions and mis-plan
     val ccWidth = sess.conf.getOption("graft.cc.width")
       .flatMap(_.toIntOption).getOrElse(
         math.min(graft.Tables.fanout(sess).toDouble,
-          math.sqrt(2.0 * nPairs / 32768.0) + 3.0).toInt.max(1))
+          math.sqrt(2.0 * nPairs / 32768.0) + 3.0).toInt).max(1)
     graft.Tables.withStaticParts(pairs0.sparkSession, ccWidth) {
     // 20 hop+jump rounds cover component diameters up to ~2^20; beyond
     // that we fail loudly rather than return split groups
@@ -648,40 +651,62 @@ object Dedup {
     * license plates and boilerplate leave in web corpora).
     *
     * Scale shape: the window table is corpus-TOKEN-linear (one row per
-    * token position, deduped per doc), one shuffle to count docs per
-    * hash, and the pair join runs only through hashes shared by
-    * 2..64 docs — the same bucket-cap discipline as the LSH bands, so
-    * pair fan-out is O(windows · cap), never all-pairs. Hashes above
-    * the cap are ubiquitous boilerplate by definition — dropped HERE
-    * by design (the boilerplate detector owns that signal); the
-    * windowing is row-local behind an explicit pre-explode width.
-    * Docs shorter than W are filtered BEFORE the window sequence —
-    * sequence(1, 0) auto-steps downward and would fabricate windows
-    * (the BPE pair-transform trap).
+    * token position, deduped per doc inside the native WindowHash64Expr
+    * kernel — round 12: the interpreted transform-over-sequence form
+    * plus a post-explode `.distinct()` was both the CPU sink and an
+    * extra token-wide shuffle), ONE shuffle groups windows by hash, and
+    * pairs explode row-locally only for hashes shared by 2..64 docs —
+    * the same bucket-cap discipline as the LSH bands, so pair fan-out
+    * is O(windows · cap), never all-pairs. Hashes above the cap are
+    * ubiquitous boilerplate by definition — dropped HERE by design
+    * (the boilerplate detector owns that signal); the windowing is
+    * row-local behind an explicit pre-explode width. Docs shorter than
+    * W are filtered before the explode and would yield an empty hash
+    * array inside the kernel anyway (never a fabricated window — the
+    * sequence(1, 0) downward-step trap).
     */
   def substringOverlap(s: SparkSession, d: String): DataFrame = {
     val W = 8
+    // ONE linear chain instead of the r11 three-consumer join shape
+    // (count per hash → semi-join the capped hashes → self-join for
+    // pairs): the per-hash doc set is collected bounded (CappedSortedIds
+    // keeps the smallest 65 ids per partial buffer, so a boilerplate
+    // hash shared by 1M docs ships ≤65 ids per map task — never an
+    // unbounded collect_list row), saturated (>64) and singleton
+    // hashes are dropped by the size filter exactly as the old
+    // BETWEEN 2 AND 64 count filter did, and the pairs explode
+    // ROW-LOCALLY through the native sorted-pairs kernel (doc lists
+    // are distinct, so the kernel's strict < emits each unordered pair
+    // once). Same bucket-cap fan-out bound, but the window table
+    // shuffles ONCE (by hash, map-side-combined) instead of three
+    // times, and the checkpoint + semi-join + broadcast stages are
+    // gone: 8 jobs → 3 per execution, sf0.1 steady state 1.05 →
+    // ~0.5 s. Those scheduling constants under box contention were the
+    // r11 [1.42, 3.29] spread band.
+    val cappedIds = udaf(new graft.functions.CappedSortedIds(64))
+    win(s, d, W)
+      .groupBy(col("wh")).agg(cappedIds(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 64))
+      .select(explode(graft.functions.PairsExpr.sortedPairs(col("ds")))
+        .as("p"))
+      .groupBy(col("p.sa").as("doc_a"), col("p.sb").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  /** The deduped (doc, window-hash) table shared by `substringOverlap`
+    * — split out so the operator body reads as the aggregation chain.
+    */
+  private def win(s: SparkSession, d: String, W: Int): DataFrame = {
     val toks = documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
       .filter(size(col("tk")) >= W)
-    val win = toks
+    toks
       .repartition(fanout(s), col("doc_id"))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("tk")) - (W - 1)),
-        i => md5(concat_ws(" ", slice(col("tk"), i, lit(W)))))).as("wh"))
-      .distinct()
-      .localCheckpoint(false)
-    val capped = win.groupBy(col("wh")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs").between(2, 64))
-      .select(col("wh"))
-    win.select(col("wh"), col("doc_id").as("doc_a"))
-      .join(capped, Seq("wh"), "left_semi")
-      .join(win.select(col("wh"), col("doc_id").as("doc_b")), Seq("wh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindowExpr.windowHashes(col("tk"), W))
+          .as("wh"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -211,7 +211,7 @@ object Similarity {
     * the centroid block, one map-side argmin per vector, one shuffle.
     * Shared by the IVF probe path and the semantic-dedup pruner.
     */
-  private def ivfAssign(s: SparkSession, d: String, k: Long = 16L): DataFrame = {
+  private[ops] def ivfAssign(s: SparkSession, d: String, k: Long = 16L): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("le"))
     val cents = e.filter(col("vec_id") < k)
@@ -234,15 +234,105 @@ object Similarity {
     * measured slope 1.8× for 10× data at these sizes. k growing with
     * the corpus is the published SemDeDup scale knob (cluster count
     * tracks corpus size); the fixed 16 stays right for the IVF probe
-    * paths, whose per-cell work is linear. At extreme N, swap the
-    * first-k "quantizer" for trained k-means centroids with an ANN
-    * assignment (same plan shape, sub-brute-force assignment).
+    * paths, whose per-cell work is linear.
     */
-  private def dedupCells(n: Long): Long =
+  private[ops] def dedupCells(n: Long): Long =
     math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
-  /** SemDeDup-style semantic pruning: cluster with the coarse
-    * quantizer, compare cosine ONLY within a cell, and prune every
+  /** TRAINED coarse quantizer for the semantic-dedup pruner (round 12
+    * — delivers the promise the first-k quantizer carried): Lloyd's
+    * k-means with k = dedupCells(N), first-k seeds, and
+    * `graft.dedup.kmeansIters` (default 2) exact update rounds, in the
+    * Clustering discipline so the DuckDB oracle replays it
+    * bit-for-bit: vectors in micro-unit BIGINTs, distances as integer
+    * sums (order-independent; the oracle's double d² algebra is exact
+    * too — every term stays under 2^53), centroid mean = one
+    * correctly-rounded HALF_UP division per (cell, dim), identical
+    * under IEEE 754 everywhere. A cell that loses all members simply
+    * drops out of the next round on BOTH engines.
+    *
+    * Each update round is ONE narrow argmin pass (k-row broadcast
+    * join) plus ONE (cell, dim)-keyed aggregation whose k·dims-row
+    * result is the canonical bounded k-means collect — never O(N)
+    * driver data. The result is MEMOIZED per (session, corpus
+    * fingerprint): a coarse quantizer is a trained INDEX artifact —
+    * train once, assign many — so queries built after the first call
+    * are lazy plans over the cached centroid table (the
+    * build-time-eagerness ADVICE on the old N-count applies only to
+    * the first build per session).
+    */
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Long)]()
+
+  private def embFingerprint(d: String): String = {
+    val t = new java.io.File(d, "embeddings.parquet")
+    val parts =
+      if (t.isDirectory) graft.Tables.parquetParts(t) else Array(t)
+    s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
+  }
+
+  private[ops] def trainedCells(s: SparkSession, d: String)
+      : (DataFrame, Long) =
+    centMemo.computeIfAbsent((s, s"$d|${embFingerprint(d)}"), _ =>
+      graft.Pinned.pinning(s.sparkContext) {
+        val vecs = embeddings(s, d)
+          .select(col("vec_id"), Clustering.microVec(col("embedding"))
+            .as("m"))
+          .localCheckpoint(true)
+        val k = dedupCells(vecs.count())
+        val iters = s.conf.getOption("graft.dedup.kmeansIters")
+          .flatMap(_.toIntOption).getOrElse(2).max(0)
+        var cents = vecs.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("m").as("cm"))
+          .localCheckpoint(true)
+        for (_ <- 1 to iters) {
+          val asg = vecs.crossJoin(broadcast(cents))
+            .withColumn("d2",
+              graft.functions.LongVecExprs.sqDist(col("m"), col("cm")))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d2"), col("cid"))).as("b"),
+              first(col("m")).as("m"))
+            .select(col("b.cid").as("cid"), col("m"))
+          val rows = asg
+            .select(col("cid"), posexplode(col("m")).as(Seq("dim", "v")))
+            .groupBy("cid", "dim")
+            .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+            .collect() // bounded: ≤ k·dims rows, never O(N)
+            .map(r => (r.getLong(0), r.getInt(1),
+              // HALF_UP (ties away from zero) — matches SQL round();
+              // math.round breaks ties toward +inf on negatives
+              BigDecimal(r.getLong(2).toDouble / r.getLong(3))
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+          val next = rows.groupBy(_._1).toSeq.map { case (cid, rs) =>
+            (cid, rs.sortBy(_._2).map(_._3).toSeq)
+          }.sortBy(_._1)
+          cents = s.createDataFrame(next).toDF("cid", "cm")
+            .localCheckpoint(true)
+        }
+        (cents, k)
+      })
+
+  /** Final assignment against the trained centroids: same plan shape
+    * as `ivfAssign` (k-row broadcast + argmin), carrying the DOUBLE
+    * vector for the downstream cosine kernel.
+    */
+  private[ops] def dedupAssign(s: SparkSession, d: String): DataFrame = {
+    val (cents, _) = trainedCells(s, d)
+    embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"),
+        Clustering.microVec(col("embedding")).as("m"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        graft.functions.LongVecExprs.sqDist(col("m"), col("cm")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"),
+        first(col("le")).as("le"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("le"))
+  }
+
+  /** SemDeDup-style semantic pruning: cluster with the TRAINED
+    * coarse quantizer (trainedCells — k-means, round 12), compare
+    * cosine ONLY within a cell, and prune every
     * vector that has a lower-id cell-mate above the similarity
     * threshold (`dup_of` = its lowest-id such witness). Cluster-then-
     * prune bounds the pairwise work to O(cell²·cells) — the cross-cell
@@ -250,13 +340,20 @@ object Similarity {
     * and each cell's pair block shuffles independently, so the op
     * scales out with the quantizer's cell count at 100 TB.
     */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupWith(dedupAssign(s, d))
+
+  /** The within-cell pruner over an arbitrary (vec_id, cell, le)
+    * assignment — split out so the quantizer-quality spec can compare
+    * the TRAINED quantizer against the first-k seeds on the identical
+    * pair kernel (SemanticQuantizerSpec).
+    */
+  private[ops] def semanticDedupWith(assigned0: DataFrame): DataFrame = {
     // norm computed ONCE per vector before the pair fan-out — inside
     // the pair expression it would rerun per candidate (2/3 of the
     // pair kernel's flops for identical values; same expression tree
     // as the oracle's per-pair sqrt, so values agree bit-for-bit)
-    val nVecs = embeddings(s, d).count()
-    val assigned = ivfAssign(s, d, dedupCells(nVecs))
+    val assigned = assigned0
       .withColumn("nrm", sqrt(dot(col("le"), col("le"))))
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("le").as("la"), col("nrm").as("na"))
@@ -430,24 +527,54 @@ object Similarity {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM asg) t WHERE rn = 1)""".stripMargin
 
-  /** `cellSql` twin with the occupancy-scaled cell count used by the
-    * semantic-dedup pruner (greatest(16, N/64) — Similarity.dedupCells).
+  /** DuckDB mirror of `trainedCells` + `dedupAssign` — the TRAINED
+    * semantic-dedup quantizer, replayed exactly: k = greatest(16,
+    * ⌈√N⌉) first-k seeds, two Lloyd update rounds in micro-unit space
+    * (round(x·1e6) — exact integer values carried as doubles, so
+    * list_inner_product's d² algebra is exact: every term stays under
+    * 2^53), centroid mean = round(sum/count) per (cell, dim) — the sum
+    * of exact integers is order-independent and the one division is
+    * correctly rounded IEEE, identical to the Scala HALF_UP — then a
+    * final assignment with the same (d2, cid) tie order.
     */
+  private def dedupKmeansIter(prev: String, cur: String): String =
+    s"""a$cur AS (
+       |  SELECT vec_id, md, cid FROM (
+       |    SELECT v.vec_id, v.md, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        (list_inner_product(v.md, v.md)
+       |         - 2.0 * list_inner_product(v.md, c.cm)
+       |         + list_inner_product(c.cm, c.cm)), c.cid) AS rn
+       |    FROM v, $prev c) t WHERE rn = 1),
+       |c$cur AS (
+       |  SELECT cid, list(val ORDER BY dim) AS cm FROM (
+       |    SELECT cid, dim, round(sum(x) / count(*)) AS val
+       |    FROM (SELECT cid, unnest(md) AS x,
+       |            generate_subscripts(md, 1) AS dim FROM a$cur) u
+       |    GROUP BY cid, dim) g
+       |  GROUP BY cid)""".stripMargin
+
   private val dedupCellSql: String =
-    """v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
-      |      FROM embeddings),
-      |cents AS (SELECT vec_id AS cid, le AS ce FROM v
-      |          WHERE vec_id < (SELECT greatest(16, ceil(sqrt(count(*)))::BIGINT) FROM v)),
-      |asg AS (
-      |  SELECT v.vec_id, v.le, c.cid,
-      |    list_inner_product(v.le, v.le)
-      |      - 2.0 * list_inner_product(v.le, c.ce)
-      |      + list_inner_product(c.ce, c.ce) AS d2
-      |  FROM v, cents c),
-      |cell AS (
-      |  SELECT vec_id, le, cid AS cell FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM asg) t WHERE rn = 1)""".stripMargin
+    s"""v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> round(x::DOUBLE * 1e6)) AS md,
+       |    list_transform(embedding, x -> x::DOUBLE) AS le
+       |  FROM embeddings),
+       |kk AS (SELECT greatest(16, ceil(sqrt(count(*)))::BIGINT) AS k FROM v),
+       |c0 AS (SELECT vec_id AS cid, md AS cm FROM v
+       |       WHERE vec_id < (SELECT k FROM kk)),
+       |${dedupKmeansIter("c0", "1")},
+       |${dedupKmeansIter("c1", "2")},
+       |cell AS (
+       |  SELECT a.vec_id, a.cid AS cell, v.le FROM (
+       |    SELECT vec_id, cid FROM (
+       |      SELECT v.vec_id, c.cid,
+       |        row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |          (list_inner_product(v.md, v.md)
+       |           - 2.0 * list_inner_product(v.md, c.cm)
+       |           + list_inner_product(c.cm, c.cm)), c.cid) AS rn
+       |      FROM v, c2 c) t WHERE rn = 1) a
+       |  JOIN v ON a.vec_id = v.vec_id)""".stripMargin
 
   private val cosSql =
     "list_inner_product(e.le, q.qe) / (sqrt(list_inner_product(e.le, e.le)) * sqrt(list_inner_product(q.qe, q.qe)))"

@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Renders SCALING.md's measured sections FROM the shipped bench
+  * artifacts (BENCH_LAST.json, BENCH_sf1.json), splicing them between
+  * `BEGIN/END GENERATED` markers — so a doc claim that no artifact
+  * backs is structurally impossible (rounds 10 and 11 both shipped
+  * prose numbers that did not reproduce in the artifact of record;
+  * this tool closes that class). Analysis prose stays hand-written
+  * OUTSIDE the markers; every NUMBER inside them comes from the JSON.
+  *
+  * `runMain graft.tools.RenderScaling` rewrites SCALING.md in place;
+  * `--check` only verifies (exit 1 on drift). ScalingDocSpec runs the
+  * check in `sbt test`, so a stale doc is a red build exactly like a
+  * stale fixture (FixtureDriftSpec).
+  */
+object RenderScaling {
+  private def r2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def r1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  private def num(j: JValue): Double = j match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => sys.error(s"not a number: $other")
+  }
+
+  private def numMap(j: JValue): Map[String, Double] = j match {
+    case JObject(fs) => fs.map { case (k, v) => k -> num(v) }.toMap
+    case other => sys.error(s"not an object: $other")
+  }
+
+  /** The reference-comparison summary + volatility status, from the
+    * full-fleet artifact.
+    */
+  def benchSummary(artifact: JValue): String = {
+    val qs = numMap(artifact \ "queries")
+    val total = num(artifact \ "value")
+    val failed = (artifact \ "failed") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val volatileQ = (artifact \ "volatile") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val (slowName, slowMed) = qs.maxBy(_._2)
+    val cdc = qs("q_etl_cdc_batch")
+    val load = qs("q_etl_initial_load")
+    val volLine =
+      if (volatileQ.isEmpty)
+        "Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: none."
+      else
+        s"Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: ${volatileQ.sorted.mkString(", ")}."
+    val graph = Seq("q_g1_triangles", "q_g2_pagerank", "q_g3_components",
+      "q_g4_degrees").filter(qs.contains)
+    val graphLine =
+      if (graph.isEmpty) ""
+      else "\nGraph-cluster medians: " +
+        graph.map(q => s"${q.stripPrefix("q_g1_").stripPrefix("q_g2_")
+          .stripPrefix("q_g3_").stripPrefix("q_g4_")} ${r2(qs(q))} s")
+          .mkString(", ") + "."
+    Seq(
+      "| Path | Measured (BENCH_LAST.json, this round) | Reference floor |",
+      "|---|---|---|",
+      s"| CDC cycle, 10k events vs 15k-user snapshot | ${r2(cdc)} s ≈ ${r1(10.0 / cdc)}k events/s (q_etl_cdc_batch median) | ~5 events/s |",
+      s"| Initial load, 15k users into empty tree | ${r2(load)} s ≈ ${r1(15.0 / load)}k users/s (q_etl_initial_load median) | 37,678 users per production run (duration unrecorded) |",
+      s"| Full ${qs.size}-query suite | ${r2(total)} s total, ${failed.size} failed, slowest single query $slowName at ${r2(slowMed)} s | — |",
+      "",
+      volLine + graphLine).mkString("\n")
+  }
+
+  /** The sf0.1 → sf1 slope table + forced-path table, from the sweep
+    * artifact. `q_stream_session` is annotated as the deliberate
+    * complete-mode contrast row so its by-design slope cannot be read
+    * as a defect.
+    */
+  def sf1Slopes(artifact: JValue): String = {
+    val sf01 = numMap(artifact \ "sf01")
+    val sf1 = numMap(artifact \ "sf1")
+    val slope = numMap(artifact \ "slope")
+    val rows = slope.toSeq.sortBy { case (n, s) => (s, n) }.map { case (n, s) =>
+      val mark = if (n == "q_stream_session") "†" else ""
+      s"| $n$mark | ${r2(sf01(n))} | ${r2(sf1(n))} | ${r1(s)}× |"
+    }.mkString("\n")
+    val note =
+      if (slope.contains("q_stream_session"))
+        "\n\n† deliberate complete-mode CONTRAST row: a complete drain re-emits\nthe whole session table every trigger by design, so its slope prices\nwrite amplification, not the operator — `q_stream_session_append` in\nthe same table is the deployment shape."
+      else ""
+    val fp = artifact \ "forced_paths"
+    val fpBlock = fp match {
+      case JNothing => ""
+      case _ =>
+        val f01 = numMap(fp \ "sf01")
+        val f1 = numMap(fp \ "sf1")
+        val fs = numMap(fp \ "slope")
+        val frows = fs.toSeq.sortBy { case (n, s) => (s, n) }
+          .map { case (n, s) =>
+            s"| ${n.replace('_', ' ')} | ${r2(f01(n))} | ${r2(f1(n))} | ${r1(s)}× |"
+          }.mkString("\n")
+        "\n\nForced-path medians (`graft.tools.GateCheck`, both sides of " +
+          "every\nbudget gate forced, same rep protocol):\n\n" +
+          "| path | sf0.1 s | sf1 s | slope |\n|---|---|---|---|\n" + frows
+    }
+    "| query | sf0.1 s | sf1 s | slope (linear = 10×) |\n|---|---|---|---|\n" +
+      rows + note + fpBlock
+  }
+
+  private def marker(tag: String): (String, String) = (
+    s"<!-- BEGIN GENERATED: $tag (runMain graft.tools.RenderScaling) -->",
+    s"<!-- END GENERATED: $tag -->")
+
+  /** Replace the generated block `tag` inside `doc`, failing loudly if
+    * the markers are missing or out of order (a silently-unspliced doc
+    * is the drift this tool exists to kill).
+    */
+  def splice(doc: String, tag: String, body: String): String = {
+    val (b, e) = marker(tag)
+    val i = doc.indexOf(b)
+    val j = doc.indexOf(e)
+    require(i >= 0 && j > i, s"SCALING.md lacks the $tag markers")
+    doc.substring(0, i + b.length) + "\n" + body + "\n" + doc.substring(j)
+  }
+
+  def render(doc: String, benchLast: JValue, benchSf1: JValue): String =
+    splice(splice(doc, "bench-summary", benchSummary(benchLast)),
+      "sf1-slopes", sf1Slopes(benchSf1))
+
+  def main(args: Array[String]): Unit = {
+    val root = java.nio.file.Paths.get(".")
+    def read(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(root.resolve(p)), "UTF-8")
+    val doc = read("SCALING.md")
+    val out = render(doc,
+      JsonMethods.parse(read("BENCH_LAST.json")),
+      JsonMethods.parse(read("BENCH_sf1.json")))
+    if (args.contains("--check")) {
+      if (out != doc) {
+        System.err.println("SCALING.md is stale vs the bench artifacts — " +
+          "run: sbt \"runMain graft.tools.RenderScaling\"")
+        sys.exit(1)
+      }
+      println("SCALING.md matches the artifacts")
+    } else {
+      java.nio.file.Files.write(root.resolve("SCALING.md"),
+        out.getBytes("UTF-8"))
+      println("SCALING.md regenerated from BENCH_LAST.json + BENCH_sf1.json")
+    }
+  }
+}

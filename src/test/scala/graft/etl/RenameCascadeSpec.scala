@@ -52,6 +52,16 @@ class RenameCascadeSpec extends AnyFunSuite {
     // end-of-cycle ph15 pass (etl.py:762–781) renames the twin
     val ph15Conf = conf.copy(baseDn = "ou=user,ou=ph15,o=BMUKK", db = "ph15db")
     val snap2 = Cdc.updatePh15Cn(snap, users, r.renames, ph15Conf)
+    // scale guard (Cdc.updatePh15Cn doc): the rename key set is bounded
+    // by the cycle's event cap, and the semi join must rely on size-
+    // estimated AUTO-broadcast — no unconditional hint anywhere in the
+    // pass, so an unbounded misuse degrades to a shuffle join, not a
+    // driver OOM
+    val hinted = snap2.toDF.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty,
+      "updatePh15Cn must not carry an unconditional broadcast hint")
     assert(snap2.filter(_.dn == "cn=renamed.tgggo.9,ou=user,ou=ph15,o=BMUKK")
       .count() == 1)
     assert(snap2.filter(_.dn == "cn=aywugo.tgggo.0,ou=user,ou=ph15,o=BMUKK")

@@ -41,7 +41,9 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     "q_cur_upsample" -> 1,      // 1-row max-source-mass frame for rate derivation
     "q_dedup_semantic" -> 2,    // k-row centroid set + 1-row threshold frame
     "q_dq_freshness" -> 1,      // 1-row corpus max-timestamp frame
-    "q_g4_degrees" -> 1,        // 1-row total-edge-count frame
+    // q_g4_degrees: 0 since round 12 — the mean-threshold scalar join
+    // lives inside the memoized edge-list build (GraphOps.affinityEdges),
+    // not in the per-query plan
     "q_knn_batch" -> 1,         // bounded query block (top-k probe side)
     "q_knn_brute" -> 1,         // bounded query block
     "q_knn_hardneg" -> 1,       // bounded query block
