@@ -94,6 +94,18 @@ object GraphOps {
     s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
   }
 
+  /** One full UN-memoized derivation (checkpoint + count + release) —
+    * the pricing hook for GateCheck's `edges_build` row: with the
+    * session memo, the per-query bench rows price the ANALYTICS, and
+    * this is where the one-time derivation cost stays measured.
+    */
+  private[graft] def buildEdgesUnmemoized(s: SparkSession, d: String): Long = {
+    val e = coEdges(s, d).localCheckpoint(true)
+    val n = e.count()
+    e.unpersist(blocking = true)
+    n
+  }
+
   private[operators] def affinityEdges(s: SparkSession, d: String)
       : (DataFrame, Long) =
     edgeMemo.computeIfAbsent((s, s"$d|${lineitemFingerprint(d)}"), _ =>

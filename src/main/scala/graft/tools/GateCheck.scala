@@ -41,6 +41,15 @@ object GateCheck {
       r
     }
 
+    // one full affinity-graph derivation, memo bypassed: the graph
+    // queries share a session-memoized edge list (round 12), so the
+    // per-query bench rows price the analytics — THIS row keeps the
+    // derive-once cost measured in the artifact of record
+    val nEdges = timed("edges build") {
+      graft.operators.GraphOps.buildEdgesUnmemoized(spark, sfDir)
+    }
+    println(s"[gatecheck] edges build: n=$nEdges")
+
     // triangles: default budget (256k) vs forced-local vs forced-dist
     val dist = timed("triangles distributed") {
       spark.conf.set("graft.graph.localTriangleEdges", "0")

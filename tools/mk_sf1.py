@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf1.json reproducibly (dev-only tooling; the shipped
+engine is the Scala tree under src/).
+
+Runs the headline-query slice through graft.Bench at sf0.1 and at the
+GenScale sf1 replica (full per-query artifacts via
+SPARK_GRAFT_BENCH_OUT), runs graft.tools.GateCheck at both SFs for the
+forced-path medians, and writes BENCH_sf1.json. SCALING.md's slope
+table renders FROM that artifact (graft.tools.RenderScaling), so this
+script is the one producer of every number in it.
+
+Usage: python3 tools/mk_sf1.py  (from the repo root; ~15 min)
+"""
+import json
+import os
+import subprocess
+import sys
+
+QUERIES = [
+    "q_cur_curriculum", "q_cur_epoch_shards", "q_cur_shuffle",
+    "q_cur_upsample", "q_dedup_canonical", "q_dedup_crossmodal",
+    "q_dedup_groups", "q_dedup_semantic", "q_dedup_substring",
+    "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
+    "q_g3_components", "q_g4_degrees", "q_knn_batch", "q_knn_hardneg",
+    "q_knn_ivf", "q_src_jsonl", "q_src_jsonl_gz", "q_stream_dedup_wm",
+    "q_stream_join", "q_stream_jsonl", "q_stream_jsonl_gz",
+    "q_stream_session", "q_stream_session_append",
+    "q_stream_state_dedup", "q_stream_tumbling", "q_text_bpe_encode",
+    "q_text_bpe_train", "q_text_cooc", "q_text_tfidf",
+    "q_text_vocab_oov", "q_tpch_q18", "q_tpch_q21", "q_tpch_q3",
+    "q_tpch_q9",
+]
+
+NOTE = (
+    "Round-12 refresh (36 headline queries; q_dedup_substring joins the "
+    "sweep). sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
+    "disjoint key ranges). Medians of 3 timed reps after one untimed "
+    "warm-up, storage drop + GC drain outside each timed window, "
+    "local[32], same Bench config as BENCH_LAST; assembled by "
+    "tools/mk_sf1.py. Round-12 changes measured here: (1) TPC-H Q21's "
+    "EXISTS decorrelated to a countDistinct multi-supplier "
+    "pre-aggregation - the fact-wide inequality-semi build (slope 4.5) "
+    "is gone; (2) the graph family's affinity edge list is derived once "
+    "per session (GraphOps.affinityEdges memo) with the pair expansion "
+    "in a native kernel (SortedPairsExpr) - the per-query graph rows "
+    "now price the analytics, and the derive-once cost is priced by the "
+    "forced_paths edges_build row; (3) substring-overlap dedup "
+    "restructured to one grouped pass (WindowHash64Expr kernel + "
+    "size-capped sorted collect) - one token-wide shuffle instead of "
+    "three; (4) semantic dedup's quantizer is TRAINED k-means (2 exact "
+    "integer Lloyd rounds, memoized per corpus) - +14.5% dup-witness "
+    "recall vs first-k seeds at the same pair budget "
+    "(SemanticQuantizerSpec). forced_paths times the budget-gated graph "
+    "operators with BOTH gate sides forced (graft.tools.GateCheck, same "
+    "rep protocol): the *_distributed rows are the plans that run at "
+    "100 TB, and edges_build is the memo-bypassed one-time derivation. "
+    "NOTE on forced-local rows: with the round-12 edge-list memo the "
+    "forced rows time the SOLVE alone (derivation excluded), so the "
+    "*_local slopes expose the driver-solve's true growth - exactly why "
+    "the budget gate flips to the distributed plans at scale; "
+    "all_under_12x refers to the headline query slopes."
+)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/root/repo/.bench/sf1"
+
+
+def run_bench(sfdir, out):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sfdir,
+               SPARK_GRAFT_BENCH_ONLY=",".join(QUERIES),
+               SPARK_GRAFT_BENCH_OUT=out)
+    print(f"[mk_sf1] bench {sfdir} ...", flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    with open(out) as f:
+        return json.load(f)
+
+
+def run_gatecheck(sfdir):
+    print(f"[mk_sf1] gatecheck {sfdir} ...", flush=True)
+    p = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.GateCheck {sfdir}"],
+        capture_output=True, text=True, check=True)
+    for line in p.stdout.splitlines():
+        if "GATECHECK_JSON" in line:
+            return json.loads(line.split("GATECHECK_JSON ", 1)[1])
+    sys.exit(f"no GATECHECK_JSON line from GateCheck at {sfdir}")
+
+
+def main():
+    a01 = run_bench(SF01, "/tmp/graft_sf01_sweep.json")
+    a1 = run_bench(SF1, "/tmp/graft_sf1_sweep.json")
+    if a01["failed"] or a1["failed"]:
+        sys.exit(f"failed queries: {a01['failed']} / {a1['failed']}")
+    g01 = run_gatecheck(SF01)
+    g1 = run_gatecheck(SF1)
+    sf01, sf1 = a01["queries"], a1["queries"]
+    slope = {k: round(sf1[k] / sf01[k], 2) for k in sorted(sf01)}
+    fp01 = {k: v for k, v in g01.items() if k != "sf"}
+    fp1 = {k: v for k, v in g1.items() if k != "sf"}
+    fslope = {k: round(fp1[k] / fp01[k], 2) for k in sorted(fp01)}
+    out = {
+        "metric": "scaling_slope_sf0.1_to_sf1",
+        "unit": "sec",
+        "note": NOTE,
+        "sf01": sf01,
+        "sf1": sf1,
+        "slope": slope,
+        "forced_paths": {"sf01": fp01, "sf1": fp1, "slope": fslope},
+        "max_slope": max(slope.values()),
+        "max_forced_slope": max(fslope.values()),
+        "all_under_12x": all(v < 12 for v in slope.values()),
+    }
+    with open("BENCH_sf1.json", "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print("[mk_sf1] wrote BENCH_sf1.json; now run: "
+          "sbt 'runMain graft.tools.RenderScaling'")
+
+
+if __name__ == "__main__":
+    main()
