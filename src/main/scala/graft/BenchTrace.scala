@@ -22,6 +22,7 @@ object BenchTrace {
   private val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRec]()
   private val jobs = new java.util.concurrent.ConcurrentLinkedQueue[JobRec]()
   private val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+  private val events = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var installed = false
 
   def enabled: Boolean = sys.env.contains("SPARK_GRAFT_BENCH_TRACE")
@@ -38,15 +39,37 @@ object BenchTrace {
           if (tm == null) 0L else tm.executorRunTime,
           if (tm == null) 0L else tm.jvmGCTime,
           si.numTasks))
+        events.incrementAndGet()
       }
-      override def onJobStart(e: SparkListenerJobStart): Unit =
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobStarts.put(e.jobId, e.time)
+        events.incrementAndGet()
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val t0 = Option(jobStarts.remove(e.jobId))
           .map(_.longValue()).getOrElse(e.time)
         jobs.add(JobRec(e.jobId, t0, e.time))
+        events.incrementAndGet()
       }
     })
+  }
+
+  /** Listener events arrive ASYNCHRONOUSLY (AsyncEventQueue) — read
+    * immediately after an action returns, the final stage/job records
+    * are routinely still in flight and their time would misattribute
+    * to `driverGap`. Wait (outside the timed window) until the event
+    * counter has been stable for 50 ms, bounded at 500 ms.
+    */
+  private def settle(): Unit = {
+    var last = -1L
+    var stableSince = nowMs
+    val deadline = nowMs + 500
+    while (nowMs < deadline) {
+      val n = events.get()
+      if (n != last) { last = n; stableSince = nowMs }
+      else if (nowMs - stableSince >= 50) return
+      Thread.sleep(10)
+    }
   }
 
   /** Wall-clock marker (same clock as the listener events). */
@@ -57,6 +80,7 @@ object BenchTrace {
     * against a 2.0 s one from the log alone.
     */
   def report(tag: String, t0: Long, t1: Long): String = {
+    settle()
     import scala.jdk.CollectionConverters._
     val ss = stages.asScala.filter(s => s.doneMs > t0 && s.submitMs < t1).toSeq
     val js = jobs.asScala.filter(j => j.endMs > t0 && j.startMs < t1).toSeq

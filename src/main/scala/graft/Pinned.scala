@@ -23,12 +23,34 @@ object Pinned {
     * concurrent query's block is harmless (one extra survivor); graft
     * entry points run queries sequentially anyway.
     */
-  def pinning[T](sc: SparkContext)(body: => T): T = {
+  def pinning[T](sc: SparkContext)(body: => T): T =
+    pinningTracked(sc)(body)._1
+
+  /** `pinning` that also RETURNS the pinned id set, so a memo that
+    * replaces an entry (source-table rewrite detected by fingerprint)
+    * can `release` the superseded entry's blocks instead of leaking
+    * one pinned checkpoint per rewrite for the session's lifetime.
+    */
+  def pinningTracked[T](sc: SparkContext)(body: => T): (T, Set[Int]) = {
     val before = sc.getPersistentRDDs.keySet
     val r = body
-    (sc.getPersistentRDDs.keySet -- before).foreach(ids.add(_))
-    r
+    val fresh = (sc.getPersistentRDDs.keySet -- before).toSet
+    fresh.foreach(ids.add(_))
+    (r, fresh)
   }
+
+  /** Unpin + unpersist a tracked id set (blocking, so the storage is
+    * really gone before the replacement builds). Ids already
+    * unpersisted inside their build are simply absent — harmless.
+    */
+  def release(sc: SparkContext, tracked: Set[Int]): Unit =
+    tracked.foreach { id =>
+      ids.remove(id)
+      sc.getPersistentRDDs.get(id).foreach { rdd =>
+        try rdd.unpersist(blocking = true)
+        catch { case _: Throwable => () }
+      }
+    }
 
   def isPinned(id: Int): Boolean = ids.contains(id)
 

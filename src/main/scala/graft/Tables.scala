@@ -52,6 +52,23 @@ object Tables {
     Option(table.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
 
+  /** File-metadata fingerprint of `<dir>/<table>.parquet` — part
+    * count, max mtime, total bytes. THE memo re-derivation key for
+    * every cache that outlives one query (EventStream.spanMemo,
+    * StreamToolOps.sliceMemo, GraphOps.edgeMemo, Similarity.centMemo):
+    * an in-JVM rewrite of the source table must re-probe/re-derive,
+    * and hoisting the rule here is what actually guarantees the memos
+    * "can never disagree" about whether a rewrite happened. Byte total
+    * is part of the print because mtime granularity can be 1 s on some
+    * filesystems; a same-second same-size rewrite of identical-span
+    * data is the only aliasing left, which is benign.
+    */
+  private[graft] def fingerprint(dir: String, table: String): String = {
+    val t = new java.io.File(dir, s"$table.parquet")
+    val parts = if (t.isDirectory) parquetParts(t) else Array(t)
+    s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
+  }
+
   private[graft] def probeTsLayout(s: SparkSession, d: String): TsLayout = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val table = new java.io.File(d, "events.parquet")

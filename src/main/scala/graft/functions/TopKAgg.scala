@@ -18,6 +18,24 @@ case class ScoredId(score: Double, id: Long)
   * under any partitioning; `finish` renders the ids as a comma-joined
   * string (scalar cell for the oracle compare).
   */
+class TopKIds(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
+  // java.lang.Double.compare, not >: IEEE > is not a strict weak order
+  // when NaN appears (sortWith could throw or order nondeterministically);
+  // under compare, NaN ranks above every number, deterministically
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
+  private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
+    s.sortWith(better).take(k)
+  def zero: Seq[ScoredId] = Seq.empty
+  def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = trim(b :+ a)
+  def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] = trim(x ++ y)
+  def finish(r: Seq[ScoredId]): String = trim(r).map(_.id).mkString(",")
+  def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
 /** Size-capped sorted id collection: keeps the SMALLEST `cap`+1 ids in
   * every partial buffer. Downstream reads the result as "the full
   * (sorted) id set if the group has ≤ cap members, else a saturated
@@ -42,22 +60,4 @@ class CappedSortedIds(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   def finish(r: Seq[Long]): Seq[Long] = r
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
-}
-
-class TopKIds(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], String] {
-  // java.lang.Double.compare, not >: IEEE > is not a strict weak order
-  // when NaN appears (sortWith could throw or order nondeterministically);
-  // under compare, NaN ranks above every number, deterministically
-  private def better(a: ScoredId, b: ScoredId): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
-    c > 0 || (c == 0 && a.id < b.id)
-  }
-  private def trim(s: Seq[ScoredId]): Seq[ScoredId] =
-    s.sortWith(better).take(k)
-  def zero: Seq[ScoredId] = Seq.empty
-  def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = trim(b :+ a)
-  def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] = trim(x ++ y)
-  def finish(r: Seq[ScoredId]): String = trim(r).map(_.id).mkString(",")
-  def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
-  def outputEncoder: Encoder[String] = Encoders.STRING
 }

@@ -15,8 +15,8 @@ object StreamToolOps {
 
   /** Staged-landing-zone paths already written this JVM (see
     * streamSessionAppend — per-pid tmp paths, so no cross-process
-    * aliasing), keyed path → SOURCE-table fingerprint (part count, max
-    * mtime, total bytes — the replayWatermark rule): a path-only memo
+    * aliasing), keyed path → SOURCE-table fingerprint
+    * (Tables.fingerprint — the shared memo rule): a path-only memo
     * silently replayed stale slices when the events table at the same
     * dir was rewritten in-JVM (fixture regeneration, a spec writing
     * twice to one tmp dir). An entry appears only AFTER the staging
@@ -31,13 +31,8 @@ object StreamToolOps {
     * EventStream.spanMemo keys on, so the two replay memos can never
     * disagree about whether a rewrite happened.
     */
-  private def eventsFingerprint(d: String): String = {
-    val table = new java.io.File(d, "events.parquet")
-    val parts =
-      if (table.isDirectory) graft.Tables.parquetParts(table)
-      else Array(table)
-    s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
-  }
+  private def eventsFingerprint(d: String): String =
+    graft.Tables.fingerprint(d, "events")
 
   /** Drain a streaming frame to completion into a uniquely-named
     * memory-sink table and return it. Dev/test surface only: each call

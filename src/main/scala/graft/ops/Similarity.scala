@@ -242,7 +242,7 @@ object Similarity {
   /** TRAINED coarse quantizer for the semantic-dedup pruner (round 12
     * — delivers the promise the first-k quantizer carried): Lloyd's
     * k-means with k = dedupCells(N), first-k seeds, and
-    * `graft.dedup.kmeansIters` (default 2) exact update rounds, in the
+    * exactly TWO exact update rounds (fixed — mirrored by the oracle), in the
     * Clustering discipline so the DuckDB oracle replays it
     * bit-for-bit: vectors in micro-unit BIGINTs, distances as integer
     * sums (order-independent; the oracle's double d² algebra is exact
@@ -261,30 +261,43 @@ object Similarity {
     * build-time-eagerness ADVICE on the old N-count applies only to
     * the first build per session).
     */
+  private final case class CentEntry(fp: String, cents: DataFrame, k: Long)
   private val centMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Long)]()
+    (SparkSession, String), CentEntry]()
 
-  private def embFingerprint(d: String): String = {
-    val t = new java.io.File(d, "embeddings.parquet")
-    val parts =
-      if (t.isDirectory) graft.Tables.parquetParts(t) else Array(t)
-    s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
-  }
+  /** Lloyd iteration count — FIXED at 2, not a conf: the DuckDB oracle
+    * unrolls exactly this many update rounds (dedupCellSql splices
+    * dedupKmeansIter twice), so a runtime knob would silently break
+    * oracle agreement the moment anyone set it.
+    */
+  private val kmeansIters = 2
 
   private[ops] def trainedCells(s: SparkSession, d: String)
-      : (DataFrame, Long) =
-    centMemo.computeIfAbsent((s, s"$d|${embFingerprint(d)}"), _ =>
-      graft.Pinned.pinning(s.sparkContext) {
+      : (DataFrame, Long) = {
+    val fp = graft.Tables.fingerprint(d, "embeddings")
+    val entry = centMemo.compute((s, d), (_, prev) => {
+      if (prev != null && prev.fp == fp) prev
+      else {
+        // superseded entries carry no storage (the centroid frame is a
+        // local relation; the training scratch was released inside the
+        // build) — replacement is just a map update
         val vecs = embeddings(s, d)
           .select(col("vec_id"), Clustering.microVec(col("embedding"))
             .as("m"))
           .localCheckpoint(true)
         val k = dedupCells(vecs.count())
-        val iters = s.conf.getOption("graft.dedup.kmeansIters")
-          .flatMap(_.toIntOption).getOrElse(2).max(0)
-        var cents = vecs.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("m").as("cm"))
-          .localCheckpoint(true)
+        val iters = kmeansIters
+        // centroid frames are k-row LOCAL relations at every step (the
+        // seed is a bounded k-row collect, updates come from the k·dims
+        // aggregation collect) — no checkpoint, no storage, and no
+        // lineage into the training scratch frame, so releasing `vecs`
+        // below is safe regardless of the iteration count
+        var cents = s.createDataFrame(
+          vecs.filter(col("vec_id") < k)
+            .select(col("vec_id"), col("m")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Long](1)))
+            .sortBy(_._1).toSeq)
+          .toDF("cid", "cm")
         for (_ <- 1 to iters) {
           val asg = vecs.crossJoin(broadcast(cents))
             .withColumn("d2",
@@ -307,10 +320,15 @@ object Similarity {
             (cid, rs.sortBy(_._2).map(_._3).toSeq)
           }.sortBy(_._1)
           cents = s.createDataFrame(next).toDF("cid", "cm")
-            .localCheckpoint(true)
         }
-        (cents, k)
-      })
+        // the training scratch frame is not read after the block —
+        // release it so the memo holds no session storage at all
+        vecs.unpersist(blocking = false)
+        CentEntry(fp, cents, k)
+      }
+    })
+    (entry.cents, entry.k)
+  }
 
   /** Final assignment against the trained centroids: same plan shape
     * as `ivfAssign` (k-row broadcast + argmin), carrying the DOUBLE

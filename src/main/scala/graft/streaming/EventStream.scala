@@ -113,19 +113,13 @@ object EventStream {
   private val spanMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   def replayWatermark(spark: SparkSession, dir: String, marginSec: Long = 600L): String = {
-    // memo entry carries a file-metadata fingerprint (part count, max
-    // modTime, total bytes), not just the path: the SPAN is data-
+    // memo entry carries the shared file-metadata fingerprint
+    // (Tables.fingerprint), not just the path: the SPAN is data-
     // derived, and a rewritten/extended table at the same path (fixture
     // regeneration, a spec writing twice to one tmp dir) must re-probe
     // or the watermark silently shrinks below the new disorder bound —
     // the exact cross-trigger drop class this method exists to prevent.
-    // Byte total is part of the print because mtime granularity can be
-    // 1s on some filesystems; a same-second same-size rewrite of
-    // IDENTICAL span data is the only aliasing left, which is benign.
-    val table = new java.io.File(dir, "events.parquet")
-    val parts =
-      if (table.isDirectory) Tables.parquetParts(table) else Array(table)
-    val fp = s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
+    val fp = Tables.fingerprint(dir, "events")
     val span = spanMemo.compute(dir, (_, prev) => {
       if (prev != null && prev._1 == fp) prev
       else {

@@ -48,9 +48,14 @@ object RenderScaling {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => Nil
     }
+    // fail self-describingly on a partial/renamed-query artifact, not
+    // with a bare key-not-found from Map.apply
+    require(qs.nonEmpty, "BENCH_LAST.json has an empty queries map")
+    def med(name: String): Double = qs.getOrElse(name, sys.error(
+      s"BENCH_LAST.json lacks $name — partial or stale full-fleet artifact"))
     val (slowName, slowMed) = qs.maxBy(_._2)
-    val cdc = qs("q_etl_cdc_batch")
-    val load = qs("q_etl_initial_load")
+    val cdc = med("q_etl_cdc_batch")
+    val load = med("q_etl_initial_load")
     val volLine =
       if (volatileQ.isEmpty)
         "Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: none."

@@ -48,9 +48,9 @@ NOTE = (
     "restructured to one grouped pass (WindowHash64Expr kernel + "
     "size-capped sorted collect) - one token-wide shuffle instead of "
     "three; (4) semantic dedup's quantizer is TRAINED k-means (2 exact "
-    "integer Lloyd rounds, memoized per corpus) - +14.5% dup-witness "
-    "recall vs first-k seeds at the same pair budget "
-    "(SemanticQuantizerSpec). forced_paths times the budget-gated graph "
+    "integer Lloyd rounds, memoized per corpus) - recall vs first-k "
+    "seeds gated >= by SemanticQuantizerSpec (round-12 sf0.01 run: 189 "
+    "vs 165 dup witnesses). forced_paths times the budget-gated graph "
     "operators with BOTH gate sides forced (graft.tools.GateCheck, same "
     "rep protocol): the *_distributed rows are the plans that run at "
     "100 TB, and edges_build is the memo-bypassed one-time derivation. "
@@ -71,9 +71,13 @@ def run_bench(sfdir, out):
                SPARK_GRAFT_BENCH_ONLY=",".join(QUERIES),
                SPARK_GRAFT_BENCH_OUT=out)
     print(f"[mk_sf1] bench {sfdir} ...", flush=True)
-    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
-                   check=True, stdout=subprocess.DEVNULL,
-                   stderr=subprocess.DEVNULL)
+    log = out + ".log"
+    with open(log, "w") as lf:
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                       check=True, stdout=lf, stderr=subprocess.STDOUT)
+    if not os.path.exists(out):
+        sys.exit(f"bench at {sfdir} wrote no {out} - see {log} "
+                 "(BENCH_OUT write failure is only reported there)")
     with open(out) as f:
         return json.load(f)
 
