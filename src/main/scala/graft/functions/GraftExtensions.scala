@@ -52,6 +52,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot_long(a, b) - exact dot product of two bigint arrays"),
       (exprs: Seq[Expression]) => DotLongExpr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_pairs"),
+      info("graft_sorted_pairs",
+        "graft_sorted_pairs(sorted_bigints) - all (a<b) element pairs " +
+          "as struct<sa,sb>, one per index pair"),
+      (exprs: Seq[Expression]) => SortedPairsExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_window_hash"),
+      info("graft_window_hash",
+        "graft_window_hash(tokens, w) - distinct 64-bit hashes of every " +
+          "w-consecutive-token window"),
+      (exprs: Seq[Expression]) => WindowHash64Expr(exprs(0),
+        TokenWindowExpr.wFromExpr(exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier("graft_stopword_hits"),
       info("graft_stopword_hits",
         "graft_stopword_hits(text, 'w1,w2,...') - single-pass stopword count"),

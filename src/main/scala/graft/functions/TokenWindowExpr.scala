@@ -107,4 +107,21 @@ object TokenWindowExpr {
 
   def windowHashes(a: Column, w: Int): Column =
     GraftBridge.column(WindowHash64Expr(GraftBridge.expression(a), w))
+
+  /** SQL-surface helper: the window width must be a foldable integer
+    * literal (it is baked into the expression instance).
+    */
+  def wFromExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case lit if lit.foldable =>
+        lit.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_window_hash width must be an integer literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"graft_window_hash width must be a foldable literal, got $other")
+    }
 }

@@ -216,6 +216,103 @@ object Clustering {
       .limit(5)
   }
 
+  /** IVF-PQ — the composition the two index halves exist for, and the
+    * canonical 100 TB ANN layout: a coarse quantizer routes each
+    * vector to an inverted list (IVF, 16 first-k cells), and the
+    * vector's RESIDUAL against its cell centroid is product-quantized
+    * (8 subspaces × 16 codewords, codebook = the first 16 residuals).
+    * Residual encoding is what makes the composition better than
+    * either half: within a cell the residual magnitudes are small, so
+    * the same codebook budget spends its resolution where the cell's
+    * vectors actually differ.
+    *
+    * Query path: probe the TWO nearest cells (the IVF nprobe knob),
+    * build one 8×16 ADC lookup table PER PROBED CELL from the query's
+    * residual against THAT cell's centroid, estimate distances for
+    * in-cell codes by summing 8 table entries, take the top-32
+    * candidates, and rescore them with the exact cosine. At 100 TB:
+    * the candidate scan touches 2/16 of the corpus and reads 8 small
+    * code ids per vector; the codebook, probe set, and LUT are
+    * broadcast-sized by construction; the exact math runs on 32 rows.
+    *
+    * Every quantized quantity is micro-unit BIGINT arithmetic —
+    * assignments, residuals, and ADC sums are exact integers (residual
+    * components ≤ ~2.4e6, squared-sum terms ≪ 2^53), so the candidate
+    * ranking is bit-identical in any engine and the DuckDB oracle
+    * replays the whole index build.
+    */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      microVec(col("embedding")).as("m"),
+      transform(col("embedding"), x => x.cast("double")).as("le"))
+    val coarse = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("ccid"), col("m").as("ccm"))
+    // coarse assignment carries the winning centroid in the argmin
+    // struct so the residual is one zip_with away (no join-back); the
+    // array field only ever tie-breaks after (d2, ccid), i.e. never
+    val asg = e.crossJoin(broadcast(coarse))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(dist2(col("m"), col("ccm")).as("d"),
+          col("ccid").as("cell"), col("ccm").as("cm"))).as("b"),
+        first(col("m")).as("m"), first(col("le")).as("le"))
+      .select(col("vec_id"), col("b.cell").as("cell"),
+        zip_with(col("m"), col("b.cm"), (x, c) => x - c).as("r"),
+        col("le"))
+    // PQ codebook on residuals: the first 16 vectors' residuals (a
+    // trained per-subspace codebook slots in identically)
+    val book = asg.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("code"), col("r").as("cr"))
+    def sub(c: Column, j: Int) = slice(c, j * subDim + 1, subDim)
+    val subAggs = (0 until nSub).map { j =>
+      min(struct(dist2(sub(col("r"), j), sub(col("cr"), j)).as("d"),
+        col("code").as("code"))).as(s"c$j")
+    }
+    val codes = asg.select(col("vec_id"), col("cell"), col("r"))
+      .crossJoin(broadcast(book))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cell")).as("cell"), subAggs: _*)
+      .select(col("vec_id"), col("cell"), posexplode(
+        array((0 until nSub).map(j => col(s"c$j.code")): _*))
+        .as(Seq("j", "code")))
+    // query probes: its TWO nearest coarse cells, with the residual
+    // against EACH probed centroid (the LUT is per probed cell)
+    val qProbes = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(coarse))
+      .select(col("ccid").as("qcell"),
+        dist2(col("m"), col("ccm")).as("qd"),
+        zip_with(col("m"), col("ccm"), (x, c) => x - c).as("qr"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("qd"), col("qcell"))))
+      .filter(col("rn") <= 2)
+      .select(col("qcell"), col("qr"))
+    // ADC lookup table: (probed cell, subspace, codeword) → partial d²
+    val lut = book.crossJoin(broadcast(qProbes))
+      .select(col("qcell"), col("code"), posexplode(
+        array((0 until nSub).map(j =>
+          dist2(sub(col("cr"), j), sub(col("qr"), j))): _*))
+        .as(Seq("j", "l")))
+      .select(col("qcell"), col("j"), col("code"), col("l"))
+    val dotD = (a: Column, b: Column) => graft.functions.DotExpr.dot(a, b)
+    val q = e.filter(col("vec_id") === 0).select(col("le").as("qe"))
+    codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut),
+        col("cell") === col("qcell") && codes("j") === lut("j")
+          && codes("code") === lut("code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("l")).as("est"))
+      .orderBy(col("est"), col("vec_id"))
+      .limit(32)
+      .join(e.select(col("vec_id"), col("le")), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotD(col("le"), col("qe")) /
+          (sqrt(dotD(col("le"), col("le"))) *
+            sqrt(dotD(col("qe"), col("qe")))), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Class-conditional embedding statistics over the labeled corpus:
     * per label, member count plus exact integer fingerprints of the
     * class centroid (component sum) and the second moment (norm²
@@ -254,6 +351,7 @@ object Clustering {
     "q_knn_kmeans" -> (kmeans _),
     "q_knn_int8" -> (knnInt8 _),
     "q_knn_pq" -> (knnPq _),
+    "q_knn_ivfpq" -> (knnIvfPq _),
     "q_knn_label_stats" -> (labelStats _),
     "q_knn_audit" -> (embeddingAudit _),
   )
@@ -345,6 +443,58 @@ object Clustering {
          |top32 AS (
          |  SELECT vec_id, est FROM est WHERE vec_id <> 0
          |  ORDER BY est, vec_id LIMIT 32)
+         |SELECT t.vec_id,
+         |  round(list_inner_product(v.le, q.qe) /
+         |    (sqrt(list_inner_product(v.le, v.le)) *
+         |     sqrt(list_inner_product(q.qe, q.qe))), 6) AS sim
+         |FROM top32 t JOIN v ON v.vec_id = t.vec_id, q
+         |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin,
+    "q_knn_ivfpq" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, $microSql AS m,
+         |    list_transform(embedding, x -> x::DOUBLE) AS le
+         |  FROM embeddings),
+         |cc AS (SELECT vec_id::INT AS ccid, m AS ccm FROM v WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, cell, le,
+         |    list_transform(range(1, 65), i -> m[i] - ccm[i]) AS r
+         |  FROM (
+         |    SELECT v.vec_id, v.m, v.le, c.ccid AS cell, c.ccm,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${d2Sql("v.m", "c.ccm")}, c.ccid) AS rn
+         |    FROM v, cc c) t WHERE rn = 1),
+         |book AS (SELECT vec_id::INT AS code, r AS cr FROM asg
+         |         WHERE vec_id < 16),
+         |encd AS (
+         |  SELECT a.vec_id, a.cell, t.j, b.code,
+         |    ${d2Sql("list_slice(a.r, t.j*8+1, t.j*8+8)",
+                      "list_slice(b.cr, t.j*8+1, t.j*8+8)")} AS dd
+         |  FROM asg a, range(8) t(j), book b),
+         |codes AS (
+         |  SELECT vec_id, cell, j, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |      ORDER BY dd, code) AS rn
+         |    FROM encd) x WHERE rn = 1),
+         |qp AS (
+         |  SELECT ccid AS qcell,
+         |    list_transform(range(1, 65), i -> m[i] - ccm[i]) AS qr
+         |  FROM (
+         |    SELECT v.m, c.ccid, c.ccm,
+         |      row_number() OVER (
+         |        ORDER BY ${d2Sql("v.m", "c.ccm")}, c.ccid) AS rn
+         |    FROM v, cc c WHERE v.vec_id = 0) t WHERE rn <= 2),
+         |lut AS (
+         |  SELECT qp.qcell, t.j, b.code,
+         |    ${d2Sql("list_slice(b.cr, t.j*8+1, t.j*8+8)",
+                      "list_slice(qp.qr, t.j*8+1, t.j*8+8)")} AS l
+         |  FROM book b, range(8) t(j), qp),
+         |est AS (
+         |  SELECT c.vec_id, sum(l.l) AS est
+         |  FROM codes c JOIN lut l
+         |    ON c.cell = l.qcell AND c.j = l.j AND c.code = l.code
+         |  WHERE c.vec_id <> 0 GROUP BY 1),
+         |top32 AS (SELECT vec_id, est FROM est ORDER BY est, vec_id LIMIT 32),
+         |q AS (SELECT le AS qe FROM v WHERE vec_id = 0)
          |SELECT t.vec_id,
          |  round(list_inner_product(v.le, q.qe) /
          |    (sqrt(list_inner_product(v.le, v.le)) *

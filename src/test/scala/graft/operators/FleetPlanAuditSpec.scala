@@ -51,6 +51,10 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     "q_knn_ivf" -> 2,           // k-row centroid set, assign + probe
     "q_knn_ivf_multiprobe" -> 2, // same, multiprobe cell list
     "q_knn_pq" -> 3,            // per-subspace codebooks + query block
+    "q_knn_ivfpq" -> 7,         // coarse set (assign + 2 probe builds),
+                                // residual codebook (encode + LUT),
+                                // probe set, query block — all
+                                // broadcast-sized by construction
     "q_knn_recall" -> 3,        // brute baseline + IVF composition
     "q_knn_recall_mp" -> 3,     // same, multiprobe
     "q_o9_zorder" -> 1,         // 1-row range-bounds frame for the curve

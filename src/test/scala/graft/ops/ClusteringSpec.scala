@@ -86,6 +86,27 @@ class ClusteringSpec extends AnyFunSuite {
       s"pq top-1 ${got.head} != exact top-1 ${brute.head}")
   }
 
+  test("ivf-pq rescore agrees with brute force on the top result") {
+    val spark = TestSpark.spark
+    val got = Clustering.knnIvfPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 5)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.reverse.toSeq)
+    val brute = Similarity.knnBrute(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // two probed cells cover 2/16 of the corpus and residual-ADC keeps
+    // 32 candidates; the exact top-1 must survive both phases here
+    assert(got.head == brute.head,
+      s"ivf-pq top-1 ${got.head} != exact top-1 ${brute.head}")
+    // and the composed index must not trail plain PQ on this corpus:
+    // same rescore budget, tighter candidate funnel
+    val pq = Clustering.knnPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val bruteSet = brute.map(_._1).toSet
+    assert(got.count(g => bruteSet(g._1)) >= pq.count(p => bruteSet(p._1)),
+      "residual IVF-PQ must not lose top-5 overlap vs raw-vector PQ")
+  }
+
   test("second IVF probe never loses recall (probe-set monotonicity)") {
     val spark = TestSpark.spark
     // a truth member found by the single probe survives any candidate
