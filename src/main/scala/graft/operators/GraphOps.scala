@@ -439,6 +439,121 @@ object GraphOps {
         .select(col("sa").as("doc_a"), col("sb").as("doc_b")))
       .select(col("id").as("v"), col("label").as("component"))
 
+  /** K-CORE (the densest-community extractor): iteratively peel
+    * vertices of degree < k until the subgraph is stable; the
+    * survivors with their in-core degrees are the graph's stable dense
+    * backbone (spam-ring / collusion detection's first cut — a vertex
+    * is in the k-core iff it has ≥ k neighbors that themselves
+    * survive). k is RELATIVE — ⌈mean degree / 2⌉ (exact integer ceil,
+    * floor 2), the same philosophy as the edge threshold's 1.25×-mean:
+    * an absolute k silently degrades to peel-nothing or peel-everything
+    * as the derived graph densifies with the corpus (a fixed k=8 left
+    * the sf0.1 graph untouched while biting at sf0.01). Full-mean k
+    * measured as over-aggressive: on this family's tight degree
+    * distributions the ⌈mean⌉-peel CASCADES to an empty graph at every
+    * SF, while the half-mean backbone keeps a near-regular graph whole
+    * (the correct answer — in a regular graph everything is core) and
+    * still peels the sf0.01 tail (91/100 survive).
+    * The operator is defined as AT MOST 10 peeling rounds
+    * with early-stop on a stable edge count — a fixed unroll both
+    * engines replay identically (extra rounds after convergence are
+    * no-ops, so early-stopping cannot diverge from the oracle's fixed
+    * 10-round CTE chain), and 10 rounds converge at every tested SF
+    * (peel chains deeper than 10 would simply be cut identically on
+    * both sides).
+    *
+    * Scale shape: each round is ONE degree aggregation + TWO
+    * semi-joins on the surviving vertex set, all keyed on vertex ids
+    * over an edge list that only SHRINKS; lineage truncates per round
+    * so the plan stays O(1) deep (the pagerank discipline). The
+    * budget-gated local twin peels on the driver when the edge list is
+    * broadcast-sized — bit-identical by construction (integer degrees,
+    * no ordering sensitivity), pinned by GraphOpsSpec.
+    */
+  private val coreRounds = 10
+
+  /** k = ⌈mean degree / 2⌉ = ⌈directed edges / (2·vertices)⌉, floor 2
+    * — integer arithmetic only, so both engines land the same k even
+    * when the ratio is exactly integral.
+    */
+  private[operators] def coreK(nDirected: Long, nVertices: Long): Long =
+    math.max(2L, (nDirected + 2L * nVertices - 1L) / (2L * nVertices))
+
+  private[operators] def kcoreLocal(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    var es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val k = coreK(es.length.toLong, es.map(_._1).distinct.length.toLong)
+    var r = 0
+    var changed = true
+    while (r < coreRounds && changed) {
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, _) => deg.merge(u, 1L, _ + _) }
+      val es2 = es.filter { case (u, v) =>
+        deg.get(u) >= k && deg.get(v) >= k
+      }
+      changed = es2.length != es.length
+      es = es2
+      r += 1
+    }
+    val out = new java.util.HashMap[Long, Long]()
+    es.foreach { case (u, _) => out.merge(u, 1L, _ + _) }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toArray.map { case (v, c) => (v.longValue(), c.longValue()) }
+      .sortBy(_._1)
+  }
+
+  def kcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (e, nEdges) = affinityEdges(s, d)
+    if (nEdges == 0L)
+      return Seq.empty[(Long, Long)].toDF("v", "core_deg")
+    if (nEdges <= broadcastEdgeBudget(s)) {
+      val core = kcoreLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      return s.sparkContext
+        .parallelize(core.toIndexedSeq,
+          math.max(1, math.min(fanout(s), core.length / 32768 + 1)))
+        .toDF("v", "core_deg")
+    }
+    kcoreDistributed(s, e, nEdges)
+  }
+
+  /** The distributed peel over a MATERIALIZED edge list — the
+    * over-budget path, also exercised directly by GraphOpsSpec to pin
+    * bit-equality with `kcoreLocal`.
+    */
+  private[operators] def kcoreDistributed(s: SparkSession, e: DataFrame,
+      nEdges: Long): DataFrame =
+    graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
+      var edges = e.select(col("sa").as("u"), col("sb").as("v"))
+        .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+        .localCheckpoint(false)
+      var nPrev = edges.count()
+      // every vertex appears as a source in the directed list, so the
+      // distinct-source count IS the vertex count
+      val k = coreK(nPrev, edges.select(col("u")).distinct().count())
+      var r = 0
+      var changed = true
+      while (r < coreRounds && changed) {
+        val alive = edges.groupBy(col("u"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("u"))
+        edges = edges
+          .join(alive, "u")
+          .join(alive.select(col("u").as("v")), "v")
+          .select(col("u"), col("v"))
+          .localCheckpoint(false)
+        val n = edges.count()
+        changed = n != nPrev
+        nPrev = n
+        r += 1
+      }
+      edges.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("v"), col("core_deg"))
+        .localCheckpoint(true)
+    }
+
   /** Degree distribution in exact log2 buckets (bit length — never a
     * transcendental): the first diagnostic on any derived graph — a
     * heavy tail here is what makes the degree-oriented triangle
@@ -462,6 +577,7 @@ object GraphOps {
     "q_g2_pagerank" -> (pagerank _),
     "q_g3_components" -> (components _),
     "q_g4_degrees" -> (degrees _),
+    "q_g5_kcore" -> (kcore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -508,6 +624,33 @@ object GraphOps {
         |SELECT (length(bin(deg)) - 1)::BIGINT AS log2_deg,
         |  count(*) AS n_vertices, min(deg) AS min_deg, max(deg) AS max_deg
         |FROM deg GROUP BY 1""".stripMargin,
+    "q_g5_kcore" -> {
+      // 10 unrolled peel rounds; MATERIALIZED, or DuckDB's CTE inlining
+      // re-expands each level ~3x and the plan goes exponential (first
+      // attempt died with "Too many open files" at depth 10)
+      def peel(i: Int): String =
+        s"""a$i AS MATERIALIZED (
+           |  SELECT u FROM e${i - 1} GROUP BY u
+           |  HAVING count(*) >= (SELECT k FROM kk)),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN a$i x ON e.u = x.u JOIN a$i y ON e.v = y.u)""".stripMargin
+      s"""WITH co AS MATERIALIZED (
+         |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_suppkey < b.l_suppkey
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (SELECT sa, sb FROM co
+         |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co)),
+         |e0 AS MATERIALIZED (SELECT sa AS u, sb AS v FROM pairs
+         |      UNION ALL SELECT sb, sa FROM pairs),
+         |kk AS MATERIALIZED (
+         |  SELECT greatest(2, ((SELECT count(*) FROM e0)
+         |    + 2 * (SELECT count(DISTINCT u) FROM e0) - 1)
+         |    // (2 * (SELECT count(DISTINCT u) FROM e0))) AS k),
+         |${(1 to 10).map(peel).mkString(",\n")}
+         |SELECT u AS v, count(*) AS core_deg FROM e10 GROUP BY u""".stripMargin
+    },
     "q_g2_pagerank" -> {
       def iter(prev: String, next: String): String =
         s"""$next AS (

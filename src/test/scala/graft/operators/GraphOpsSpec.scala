@@ -116,6 +116,35 @@ class GraphOpsSpec extends AnyFunSuite {
     val prDist = forced("graft.graph.broadcastEdges", "0")(pr())
     assert(prLocal == prDist, "sf0.1 pagerank paths disagree")
     assert(prLocal.nonEmpty)
+
+    def core(): Map[Long, Long] =
+      GraphOps.kcore(spark, sf01).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coreLocal = core()
+    val coreDist = forced("graft.graph.broadcastEdges", "0")(core())
+    assert(coreLocal == coreDist, "sf0.1 k-core paths disagree")
+    assert(coreLocal.nonEmpty, "sf0.1 half-mean core should be non-empty")
+  }
+
+  test("kcore peels a planted sparse tail, keeps the dense block, and paths agree") {
+    // 8 vertices in a near-clique plus a 3-vertex chain hanging off it:
+    // mean degree ≈ (8·7 + extra) / 11 — the half-mean k lands where
+    // the chain (degree ≤ 2) peels and its removal does not cascade
+    // into the block
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val block = for {
+      a <- 0L until 8L; b <- 0L until 8L if a < b
+    } yield (a, b)
+    val chain = Seq((7L, 100L), (100L, 101L), (101L, 102L))
+    val edges = (block ++ chain).toArray
+    val local = GraphOps.kcoreLocal(edges).toMap
+    assert(local.keySet == (0L until 8L).toSet,
+      s"dense block must survive, tail must peel: $local")
+    val e = edges.toSeq.toDF("sa", "sb").localCheckpoint(true)
+    val dist = GraphOps.kcoreDistributed(spark, e, edges.length.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local $local vs distributed $dist")
   }
 
   test("local and distributed pagerank are bit-identical") {
