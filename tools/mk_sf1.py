@@ -21,8 +21,8 @@ QUERIES = [
     "q_cur_upsample", "q_dedup_canonical", "q_dedup_crossmodal",
     "q_dedup_groups", "q_dedup_semantic", "q_dedup_substring",
     "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
-    "q_g3_components", "q_g4_degrees", "q_knn_batch", "q_knn_hardneg",
-    "q_knn_ivf", "q_src_jsonl", "q_src_jsonl_gz", "q_stream_dedup_wm",
+    "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_knn_batch",
+    "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_src_jsonl", "q_src_jsonl_gz", "q_stream_dedup_wm",
     "q_stream_join", "q_stream_jsonl", "q_stream_jsonl_gz",
     "q_stream_session", "q_stream_session_append",
     "q_stream_state_dedup", "q_stream_tumbling", "q_text_bpe_encode",
@@ -32,8 +32,8 @@ QUERIES = [
 ]
 
 NOTE = (
-    "Round-12 refresh (36 headline queries; q_dedup_substring joins the "
-    "sweep). sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
+    "Round-12 refresh (38 headline queries; q_dedup_substring, q_g5_kcore "
+    "and q_knn_ivfpq join the sweep). sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
     "disjoint key ranges). Medians of 3 timed reps after one untimed "
     "warm-up, storage drop + GC drain outside each timed window, "
     "local[32], same Bench config as BENCH_LAST; assembled by "
