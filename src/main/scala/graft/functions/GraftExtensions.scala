@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteLevenshteinGuard)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash",

@@ -114,9 +114,27 @@ object AsofJoin {
       .agg(count(col("rts")).as("n_prior_minute"))
   }
 
+  /** J7 through the custom physical operator ([[graft.plans.AsofJoinExec]])
+    * instead of the union+window formulation — same rows (shared oracle),
+    * one fewer materialized stage: the merge streams both sorted sides.
+    */
+  def j12AsofExec(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    graft.plans.AsofExec.asof(
+      left = ev.drop("event_type"),
+      right = ev.filter(col("event_type") === "purchase"),
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts_us", rightTime = "ts_us",
+      payload = "event_id", payloadAlias = "last_purchase_id")
+      .select("event_id", "user_id", "last_purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_j7_asof" -> (j7Asof _),
     "q_j8_range" -> (j8Range _),
+    "q_j12_asof_exec" -> (j12AsofExec _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +155,15 @@ object AsofJoin {
         |  AND epoch_ns(r.ts) >= epoch_ns(e.ts) - 60000000000
         |  AND epoch_ns(r.ts) < epoch_ns(e.ts)
         |GROUP BY e.event_id""".stripMargin,
+    // identical semantics to q_j7_asof — the custom exec must produce
+    // the same relation, so it shares the oracle text verbatim
+    "q_j12_asof_exec" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) AS tp, event_id
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id,
+        |  (SELECT arg_max(p.event_id, p.tp) FROM p
+        |   WHERE p.user_id = e.user_id AND p.tp < epoch_ns(e.ts))
+        |    AS last_purchase_id
+        |FROM events e""".stripMargin,
   )
 }
