@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -347,6 +348,88 @@ object Clustering {
         sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
         min(col("n2")).as("norm2_min"), max(col("n2")).as("norm2_max"))
 
+  /** Exact-integer PCA: the dominant principal direction of the
+    * embedding corpus via power iteration on the (uncentered) second-
+    * moment Gram matrix — the standard corpus-health probe ("is there
+    * one axis eating all the variance?") and the first step of
+    * whitening/OPQ-style rotations.
+    *
+    * Scale shape — the part that matters at 100 TB: the Gram matrix is
+    * accumulated in ONE distributed pass with a partial-aggregating
+    * UDAF (a d*d long buffer per task, merge = vector add), so the
+    * shuffle carries one 32 KB row per partition, NOT the d*d-per-row
+    * explode a naive groupBy(i, j) would fan out (64x the corpus). The
+    * only driver work is the d*d collect (fixed by the schema, never
+    * by the corpus — the same bound as the k-means centroid collect)
+    * and three 64x64 integer mat-vecs.
+    *
+    * Exactness: all arithmetic is int64 with magnitudes proven small —
+    * Gram entries <= N * 1e12 (micro^2), the per-row normalization
+    * `gij div N` caps them at 1e12 independent of N, iterates stay
+    * <= 1e3, so mat-vec sums stay <= 64 * 1e15. Division is
+    * truncation toward zero in BOTH engines (Scala `/`, DuckDB `//` —
+    * verified on negatives), so the oracle replays every iteration
+    * bit-for-bit. The all-ones start and fixed 3 iterations make the
+    * sign and scale of the output deterministic.
+    */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+      .select(microVec(col("embedding")).as("m"))
+    val gram = udaf(GramAgg, ExpressionEncoder[Seq[Long]]())
+    val row = vecs.agg(gram(col("m")).as("g"), count(lit(1)).as("n"))
+      .head()
+    val g = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    require(n > 0, "pcaPower on an empty embeddings table")
+    // per-entry scale-down: caps magnitudes for the iteration and makes
+    // the Gram scale-invariant in N (gp is the mean outer product)
+    val gp = g.map(_ / n).toArray
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 1 to pcaIters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0L; var j = 0
+        while (j < dims) { acc += gp(i * dims + j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      val div = m / 1000L + 1L
+      v = w.map(_ / div)
+    }
+    import s.implicits._
+    v.toSeq.zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("dim", "loading")
+  }
+
+  /** One-pass Gram accumulation: buffer = flattened d x d int64 matrix,
+    * reduce adds the row's outer product, merge adds buffers. Partial
+    * aggregation makes this a single narrow scan at any scale.
+    */
+  private object GramAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](dims * dims)
+    def reduce(b: Array[Long], row: Seq[Long]): Array[Long] = {
+      val v = row.toArray
+      require(v.length == dims, s"expected $dims dims, got ${v.length}")
+      var i = 0
+      while (i < dims) {
+        val vi = v(i); val base = i * dims; var j = 0
+        while (j < dims) { b(base + j) += vi * v(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  private val pcaIters = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_kmeans" -> (kmeans _),
     "q_knn_int8" -> (knnInt8 _),
@@ -354,6 +437,7 @@ object Clustering {
     "q_knn_ivfpq" -> (knnIvfPq _),
     "q_knn_label_stats" -> (labelStats _),
     "q_knn_audit" -> (embeddingAudit _),
+    "q_knn_pca" -> (pcaPower _),
   )
 
   /** The k-means oracle replays both Lloyd iterations in SQL — exact
@@ -405,6 +489,29 @@ object Clustering {
          |  sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
          |  min(n2) AS norm2_min, max(n2) AS norm2_max
          |FROM m""".stripMargin,
+    // replays the full power iteration: Gram via the d x d explode
+    // (fine at oracle scale; Spark uses the one-pass UDAF instead),
+    // then three unrolled mat-vec + truncating-renormalize rounds.
+    // `//` truncates toward zero in DuckDB, matching Scala/Spark div.
+    "q_knn_pca" ->
+      s"""WITH vecs AS (SELECT $microSql AS m FROM embeddings),
+         |n AS (SELECT count(*)::BIGINT AS c FROM vecs),
+         |g AS (SELECT i, j, SUM(m[i + 1] * m[j + 1])::BIGINT AS gij
+         |      FROM vecs, range(64) t1(i), range(64) t2(j)
+         |      GROUP BY i, j),
+         |gs AS (SELECT i, j, gij // n.c AS gp FROM g, n),
+         |w1 AS (SELECT i, SUM(gp * 1000)::BIGINT AS w FROM gs GROUP BY i),
+         |d1 AS (SELECT MAX(ABS(w)) // 1000 + 1 AS dv FROM w1),
+         |v1 AS (SELECT i, w // dv AS v FROM w1, d1),
+         |w2 AS (SELECT gs.i, SUM(gs.gp * v1.v)::BIGINT AS w
+         |       FROM gs JOIN v1 ON v1.i = gs.j GROUP BY gs.i),
+         |d2 AS (SELECT MAX(ABS(w)) // 1000 + 1 AS dv FROM w2),
+         |v2 AS (SELECT i, w // dv AS v FROM w2, d2),
+         |w3 AS (SELECT gs.i, SUM(gs.gp * v2.v)::BIGINT AS w
+         |       FROM gs JOIN v2 ON v2.i = gs.j GROUP BY gs.i),
+         |d3 AS (SELECT MAX(ABS(w)) // 1000 + 1 AS dv FROM w3),
+         |v3 AS (SELECT i, w // dv AS v FROM w3, d3)
+         |SELECT i::INT AS dim, v::BIGINT AS loading FROM v3""".stripMargin,
     "q_knn_label_stats" ->
       s"""WITH m AS (SELECT label::BIGINT AS label, $microSql AS m
          |           FROM embeddings),

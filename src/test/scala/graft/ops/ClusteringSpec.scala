@@ -166,4 +166,59 @@ class ClusteringSpec extends AnyFunSuite {
         s"qid=$qid got=${got(qid)} want hits=$hits")
     }
   }
+
+  test("pcaPower recovers a planted dominant axis and is deterministic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 200 synthetic vectors: dim 7 carries +-0.9, every other dim is
+    // small deterministic noise — the second moment is dominated by
+    // axis 7, so the top loading must land there with the largest |v|
+    val planted = (0 until 200).map { r =>
+      val v = Array.tabulate(64) { i =>
+        if (i == 7) (if (r % 2 == 0) 0.9f else -0.9f)
+        else (((r * 31 + i * 17) % 13) - 6) / 100.0f
+      }
+      (r.toLong, v.toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Clustering.pcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(out.length == 64)
+    val byAbs = out.sortBy { case (_, l) => -math.abs(l) }
+    assert(byAbs.head._1 == 7,
+      s"dominant loading not on the planted axis: ${byAbs.take(3).toSeq}")
+    assert(math.abs(byAbs.head._2) > 2 * math.abs(byAbs(1)._2),
+      "planted axis should dominate clearly")
+    val again = Clustering.pcaPower(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "power iteration must be bit-stable")
+  }
+
+  test("pcaPower one-pass Gram equals the naive explode formulation") {
+    val spark = TestSpark.spark
+    // the UDAF path is the scale design; pin its arithmetic against an
+    // independent in-memory Gram over the same quantized vectors
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(expr("transform(embedding, x -> bigint(round(x * 1e6)))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length.toLong
+    val gp = Array.ofDim[Long](64 * 64)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < 64) { var j = 0; while (j < 64) {
+        gp(i * 64 + j) += v(i) * v(j); j += 1 }; i += 1 }
+    }
+    var v = Array.fill(64)(1000L)
+    val gq = gp.map(_ / n)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(64) { i =>
+        (0 until 64).map(j => gq(i * 64 + j) * v(j)).sum }
+      val dvv = w.map(math.abs).max / 1000L + 1L
+      v = w.map(_ / dvv)
+    }
+    val got = Clustering.pcaPower(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    assert(got.toSeq == v.toSeq, "distributed Gram diverged from reference")
+  }
 }
