@@ -554,6 +554,79 @@ object GraphOps {
         .localCheckpoint(true)
     }
 
+  /** LABEL PROPAGATION communities (synchronous, deterministic): every
+    * vertex starts labeled with its own id; each round it adopts the
+    * label most frequent among its neighbors' PREVIOUS labels, ties to
+    * the smallest label. Fixed `lpaRounds` synchronous rounds — the
+    * deterministic variant of the classic LPA (the asynchronous
+    * random-order original is irreproducible by design, useless under
+    * an oracle), and unlike connected components it splits a bridged
+    * graph into its dense regions instead of flooding to one label.
+    *
+    * Scale shape: each round is ONE shuffle keyed on vertex id (join
+    * neighbors to previous labels) + ONE (vertex, label) count + a
+    * per-vertex top-1 window — all linear in edges; lineage truncates
+    * per round (the pagerank discipline), so the plan depth stays O(1)
+    * and the frame carried between rounds is one row per vertex.
+    * Budget-gated local twin solves on the driver under the broadcast
+    * edge budget, bit-identical by construction (integer counts, total
+    * tie order), pinned by GraphOpsSpec.
+    */
+  private val lpaRounds = 4
+
+  private[operators] def lpaLocal(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val dir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nbrs = dir.groupBy(_._1).map { case (v, es) => (v, es.map(_._2)) }
+    var label: Map[Long, Long] = nbrs.keysIterator.map(v => v -> v).toMap
+    for (_ <- 1 to lpaRounds) {
+      label = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(label).map { case (l, xs) => (l, xs.length) }
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    label.toArray.sortBy(_._1)
+  }
+
+  def labelprop(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (e, nEdges) = affinityEdges(s, d)
+    if (nEdges == 0L)
+      return Seq.empty[(Long, Long)].toDF("v", "community")
+    if (nEdges <= broadcastEdgeBudget(s)) {
+      val out = lpaLocal(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      return s.sparkContext
+        .parallelize(out.toIndexedSeq,
+          math.max(1, math.min(fanout(s), out.length / 32768 + 1)))
+        .toDF("v", "community")
+    }
+    labelpropDistributed(s, e, nEdges)
+  }
+
+  private[operators] def labelpropDistributed(s: SparkSession, e: DataFrame,
+      nEdges: Long): DataFrame =
+    graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
+      val dir = e.select(col("sa").as("u"), col("sb").as("v"))
+        .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+        .localCheckpoint(false)
+      var lab = dir.select(col("u").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+        .localCheckpoint(false)
+      val byVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+      for (_ <- 1 to lpaRounds) {
+        lab = dir.join(lab, "v")
+          .groupBy(col("u"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byVote))
+          .filter(col("rn") === 1)
+          .select(col("u").as("v"), col("label"))
+          .localCheckpoint(false)
+      }
+      lab.select(col("v"), col("label").as("community"))
+        .localCheckpoint(true)
+    }
+
   /** Degree distribution in exact log2 buckets (bit length — never a
     * transcendental): the first diagnostic on any derived graph — a
     * heavy tail here is what makes the degree-oriented triangle
@@ -578,6 +651,7 @@ object GraphOps {
     "q_g3_components" -> (components _),
     "q_g4_degrees" -> (degrees _),
     "q_g5_kcore" -> (kcore _),
+    "q_g6_labelprop" -> (labelprop _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -650,6 +724,31 @@ object GraphOps {
          |    // (2 * (SELECT count(DISTINCT u) FROM e0))) AS k),
          |${(1 to 10).map(peel).mkString(",\n")}
          |SELECT u AS v, count(*) AS core_deg FROM e10 GROUP BY u""".stripMargin
+    },
+    "q_g6_labelprop" -> {
+      // 4 unrolled synchronous rounds, MATERIALIZED for the same CTE
+      // re-expansion reason as the k-core peel
+      def round(i: Int): String =
+        s"""l$i AS MATERIALIZED (
+           |  SELECT v, label FROM (
+           |    SELECT e.u AS v, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.u
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM e JOIN l${i - 1} l ON l.v = e.v
+           |    GROUP BY e.u, l.label) t WHERE rn = 1)""".stripMargin
+      s"""WITH co AS MATERIALIZED (
+         |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_suppkey < b.l_suppkey
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (SELECT sa, sb FROM co
+         |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co)),
+         |e AS MATERIALIZED (SELECT sa AS u, sb AS v FROM pairs
+         |      UNION ALL SELECT sb, sa FROM pairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT u AS v, u AS label FROM e),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT v, label AS community FROM l4""".stripMargin
     },
     "q_g2_pagerank" -> {
       def iter(prev: String, next: String): String =

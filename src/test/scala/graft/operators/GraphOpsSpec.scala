@@ -147,6 +147,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(local == dist, s"local $local vs distributed $dist")
   }
 
+  test("labelprop splits a bridged pair of cliques; local and distributed agree") {
+    // two 5-cliques joined by ONE bridge edge: connected components
+    // would flood everything to one label; LPA must keep two
+    // communities (each clique converges to its own min id)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val cliqueA = for { a <- 0L until 5L; b <- 0L until 5L if a < b } yield (a, b)
+    val cliqueB = for { a <- 10L until 15L; b <- 10L until 15L if a < b } yield (a, b)
+    val edges = (cliqueA ++ cliqueB :+ (4L, 10L)).toArray
+    val local = GraphOps.lpaLocal(edges).toMap
+    val communities = local.values.toSet
+    assert(communities.size == 2, s"expected 2 communities, got $local")
+    assert((0L until 4L).map(local).toSet.size == 1, "clique A must agree")
+    assert((11L until 15L).map(local).toSet.size == 1, "clique B must agree")
+    val e = edges.toSeq.toDF("sa", "sb").localCheckpoint(true)
+    val dist = GraphOps.labelpropDistributed(spark, e, edges.length.toLong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"local $local vs distributed $dist")
+  }
+
+  test("labelprop local and distributed agree on the fixture graph") {
+    val spark = TestSpark.spark
+    val (e, n) = GraphOps.affinityEdges(spark, "/root/testdata/sf0.001")
+    val local = GraphOps.lpaLocal(
+      e.collect().map(r => (r.getLong(0), r.getLong(1)))).toMap
+    val dist = GraphOps.labelpropDistributed(spark, e, n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("local and distributed pagerank are bit-identical") {
     // the in-budget driver solve and the over-budget distributed loop
     // share one integer-arithmetic definition — any drift between them
