@@ -697,7 +697,7 @@ object Dedup {
   /** The deduped (doc, window-hash) table shared by `substringOverlap`
     * — split out so the operator body reads as the aggregation chain.
     */
-  private def win(s: SparkSession, d: String, W: Int): DataFrame = {
+  private[ops] def win(s: SparkSession, d: String, W: Int): DataFrame = {
     val toks = documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
@@ -709,8 +709,30 @@ object Dedup {
           .as("wh"))
   }
 
+  /** Cross-source duplication matrix: where do the near-dups COME
+    * from? Every LSH candidate pair is attributed to its unordered
+    * (source, source) cell — the standard corpus-intake diagnostic
+    * (a hot off-diagonal cell means one source is mirroring another;
+    * a hot diagonal means a source self-duplicates). Two equi-joins
+    * keyed on doc_id against the capped candidate pairs — the pair
+    * table is already fan-out-bounded, so the matrix costs two
+    * shuffles of the pair list, never a cross-source scan.
+    */
+  def crossSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    lshPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("s_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("s_b")),
+        "doc_b")
+      .groupBy(least(col("s_a"), col("s_b")).as("src_a"),
+        greatest(col("s_a"), col("s_b")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_substring" -> (substringOverlap _),
+    "q_dedup_matrix" -> (crossSourceMatrix _),
     "q_dedup_crossmodal" -> (crossModalConsensus _),
     "q_dedup_exact" -> (exact _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -847,6 +869,16 @@ object Dedup {
         |    AS containment_b
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_dedup_lsh_pairs" -> lshPairsSql,
+    // the pair CTE composes as a parenthesized subquery (DuckDB allows
+    // WITH inside parens) — shared text, not duplicated SQL
+    "q_dedup_matrix" ->
+      s"""SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM ($lshPairsSql) p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2""".stripMargin,
     // consensus = full outer of the two candidate oracles on the pair
     // key; flags as BIGINT 0/1 (cross-engine-stable, unlike booleans)
     "q_dedup_crossmodal" ->

@@ -637,7 +637,33 @@ object TextAnalysis {
         sum(size(toks(col("text"))).cast("long")).as("n_tokens"))
   }
 
+  /** N-gram novelty / memorization-risk score: the share of a
+    * document's distinct word-trigram hashes that no OTHER document
+    * carries. Low novelty = the doc is assembled from corpus-common
+    * spans (boilerplate, templates, copies — the spans a model would
+    * memorize); the complement of the substring-overlap dedup signal,
+    * reported per document instead of per pair. Reuses the
+    * token-window kernel's deduped (doc, hash) table at W=3: one
+    * hash-keyed document-frequency aggregation (map-side combined) +
+    * one join back — both linear in total windows, no pair fan-out at
+    * all (this is the scale-safe way to ask "how much of this doc is
+    * common?" — the pairwise answer needs the capped bucket join).
+    * Docs with fewer than 3 tokens carry no windows and drop out, same
+    * contract as the substring operator.
+    */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val w = graft.ops.Dedup.win(s, d, 3)
+    val df = w.groupBy(col("wh")).agg(count(lit(1)).as("docfreq"))
+    w.join(df, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docfreq") > 1L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_micro",
+        expr("(1000000 * (n_grams - n_shared)) DIV n_grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_novelty" -> (novelty _),
     "q_text_chunks" -> (chunk _),
     "q_text_cooc" -> (cooccurrence _),
     "q_text_lm_score" -> (lmScore _),
@@ -748,6 +774,29 @@ object TextAnalysis {
          |GROUP BY t.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same md5 window hashing + tokenization contract as
+    // q_dedup_substring, at W=3; the md5 strings and the 64-bit kernel
+    // hashes only meet through counts, so either side may hash its own
+    // way as long as both are collision-free on the corpus
+    "q_text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |win AS (
+        |  SELECT DISTINCT doc_id, wh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |        i -> md5(array_to_string(tk[i : i + 2], ' ')))) AS wh
+        |    FROM toks WHERE len(tk) >= 3) u),
+        |df AS (SELECT wh, count(*) AS docfreq FROM win GROUP BY wh)
+        |SELECT doc_id, n_grams, n_shared,
+        |  (1000000 * (n_grams - n_shared)) // n_grams AS novelty_micro
+        |FROM (
+        |  SELECT w.doc_id, count(*)::BIGINT AS n_grams,
+        |    sum(CASE WHEN df.docfreq > 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_shared
+        |  FROM win w JOIN df USING (wh) GROUP BY w.doc_id) t""".stripMargin,
     "q_text_bpe_train" -> bpeTrainOracle(8),
     "q_text_bpe_encode" -> bpeEncodeOracle(8),
     "q_text_vocab_oov" ->

@@ -228,4 +228,42 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"score $score exceeds max mass for ${nBi - nOov} in-vocab bigrams")
     }
   }
+
+  test("novelty is bounded, exact verbatim copies score zero") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // two verbatim copies + one unique doc: the copies share every
+    // trigram (novelty 0), the unique doc shares none (novelty 1e6)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a", 1L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "b", 1L),
+      (3L, "one two three four five six seven", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("nov").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.novelty(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L)._3 == 0L && out(2L)._3 == 0L,
+      s"verbatim copies must have zero novelty: $out")
+    assert(out(3L)._3 == 1000000L, s"unique doc must be fully novel: $out")
+    // fixture-wide bounds: 0 <= n_shared <= n_grams, novelty in [0, 1e6]
+    TextAnalysis.novelty(spark, dir).collect().foreach { r =>
+      val (n, sh, nv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && sh >= 0 && sh <= n && nv >= 0 && nv <= 1000000L,
+        s"out-of-bounds novelty row: n=$n shared=$sh novelty=$nv")
+    }
+  }
+
+  test("cross-source matrix accounts for every candidate pair exactly once") {
+    val spark = TestSpark.spark
+    val pairs = Dedup.lshPairs(spark, dir).count()
+    val m = Dedup.crossSourceMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.map(_._3).sum == pairs,
+      "matrix cells must partition the candidate pair set")
+    m.foreach { case (a, b, _) =>
+      assert(a <= b, s"cells must be unordered-normalized: ($a, $b)")
+    }
+  }
 }
