@@ -58,6 +58,71 @@ object Windows {
         max(col("sess_events")).as("max_session_events"))
   }
 
+  private val dayUs = 86400000000L
+  private val hourUs = 3600000000L
+
+  /** Peak concurrency: the maximum number of user sessions active at
+    * any instant of each day — the capacity-planning twin of the
+    * sessionization above (sessions = 30-min-gap islands in exact µs
+    * integers; a session is active on [first_event, last_event],
+    * inclusive, and a midnight-crossing session counts in every day it
+    * touches via per-day segments).
+    *
+    * Sweep-line, but TWO-PHASE so no day needs a global sort: the ±1
+    * boundary deltas are summed per instant, swept WITHIN each (day,
+    * hour) bucket (running sum + running max, a bucket-local window),
+    * then each hour's peak is lifted by the carry — the prefix sum of
+    * earlier hours' totals, a 24-row window per day. max(carry +
+    * local peak) over hours is exactly the day's global peak, because
+    * every prefix of the day's sweep is some hour's carry plus a
+    * prefix of that hour. At 100 TB the widest sort this plan runs is
+    * one hour of one day's boundaries — the single-window formulation
+    * (the spec's reference twin) would sort whole days on one task.
+    */
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+    val segs = sess
+      .withColumn("day",
+        explode(sequence(expr(s"t0 div $dayUs"), expr(s"t1 div $dayUs"))))
+      .select(col("day"),
+        greatest(col("t0"), col("day") * dayUs).as("a"),
+        least(col("t1"), (col("day") + 1) * dayUs - 1).as("b"))
+    // inclusive-end sweep: +1 at the segment start, -1 one µs after its
+    // end; deltas at one instant collapse first so a back-to-back
+    // end/start at the same µs never shows a phantom peak
+    val deltas = segs.select(col("day"), col("a").as("t"), lit(1L).as("dl"))
+      .unionByName(
+        segs.select(col("day"), (col("b") + 1).as("t"), lit(-1L).as("dl")))
+      .groupBy("day", "t").agg(sum(col("dl")).as("dl"))
+      .withColumn("hour", expr(s"t div $hourUs"))
+    val wHour = Window.partitionBy("day", "hour").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hourly = deltas
+      .withColumn("run", sum(col("dl")).over(wHour))
+      .groupBy("day", "hour")
+      .agg(max(col("run")).as("hpeak"), sum(col("dl")).as("htot"))
+    val wDay = Window.partitionBy("day").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = segs.groupBy("day").agg(count(lit(1)).as("n_active"))
+    hourly
+      .withColumn("carry", coalesce(sum(col("htot")).over(wDay), lit(0L)))
+      .groupBy("day")
+      .agg(max(col("carry") + col("hpeak")).as("max_concurrent"))
+      .join(n, "day")
+      .select(col("day"), col("n_active"), col("max_concurrent"))
+  }
+
   /** SCD Type-2 dimension build from the event log: per user, compress
     * consecutive events with the same tracked attribute (event_type)
     * into one version, then stamp each version with its validity
@@ -354,6 +419,7 @@ object Windows {
     "q_w_tumbling" -> (tumbling _),
     "q_w_sliding" -> (sliding _),
     "q_w_session" -> (sessionize _),
+    "q_w_concurrency" -> (concurrency _),
     "q_o5_last_per_user" -> (lastPerUser _),
     "q_etl_scd2" -> (scd2 _),
     "q_w_navigation" -> (navigation _),
@@ -487,6 +553,45 @@ object Windows {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM shifted
         |WHERE ts < w_start_ts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+    // single-window sweep (fine at oracle scale; Spark runs the
+    // two-phase hour-bucketed sweep — same result, pinned by spec)
+    "q_w_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+        |    epoch_ns(ts) // 1000
+        |      - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts) // 1000, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1
+        |        ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |sess AS (SELECT user_id, sess_id, min(tus) AS t0, max(tus) AS t1
+        |         FROM s GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT day,
+        |    greatest(t0, day * 86400000000) AS a,
+        |    least(t1, (day + 1) * 86400000000 - 1) AS b
+        |  FROM (SELECT t0, t1,
+        |          unnest(range(t0 // 86400000000, t1 // 86400000000 + 1))
+        |            AS day
+        |        FROM sess) u),
+        |deltas AS (
+        |  SELECT day, t, SUM(dl) AS dl FROM (
+        |    SELECT day, a AS t, 1 AS dl FROM segs
+        |    UNION ALL SELECT day, b + 1, -1 FROM segs) x
+        |  GROUP BY 1, 2),
+        |sweep AS (
+        |  SELECT day, SUM(dl) OVER (PARTITION BY day ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM deltas),
+        |n AS (SELECT day, count(*)::BIGINT AS n_active FROM segs GROUP BY 1)
+        |SELECT sweep.day, n.n_active,
+        |  max(run)::BIGINT AS max_concurrent
+        |FROM sweep JOIN n USING (day)
         |GROUP BY 1, 2""".stripMargin,
     "q_w_session" ->
       """WITH g AS (
