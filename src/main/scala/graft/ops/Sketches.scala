@@ -155,14 +155,127 @@ object Sketches {
             * lit(9007199254740992L)).cast("double"), 6).as("hll_union_est"))
   }
 
+  private val kmvK = 64
+  // (k-1) * 2^40 — the KMV estimator numerator for 40-bit hashes
+  private val kmvNum = (kmvK - 1).toLong * (1L << 40)
+
+  /** KMV (k-minimum-values) distinct sketch per event stream: the k
+    * smallest 40-bit hashes of the stream's user ids. Where HLL only
+    * merges by union, KMV also answers SET OVERLAP questions (see
+    * `kmvJaccard`) — the sketch pair every audience-overlap dashboard
+    * runs on. Estimate: (k-1)*2^40 div h_k (exact integer division,
+    * identical in both engines); a stream with fewer than k distinct
+    * hashes reports its exact size. The k-mins come from the map-side-
+    * capped sorted aggregator — every partial buffer carries at most
+    * k+1 longs, so the shuffle is O(k) per stream regardless of
+    * corpus size.
+    */
+  def kmvUsers(s: SparkSession, d: String): DataFrame = {
+    val capped = udaf(new graft.functions.CappedSortedIds(kmvK))
+    val h = events(s, d)
+      .select(col("event_type"), expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10), 16, 10) AS BIGINT)")
+        .as("h"))
+      .distinct()
+    val exact = events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    h.groupBy("event_type").agg(capped(col("h")).as("hs0"))
+      .select(col("event_type"),
+        slice(col("hs0"), 1, kmvK).as("hs"))
+      .select(col("event_type"),
+        element_at(col("hs"), size(col("hs"))).as("kth_min"),
+        size(col("hs")).cast("long").as("k_used"))
+      .withColumn("est_users",
+        when(col("k_used") < kmvK, col("k_used"))
+          .otherwise(expr(s"$kmvNum div greatest(kth_min, 1)")))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("kth_min"), col("est_users"),
+        col("exact_users"))
+  }
+
+  /** KMV overlap: for every unordered stream pair, the merged k-min
+    * sketch (k smallest of the union — exactly the sketch a single
+    * pass over both streams would build) and the share of its members
+    * present in BOTH input sketches: jaccard_micro estimates J(A,B).
+    * The per-stream sketches collapse to ONE bounded row
+    * (streams x (k+1) longs), and every pair is expanded and scored
+    * ROW-LOCALLY with array ops — no join, no cartesian, nothing
+    * data-sized past the capped aggregation.
+    */
+  def kmvJaccard(s: SparkSession, d: String): DataFrame = {
+    val capped = udaf(new graft.functions.CappedSortedIds(kmvK))
+    val perType = events(s, d)
+      .select(col("event_type"), expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10), 16, 10) AS BIGINT)")
+        .as("h"))
+      .distinct()
+      .groupBy("event_type").agg(capped(col("h")).as("hs0"))
+      .select(col("event_type"), slice(col("hs0"), 1, kmvK).as("hs"))
+    val pairs = flatten(transform(col("ts"), (x, i) =>
+      transform(slice(col("ts"), i + lit(2),
+        greatest(size(col("ts")) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    perType
+      .agg(sort_array(collect_list(struct(col("event_type"), col("hs"))))
+        .as("ts"))
+      .select(explode(pairs).as("p"))
+      .select(col("p.a.event_type").as("stream_a"),
+        col("p.b.event_type").as("stream_b"),
+        slice(array_sort(array_union(col("p.a.hs"), col("p.b.hs"))),
+          1, kmvK).as("merged"),
+        col("p.a.hs").as("ha"), col("p.b.hs").as("hb"))
+      .select(col("stream_a"), col("stream_b"),
+        size(filter(col("merged"), e =>
+          array_contains(col("ha"), e) && array_contains(col("hb"), e)))
+          .cast("long").as("overlap_k"),
+        size(col("merged")).cast("long").as("m_used"))
+      .withColumn("jaccard_micro",
+        expr("(1000000 * overlap_k) DIV m_used"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sk_kmv" -> (kmvUsers _),
+    "q_sk_kmv_jaccard" -> (kmvJaccard _),
     "q_sk_hll_merge" -> (hllMerge _),
     "q_sk_hist_quantile" -> (histQuantiles _),
     "q_sk_cms" -> (cmsTopTerms _),
     "q_sk_hll" -> (hllUsers _),
   )
 
+  private val kmvSketchSql =
+    s"""WITH hh AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 10))::BIGINT AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hh),
+       |t AS (SELECT event_type, list(h ORDER BY h) AS hs
+       |      FROM r WHERE rn <= $kmvK GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sk_kmv" ->
+      s"""$kmvSketchSql,
+         |x AS (SELECT event_type, count(*)::BIGINT AS exact_users
+         |      FROM (SELECT DISTINCT event_type, user_id FROM events) u
+         |      GROUP BY 1)
+         |SELECT t.event_type, hs[len(hs)] AS kth_min,
+         |  CASE WHEN len(hs) < $kmvK THEN len(hs)::BIGINT
+         |    ELSE $kmvNum // greatest(hs[len(hs)], 1) END AS est_users,
+         |  x.exact_users
+         |FROM t JOIN x USING (event_type)""".stripMargin,
+    "q_sk_kmv_jaccard" ->
+      s"""$kmvSketchSql
+         |SELECT stream_a, stream_b,
+         |  len(list_filter(merged, e -> list_contains(ha, e)
+         |    AND list_contains(hb, e)))::BIGINT AS overlap_k,
+         |  len(merged)::BIGINT AS m_used,
+         |  (1000000 * len(list_filter(merged, e -> list_contains(ha, e)
+         |    AND list_contains(hb, e)))) // len(merged) AS jaccard_micro
+         |FROM (
+         |  SELECT a.event_type AS stream_a, b.event_type AS stream_b,
+         |    a.hs AS ha, b.hs AS hb,
+         |    (list_sort(list_distinct(a.hs || b.hs)))[1:$kmvK] AS merged
+         |  FROM t a JOIN t b ON a.event_type < b.event_type) p""".stripMargin,
     "q_sk_hist_quantile" ->
       """WITH bounds AS (
         |  SELECT min(value) AS vmin, max(value) AS vmax,
