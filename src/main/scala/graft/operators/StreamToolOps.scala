@@ -213,6 +213,19 @@ object StreamToolOps {
         .toDF("user_id", "event_type"),
       "stream_state_dedup", "append")
 
+  /** The transformWithState twin of `streamStateDedup` — the v2
+    * arbitrary-state API under the same drained-replay contract. The
+    * RocksDB provider conf is scoped to drain's cloned session, so the
+    * rest of the fleet keeps the default HDFS-backed store.
+    */
+  def streamTwsDedup(s: SparkSession, d: String): DataFrame =
+    drain(s, { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      EventStream.firstSeenPairsTws(EventStream.readEvents(ss, d))
+        .toDF("user_id", "event_type")
+    }, "stream_tws_dedup", "append")
+
   /** Stream-stream interval join: each event joined to the same user's
     * events in the preceding 60 s, with watermarks on both sides so
     * join state evicts as event time advances (bounded state — the only
@@ -390,6 +403,7 @@ object StreamToolOps {
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_state_dedup" -> (streamStateDedup _),
+    "q_stream_tws_dedup" -> (streamTwsDedup _),
     "q_stream_jsonl" -> (streamJsonlIngest _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
@@ -429,6 +443,8 @@ object StreamToolOps {
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_state_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_stream_tws_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_jsonl" ->
       """SELECT source, count(*)::BIGINT AS n_distinct,

@@ -195,6 +195,56 @@ object EventStream {
       }
   }
 
+  /** First-seen pairs through `transformWithState` — Spark 4's
+    * arbitrary-state v2 API — with TWO typed state variables: a
+    * MapState of seen types (point lookups instead of the v1 API's
+    * whole-blob read/write — the difference that matters when a key's
+    * state is large) and a ValueState tally (read back by the spec).
+    * Same output contract as [[firstSeenPairs]], so the DISTINCT
+    * oracle and the v1 twin both pin it. Requires the RocksDB state
+    * store provider (the only one implementing the v2 state API) —
+    * the query builder sets it on its cloned session.
+    */
+  class FirstSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var seen: MapState[String, Boolean] = _
+    @transient private var nTypes: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[String, Boolean](
+        "seen", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+      nTypes = getHandle.getValueState[Long](
+        "n_types", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[(Long, String)] = {
+      val fresh = rows.map(_._2).toArray.distinct
+        .filterNot(seen.containsKey).sorted
+      fresh.foreach(t => seen.updateValue(t, true))
+      if (fresh.nonEmpty) {
+        val prev = if (nTypes.exists()) nTypes.get() else 0L
+        nTypes.update(prev + fresh.length)
+      }
+      fresh.iterator.map(t => (key, t))
+    }
+  }
+
+  def firstSeenPairsTws(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FirstSeenProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Watermarked tumbling 1-hour aggregation — the streaming twin of
     * operators.Windows.tumbling; late data beyond 10 min is dropped and
     * state is evicted (bounded state at scale).

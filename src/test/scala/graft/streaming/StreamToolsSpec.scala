@@ -81,6 +81,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
     assert(fs == fsWant,
       s"state dedup emitted ${fs.length} vs distinct ${fsWant.length}")
+
+    // transformWithState twin (v2 state API, RocksDB store): the same
+    // cross-trigger suppression contract must hold bit-for-bit
+    val tws = graft.operators.StreamToolOps.streamTwsDedup(spark, d)
+      .collect().map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    assert(tws == fsWant,
+      s"tws dedup emitted ${tws.length} vs distinct ${fsWant.length}")
   }
 
   test("chained stateful ops: dedup then windowed agg in one stream") {
