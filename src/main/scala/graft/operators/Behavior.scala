@@ -125,7 +125,45 @@ object Behavior {
       .limit(20)
   }
 
+  /** Revenue attribution: every purchase credits a touchpoint — the
+    * user's FIRST non-purchase event ever (first-touch model) and the
+    * LAST non-purchase event before the purchase (last-touch model) —
+    * the two bookend models every marketing pipeline reports side by
+    * side. One user-keyed shuffle: both credits come from the same
+    * (user, time) window pass (running first/last over the
+    * non-purchase rows), then one small aggregation per model, unioned
+    * with a model tag. Purchases with no prior touch credit "(none)".
+    * Money is exact decimal(18,2) through the sum (partial-agg order
+    * independence), emitted as micro-unit BIGINT.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus", "event_id")
+    val firstW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val prevW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val credited = events(s, d)
+      .select(col("user_id"), col("event_id"), tus.as("tus"),
+        col("event_type"), col("value"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(firstW))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(prevW))
+      .filter(col("event_type") === "purchase")
+    def model(name: String, c: Column): DataFrame = credited
+      .groupBy(coalesce(c, lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(dec(col("value"))) * lit(1000000)).cast("long")
+          .as("revenue_micro"))
+      .withColumn("model", lit(name))
+    model("first", col("first_touch"))
+      .unionByName(model("last", col("last_touch")))
+      .select("model", "touch_type", "n_purchases", "revenue_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_beh_attribution" -> (attribution _),
     "q_beh_paths" -> (sessionPaths _),
     "q_beh_transitions" -> (transitions _),
     "q_beh_funnel" -> (funnel _),
@@ -133,6 +171,32 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_beh_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) // 1000, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) // 1000, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events),
+        |p AS (SELECT * FROM t WHERE event_type = 'purchase')
+        |SELECT 'first' AS model, coalesce(first_touch, '(none)')
+        |    AS touch_type,
+        |  count(*) AS n_purchases,
+        |  (sum(v) * 1000000)::BIGINT AS revenue_micro
+        |FROM p GROUP BY 2
+        |UNION ALL
+        |SELECT 'last', coalesce(last_touch, '(none)'), count(*),
+        |  (sum(v) * 1000000)::BIGINT
+        |FROM p GROUP BY 2""".stripMargin,
     "q_beh_paths" ->
       """WITH g AS (
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,

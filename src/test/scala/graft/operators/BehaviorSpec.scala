@@ -44,4 +44,27 @@ class BehaviorSpec extends AnyFunSuite {
       assert(n <= size0(c), s"cohort $c offset $off: $n > ${size0(c)}")
     }
   }
+
+  test("attribution conserves purchase count and revenue in both models") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val rows = Behavior.attribution(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val purchases = graft.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+    val nTotal = purchases.count()
+    val revTotal = purchases
+      .agg((sum(graft.Tables.dec(col("value"))) * lit(1000000)).cast("long"))
+      .head().getLong(0)
+    Seq("first", "last").foreach { m =>
+      val part = rows.filter(_._1 == m)
+      assert(part.map(_._3).sum == nTotal,
+        s"$m-touch must credit every purchase exactly once")
+      assert(part.map(_._4).sum == revTotal,
+        s"$m-touch must conserve total revenue")
+      // a purchase can never be its own touchpoint
+      assert(!part.exists(_._2 == "purchase"),
+        s"$m-touch credited 'purchase' as a touch type")
+    }
+  }
 }
