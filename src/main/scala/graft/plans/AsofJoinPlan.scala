@@ -110,13 +110,6 @@ case class AsofJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-    val lkB = BindReferences.bindReference(leftKey: Expression, left.output)
-    val ltB = BindReferences.bindReference(leftTime: Expression, left.output)
-    val rkB = BindReferences.bindReference(rightKey: Expression, right.output)
-    val rtB = BindReferences.bindReference(rightTime: Expression, right.output)
-    val pvB = BindReferences.bindReference(payload: Expression, right.output)
     val leftOutput = left.output
     val outAttrs = output
     val inclusive = !strict
@@ -125,7 +118,85 @@ case class AsofJoinExec(
     require(lrdd.getNumPartitions == rrdd.getNumPartitions,
       s"as-of children not co-partitioned: ${lrdd.getNumPartitions} vs " +
         s"${rrdd.getNumPartitions} (EnsureRequirements contract violated)")
-    lrdd.zipPartitions(rrdd, preservesPartitioning = true) { (lIter, rIter) =>
+    // the time-series common case — BIGINT key and time — merges on
+    // primitive ordinal reads (zero boxing per row); anything else
+    // takes the generic interpreted-ordering path. Payload extraction
+    // stays generic on both: it only runs on eligible right rows.
+    val longFast = leftKey.dataType == org.apache.spark.sql.types.LongType &&
+      leftTime.dataType == org.apache.spark.sql.types.LongType
+    if (longFast) {
+      val lkI = leftOutput.indexWhere(_.exprId == leftKey.exprId)
+      val ltI = leftOutput.indexWhere(_.exprId == leftTime.exprId)
+      val rkI = right.output.indexWhere(_.exprId == rightKey.exprId)
+      val rtI = right.output.indexWhere(_.exprId == rightTime.exprId)
+      require(lkI >= 0 && ltI >= 0 && rkI >= 0 && rtI >= 0,
+        "as-of key/time attributes must be direct child outputs")
+      val pvB = BindReferences.bindReference(payload: Expression, right.output)
+      lrdd.zipPartitions(rrdd, preservesPartitioning = true) { (lIter, rIter) =>
+        new Iterator[InternalRow] {
+          private val joined = new JoinedRow
+          private val payloadRow = new GenericInternalRow(1)
+          private val proj =
+            UnsafeProjection.create(outAttrs, leftOutput :+ payloadOut)
+          private var rHead: InternalRow =
+            if (rIter.hasNext) rIter.next() else null
+          private var curKey = 0L
+          private var curVal: Any = null
+          private var curMatched = false
+          private def nextRight(): Unit =
+            rHead = if (rIter.hasNext) rIter.next() else null
+          private def advanceRight(k: Long, t: Long): Unit = {
+            var go = true
+            while (go && rHead != null) {
+              if (rHead.isNullAt(rkI)) nextRight()
+              else {
+                val rk = rHead.getLong(rkI)
+                if (rk > k) go = false
+                else {
+                  val rtNull = rHead.isNullAt(rtI)
+                  val rt = if (rtNull) 0L else rHead.getLong(rtI)
+                  val eligible = rk < k || rtNull ||
+                    rt < t || (inclusive && rt == t)
+                  if (!eligible) go = false
+                  else {
+                    if (rk == k && !rtNull) {
+                      curKey = rk
+                      curVal = InternalRow.copyValue(pvB.eval(rHead))
+                      curMatched = true
+                    }
+                    nextRight()
+                  }
+                }
+              }
+            }
+          }
+          override def hasNext: Boolean = lIter.hasNext
+          override def next(): InternalRow = {
+            val lrow = lIter.next()
+            var out: Any = null
+            if (!lrow.isNullAt(lkI) && !lrow.isNullAt(ltI)) {
+              val k = lrow.getLong(lkI)
+              advanceRight(k, lrow.getLong(ltI))
+              if (curMatched && curKey == k) {
+                out = curVal
+                numMatched += 1
+              }
+            }
+            payloadRow.update(0, out)
+            numOutputRows += 1
+            proj(joined(lrow, payloadRow))
+          }
+        }
+      }
+    } else {
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      val lkB = BindReferences.bindReference(leftKey: Expression, left.output)
+      val ltB = BindReferences.bindReference(leftTime: Expression, left.output)
+      val rkB = BindReferences.bindReference(rightKey: Expression, right.output)
+      val rtB = BindReferences.bindReference(rightTime: Expression, right.output)
+      val pvB = BindReferences.bindReference(payload: Expression, right.output)
+      lrdd.zipPartitions(rrdd, preservesPartitioning = true) { (lIter, rIter) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val payloadRow = new GenericInternalRow(1)
@@ -190,6 +261,7 @@ case class AsofJoinExec(
           numOutputRows += 1
           proj(joined(lrow, payloadRow))
         }
+      }
       }
     }
   }

@@ -17,23 +17,31 @@ import subprocess
 import sys
 
 QUERIES = [
-    "q_cur_curriculum", "q_cur_epoch_shards", "q_cur_shuffle",
+    "q_beh_attribution", "q_cur_curriculum", "q_cur_epoch_shards",
+    "q_cur_shuffle",
     "q_cur_upsample", "q_dedup_canonical", "q_dedup_crossmodal",
-    "q_dedup_groups", "q_dedup_semantic", "q_dedup_substring",
+    "q_dedup_groups", "q_dedup_matrix", "q_dedup_semantic",
+    "q_dedup_substring",
     "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
-    "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_knn_batch",
-    "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_src_jsonl", "q_src_jsonl_gz", "q_stream_dedup_wm",
+    "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop",
+    "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
+    "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_knn_pca",
+    "q_sk_kmv", "q_src_jsonl", "q_src_jsonl_gz", "q_stream_dedup_wm",
     "q_stream_join", "q_stream_jsonl", "q_stream_jsonl_gz",
     "q_stream_session", "q_stream_session_append",
-    "q_stream_state_dedup", "q_stream_tumbling", "q_text_bpe_encode",
-    "q_text_bpe_train", "q_text_cooc", "q_text_tfidf",
+    "q_stream_state_dedup", "q_stream_tumbling", "q_stream_tws_dedup",
+    "q_text_bpe_encode",
+    "q_text_bpe_train", "q_text_cooc", "q_text_novelty", "q_text_tfidf",
     "q_text_vocab_oov", "q_tpch_q18", "q_tpch_q21", "q_tpch_q3",
-    "q_tpch_q9",
+    "q_tpch_q9", "q_w_concurrency",
 ]
 
 NOTE = (
-    "Round-12 refresh (38 headline queries; q_dedup_substring, q_g5_kcore "
-    "and q_knn_ivfpq join the sweep). sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
+    "Round-12 refresh (48 headline queries; the round-12 session-2 "
+    "additions join the sweep: asof-exec vs window asof, labelprop, "
+    "kcore, ivfpq, pca, kmv, tws dedup, concurrency, novelty, "
+    "cross-source matrix, attribution). "
+    "sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
     "disjoint key ranges). Medians of 3 timed reps after one untimed "
     "warm-up, storage drop + GC drain outside each timed window, "
     "local[32], same Bench config as BENCH_LAST; assembled by "
