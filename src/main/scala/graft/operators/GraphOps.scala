@@ -337,31 +337,79 @@ object GraphOps {
     */
   private[operators] def pagerankLocal(edges: Array[(Long, Long)])
       : Array[(Long, Long)] = {
-    val deg = new java.util.HashMap[Long, Long]()
-    edges.foreach { case (u, v) =>
-      deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
-    }
-    val n = deg.size().toLong
-    val init = prScale / n
+    val (ids, off, adj) = csrAdjacency(edges)
+    val n = ids.length
+    val init = prScale / n.toLong
     val base = (15L * init) / 100L
-    var pr = new java.util.HashMap[Long, Long](deg)
-    pr.replaceAll((_, _) => init)
-    for (_ <- 1 to 3) {
-      val acc = new java.util.HashMap[Long, Long](deg.size())
-      edges.foreach { case (u, v) =>
-        acc.merge(v, pr.get(u) / deg.get(u), _ + _)
-        acc.merge(u, pr.get(v) / deg.get(v), _ + _)
+    var pr = new Array[Long](n)
+    java.util.Arrays.fill(pr, init)
+    var round = 0
+    while (round < 3) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        var c = 0L
+        var j = off(v)
+        val e = off(v + 1)
+        while (j < e) {
+          val u = adj(j)
+          c += pr(u) / (off(u + 1) - off(u)).toLong
+          j += 1
+        }
+        next(v) = base + (85L * c) / 100L
+        v += 1
       }
-      acc.replaceAll((_, c) => base + (85L * c) / 100L)
-      pr = acc
+      pr = next
+      round += 1
     }
-    val out = new Array[(Long, Long)](pr.size())
+    val out = new Array[(Long, Long)](n)
     var i = 0
-    val it = pr.entrySet().iterator()
-    while (it.hasNext) {
-      val kv = it.next(); out(i) = (kv.getKey, kv.getValue); i += 1
-    }
+    while (i < n) { out(i) = (ids(i), pr(i)); i += 1 }
     out
+  }
+
+  /** Dense-indexed CSR adjacency shared by the driver-side graph
+    * kernels: sorted distinct vertex ids, prefix offsets, and the
+    * 2m-entry neighbor array (each undirected edge lands in both
+    * lists). Primitive arrays end-to-end — the earlier boxed-Map
+    * kernels dominated the in-budget solves at GenScale sf1 and showed
+    * up as the top of the slope table despite "driver-trivial" plans.
+    */
+  private def csrAdjacency(edges: Array[(Long, Long)])
+      : (Array[Long], Array[Int], Array[Int]) = {
+    val m = edges.length
+    val ids = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      ids(2 * i) = edges(i)._1; ids(2 * i + 1) = edges(i)._2; i += 1
+    }
+    java.util.Arrays.sort(ids)
+    var n = 0
+    i = 0
+    while (i < 2 * m) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val vid = java.util.Arrays.copyOf(ids, n)
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(vid, v)
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < m) {
+      off(idx(edges(i)._1) + 1) += 1; off(idx(edges(i)._2) + 1) += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](2 * m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      val a = idx(edges(i)._1); val b = idx(edges(i)._2)
+      adj(fill(a)) = b; fill(a) += 1
+      adj(fill(b)) = a; fill(b) += 1
+      i += 1
+    }
+    (vid, off, adj)
   }
 
   def pagerank(s: SparkSession, d: String): DataFrame = {
@@ -576,16 +624,45 @@ object GraphOps {
 
   private[operators] def lpaLocal(edges: Array[(Long, Long)])
       : Array[(Long, Long)] = {
-    val dir = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-    val nbrs = dir.groupBy(_._1).map { case (v, es) => (v, es.map(_._2)) }
-    var label: Map[Long, Long] = nbrs.keysIterator.map(v => v -> v).toMap
-    for (_ <- 1 to lpaRounds) {
-      label = nbrs.map { case (v, ns) =>
-        val counts = ns.groupBy(label).map { case (l, xs) => (l, xs.length) }
-        v -> counts.minBy { case (l, c) => (-c, l) }._1
-      }
+    if (edges.isEmpty) return Array.empty
+    val (ids, off, adj) = csrAdjacency(edges)
+    val n = ids.length
+    var lab = ids.clone()
+    var maxDeg = 0
+    var i = 0
+    while (i < n) {
+      val d = off(i + 1) - off(i); if (d > maxDeg) maxDeg = d; i += 1
     }
-    label.toArray.sortBy(_._1)
+    val scratch = new Array[Long](maxDeg)
+    var round = 0
+    while (round < lpaRounds) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val s0 = off(v); val d = off(v + 1) - s0
+        var j = 0
+        while (j < d) { scratch(j) = lab(adj(s0 + j)); j += 1 }
+        java.util.Arrays.sort(scratch, 0, d)
+        // sorted ascending ⇒ the FIRST run with the max count is the
+        // smallest such label — the tie rule, for free
+        var best = scratch(0); var bestC = 0
+        var r0 = 0
+        while (r0 < d) {
+          var r1 = r0
+          while (r1 < d && scratch(r1) == scratch(r0)) r1 += 1
+          if (r1 - r0 > bestC) { bestC = r1 - r0; best = scratch(r0) }
+          r0 = r1
+        }
+        next(v) = best
+        v += 1
+      }
+      lab = next
+      round += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), lab(i)); i += 1 }
+    out
   }
 
   def labelprop(s: SparkSession, d: String): DataFrame = {
