@@ -16,9 +16,19 @@ object TpchStyle {
     */
   def q3Shipping(s: SparkSession, d: String): DataFrame = {
     val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+    // The detail join carries an explicit shuffle_hash hint with the
+    // REDUCED side as build: left to stats, the planner estimated the
+    // segment×cutoff customer⋈orders result LARGER than the filtered
+    // fact (post-join estimates multiply) and broadcast 3.4M lineitem
+    // rows — a driver-built 100 MB hash relation, the one build side
+    // that can never be right at volume. Hinted, both sides co-shuffle
+    // on the near-unique order key (skew-free) and each partition
+    // builds a hash over the ~9%-of-orders side only — the plan that
+    // survives 100 TB, and measured faster at GenScale sf1 too.
     customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < cut)
+      .hint("shuffle_hash")
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > cut)
       .groupBy(col("l_orderkey"),

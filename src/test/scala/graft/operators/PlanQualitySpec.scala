@@ -76,6 +76,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"brand/size disjunction must sit on the part scan:\n$p")
   }
 
+  test("q3 co-shuffles the detail join with the reduced side as build") {
+    // left to stats the planner broadcast the FILTERED FACT (3.4M
+    // lineitem rows at GenScale sf1 — a driver-built 100 MB hash
+    // relation) because post-join estimates inflated the reduced
+    // customer⋈orders side; the hinted plan must keep the detail join
+    // a ShuffledHashJoin building on the reduced (left) side, with the
+    // one broadcast being the segment-filtered customer dimension
+    val p = plan("q_tpch_q3")
+    assert(p.contains("ShuffledHashJoin"), s"detail join must co-shuffle:\n$p")
+    assert("ShuffledHashJoin.*BuildLeft".r.findFirstIn(p).isDefined,
+      s"build side must be the reduced customer⋈orders frame:\n$p")
+    val nb = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nb == 1, s"expected 1 broadcast (customer dim), got $nb:\n$p")
+  }
+
   test("q20/q21 decorrelate to hash semi/anti chains, fact scanned once") {
     // Q20: nested IN + aggregate-HAVING subquery → two left-semi
     // reductions around one grouped scan; the date bounds must reach
