@@ -50,6 +50,11 @@ object TpchStyle {
       .join(orders(s, d), col("o_custkey") === col("c_custkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
         && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      // q3's estimate inversion: stats would broadcast the FULL fact
+      // here (pruned-scan estimate beats the inflated post-join one);
+      // co-shuffle on the order key and build on the region×year-
+      // reduced side instead — right at this SF and at any larger one
+      .hint("shuffle_hash")
       .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(supplier(s, d), col("s_suppkey") === col("l_suppkey")
         && col("s_nationkey") === col("c_nationkey"))
@@ -65,6 +70,9 @@ object TpchStyle {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
         && col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      // q3's estimate inversion: stats broadcast the returned-lines
+      // fact slice against the one-quarter orders; co-shuffle instead
+      .hint("shuffle_hash")
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_returnflag") === "R")
       .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
@@ -130,6 +138,12 @@ object TpchStyle {
     supplier(s, d)
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      // NOT hinted like q3/q5/q8-q10: the orders build here is 2
+      // pruned key columns and the alternative build is the WIDE
+      // nation-reduced lineitem slice — the stats choice is the
+      // smaller build (measured: forcing the co-shuffle was 0.6 s
+      // slower at sf1), and past the threshold it flips to the
+      // shuffle plan on its own.
       .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(customer(s, d).join(broadcast(n2), col("c_nationkey") === col("c_nk")),
         col("c_custkey") === col("o_custkey"))
@@ -187,7 +201,13 @@ object TpchStyle {
     region(s, d).filter(col("r_name") === "EUROPE")
       .join(nation(s, d), col("n_regionkey") === col("r_regionkey"))
       .join(customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      // q3's estimate inversion, twice over: stats broadcast the FULL
+      // orders fact against the region-reduced customers, then the
+      // FULL lineitem fact against the reduced orders. Both joins
+      // co-shuffle on their keys with the reduced side as build.
+      .hint("shuffle_hash")
       .join(orders(s, d), col("o_custkey") === col("c_custkey"))
+      .hint("shuffle_hash")
       .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(part(s, d).filter(col("p_type") === "PROMO"),
         col("p_partkey") === col("l_partkey"))
@@ -342,6 +362,9 @@ object TpchStyle {
     lineitem(s, d)
       .join(redParts, col("p_partkey") === col("l_partkey"))
       .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      // q3's estimate inversion: stats broadcast the FULL orders fact
+      // against this part-reduced lineitem slice; co-shuffle instead
+      .hint("shuffle_hash")
       .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(nation(s, d)),
         col("n_nationkey") === col("s_nationkey"))

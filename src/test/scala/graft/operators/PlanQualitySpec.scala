@@ -24,10 +24,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "l_linenumber:int,l_extendedprice:double>"), p)
   }
 
-  test("dimension sides broadcast in the six-way join") {
+  test("dimension sides broadcast in the six-way join; the fact join co-shuffles") {
     val p = plan("q_tpch_q5")
     val n = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(n == 5, s"expected 5 broadcast joins, got $n:\n$p")
+    assert(n == 4, s"expected 4 broadcast joins (dims), got $n:\n$p")
+    // the lineitem detail join must NOT broadcast either fact side
+    // (q3's estimate inversion): co-shuffle, build on the reduced side
+    assert("ShuffledHashJoin.*BuildLeft".r.findFirstIn(p).isDefined,
+      s"detail join must co-shuffle with the reduced side as build:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
