@@ -164,6 +164,48 @@ object Curation {
           .when(col("bucket") === 98, "val")
           .otherwise("test").as("split"))
 
+  /** Train/test LEAKAGE AUDIT — the content-keyed split crossed with
+    * the transitive near-dup groups: a group whose members land in
+    * different splits leaks test signal into training (the #1 silent
+    * eval inflator — near-dups are NOT byte-identical, so a
+    * per-document hash split scatters them). Output: one row per leaky
+    * group with its size and the sorted splits it touches. Shape at
+    * 100 TB: the groups frame is ≤ one row per document, the split
+    * assignment is a zero-shuffle expression, their join is doc-keyed,
+    * and the verdict is one combinable group-keyed aggregation (the
+    * split set is bounded by 3, so collect_set state is O(1) per key).
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
+    Dedup.dupGroups(s, d)
+      .join(split(s, d).select(col("doc_id"), col("split")), "doc_id")
+      .groupBy(col("dup_group"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+
+  /** Leakage-FREE split — the fix for what `splitLeakage` measures:
+    * every document is assigned by the hash of its near-dup GROUP
+    * label (its own id when unduplicated), so a whole group lands on
+    * one side by construction and no near-dup pair can ever straddle
+    * the train/test boundary. Same 98/1/1 buckets and hash family as
+    * `split`; determinism now keys on the group label instead of the
+    * raw text (still RNG-free, retry-stable, engine-exact). The group
+    * attach is one doc-keyed left join — everything else is the same
+    * zero-shuffle expression split.
+    */
+  def groupSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"))
+      .join(Dedup.dupGroups(s, d), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("dup_group"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("grp").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .select(col("doc_id"), col("grp"), col("bucket"),
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test").as("split"))
+
   /** Quality-weighted sampling — the classifier and the sampler
     * composed: each document's keep PROBABILITY is its clamped
     * classifier score (micro-units), decided against the same
@@ -635,6 +677,8 @@ object Curation {
     "q_cur_redact" -> (redact _),
     "q_cur_sample" -> (sample _),
     "q_cur_split" -> (split _),
+    "q_cur_leakage" -> (splitLeakage _),
+    "q_cur_group_split" -> (groupSplit _),
     "q_cur_stratified" -> (stratified _),
     "q_cur_quota" -> (quota _),
     "q_cur_incremental" -> (incrementalDedup _),
@@ -843,6 +887,37 @@ object Curation {
     "q_cur_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < 100""".stripMargin,
+    // composes the dedup groups CTE (LSH banding → CC) with the
+    // content-keyed split — a group is leaky iff it spans >1 split
+    "q_cur_leakage" ->
+      s"""${Dedup.groupsCte},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 98
+         |           THEN 'train'
+         |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 = 98
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT dup_group, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT split)::BIGINT AS n_splits,
+         |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+         |FROM groups JOIN sp USING (doc_id)
+         |GROUP BY dup_group
+         |HAVING count(DISTINCT split) > 1""".stripMargin,
+    "q_cur_group_split" ->
+      s"""${Dedup.groupsCte},
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(g.dup_group, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id)
+         |SELECT doc_id, grp,
+         |  ('0x' || substr(md5(grp::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+         |  CASE WHEN ('0x' || substr(md5(grp::VARCHAR), 1, 8))::BIGINT % 100 < 98
+         |         THEN 'train'
+         |       WHEN ('0x' || substr(md5(grp::VARCHAR), 1, 8))::BIGINT % 100 = 98
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM assigned""".stripMargin,
     "q_cur_stratified" ->
       """SELECT lang, count(*) AS n_sampled,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id

@@ -796,7 +796,7 @@ object Dedup {
     * connected components (`groups(doc_id, dup_group)`), mirroring
     * `dupGroups` — used by the groups oracle and the canonical oracle.
     */
-  private val groupsCte: String = {
+  private[ops] val groupsCte: String = {
     val bands = (0 until 4).map { b =>
       val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
         .mkString(" || ',' || ")

@@ -662,7 +662,59 @@ object TextAnalysis {
         expr("(1000000 * (n_grams - n_shared)) DIV n_grams"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones) for a fixed query
+    * term set, in the corpus's exact-rational house style: the idf is
+    * the raw odds ratio (N − df + ½)/(df + ½) in integer micro-units
+    * rather than its logarithm — ln is monotone, so each term's idf
+    * ORDERING is textbook-identical, and dropping the transcendental
+    * keeps every score a pure integer expression both engines compute
+    * bit-for-bit (the tfidf/lm_score lesson). k1 = 6/5 and b = 3/4 are
+    * folded into one integer denominator:
+    *   sat = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    *       = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)   with avgdl = L/N.
+    *
+    * Plan shape: per-doc tf/dl are array expressions straight off the
+    * text column — ONE corpus scan, no explode, no shuffle; the global
+    * (L, N, df_t) aggregate is one combinable pass broadcast back as a
+    * single row; top-k is a TakeOrdered under a total order. At 100 TB
+    * this is scan-bandwidth-bound with a constant-size driver state —
+    * the best possible shape for scoring.
+    */
+  private val bm25Terms = Seq("spark", "join", "hash")
+
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val perDoc = documents(s, d).select(
+      col("doc_id") +:
+      size(toks(col("text"))).cast("long").as("dl") +:
+      bm25Terms.map(t =>
+        size(filter(toks(col("text")), x => x === t)).cast("long")
+          .as(s"tf_$t")): _*)
+    val globCols = sum(col("dl")).as("len_total") +:
+      count(lit(1)).as("n_docs") +:
+      bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val glob = perDoc.agg(globCols.head, globCols.tail: _*)
+    val termScore = bm25Terms.map { t =>
+      // idf_micro rounds half-up via the doubled-divisor trick; sat's
+      // floor DIV loses < 1 micro-unit — both engine-exact integers
+      expr(s"""CASE WHEN tf_$t > 0 THEN
+        (((2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
+            DIV (2 * (2 * df_$t + 1)))
+          * ((1000000 * 44 * tf_$t * len_total)
+            DIV (20 * tf_$t * len_total + 6 * len_total + 18 * dl * n_docs)))
+          DIV 1000000
+        ELSE 0 END""")
+    }.reduce(_ + _)
+    perDoc.join(broadcast(glob))
+      .withColumn("score_micro", termScore)
+      .filter(col("score_micro") > 0)
+      .select(col("doc_id"), col("dl"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25" -> (bm25 _),
     "q_text_novelty" -> (novelty _),
     "q_text_chunks" -> (chunk _),
     "q_text_cooc" -> (cooccurrence _),
@@ -774,6 +826,34 @@ object TextAnalysis {
          |GROUP BY t.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_text_bm25" -> {
+      val perdocCols = bm25Terms.map(t =>
+        s"len(list_filter(str_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t")
+        .mkString(", ")
+      val dfCols = bm25Terms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t")
+        .mkString(", ")
+      val score = bm25Terms.map(t =>
+        s"""(CASE WHEN tf_$t > 0 THEN
+           |  (((2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
+           |      // (2 * (2 * df_$t + 1)))
+           |    * ((1000000 * 44 * tf_$t * len_total)
+           |      // (20 * tf_$t * len_total + 6 * len_total + 18 * dl * n_docs)))
+           |    // 1000000
+           |  ELSE 0 END)""".stripMargin).mkString(" + ")
+      s"""WITH perdoc AS (
+         |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl, $perdocCols
+         |  FROM documents),
+         |totals AS (
+         |  SELECT sum(dl)::BIGINT AS len_total, count(*)::BIGINT AS n_docs,
+         |    $dfCols
+         |  FROM perdoc)
+         |SELECT doc_id, dl, score_micro FROM (
+         |  SELECT doc_id, dl, $score AS score_micro FROM perdoc, totals) s
+         |WHERE score_micro > 0
+         |ORDER BY score_micro DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
     // same md5 window hashing + tokenization contract as
     // q_dedup_substring, at W=3; the md5 strings and the 64-bit kernel
     // hashes only meet through counts, so either side may hash its own
