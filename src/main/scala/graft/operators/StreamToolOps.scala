@@ -417,6 +417,7 @@ object StreamToolOps {
     "q_f13_anonymize" -> (anonymize _),
     "q_src_jsonl" -> (graft.tools.JsonlTools.roundTrip _),
     "q_src_jsonl_gz" -> (graft.tools.JsonlTools.roundTripGz _),
+    "q_src_orc" -> (graft.tools.OrcTools.roundTrip _),
     "q_stream_jsonl_gz" -> (streamJsonlIngestGz _),
   )
 
@@ -435,6 +436,14 @@ object StreamToolOps {
     // exactly — long/string aggregates only (floats are not bit-stable
     // through a text format)
     "q_src_jsonl" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, 0::BIGINT AS n_corrupt,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
+    // the ORC round trip shares the parquet-exactness contract; the
+    // zero n_corrupt column is pinned (columnar ORC has no quarantine
+    // path — see OrcTools)
+    "q_src_orc" ->
       """SELECT source, count(*)::BIGINT AS n_docs, 0::BIGINT AS n_corrupt,
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
