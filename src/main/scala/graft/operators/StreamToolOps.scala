@@ -226,6 +226,67 @@ object StreamToolOps {
         .toDF("user_id", "event_type")
     }, "stream_tws_dedup", "append")
 
+  /** Streaming INCREMENTAL near-dup detection — MinHash-LSH banding as
+    * a stateful stream, the op a live corpus landing zone actually
+    * needs (batch LSH re-reads the whole corpus per ingest; this emits
+    * each new document's candidate pairs the moment it lands).
+    * Arriving JSONL docs get the SAME native signature + band hashes
+    * as the batch path (Dedup.sigOf / Dedup.bandArr — one shared
+    * definition, so stream and batch can never disagree on what a
+    * candidate is); state per (band, bucket-hash) is the member list,
+    * and a new arrival emits one pair per existing member.
+    *
+    * The bucket cap is ARRIVAL-PREFIX semantics, deliberately distinct
+    * from batch `lshPairs`: a stream cannot retract pairs it already
+    * emitted when a bucket later turns hot, so instead of dropping
+    * oversized buckets post-hoc it stops ADMITTING members past
+    * `maxBucket` — state ≤ 64 ids and emission ≤ C(64,2) pairs per
+    * bucket, bounded at any corpus size, and the first-seen members
+    * (the ones that matter — later ones are near-dups of them) keep
+    * their pairs. The oracle mirrors exactly this: pairs among each
+    * bucket's first-`maxBucket` members in arrival order. The staged
+    * replay lands in one trigger and the handler sorts each trigger's
+    * arrivals by doc_id, so arrival order IS doc_id order and the
+    * SQL rank mirrors it deterministically. Cross-band duplicates are
+    * dropped batch-side from the drained emissions (the streamHll
+    * pattern) — chaining a second stateful dedup after fMGWS is the
+    * one shape the engine restricts.
+    */
+  def streamLshPairs(s: SparkSession, d: String): DataFrame = {
+    val path = graft.tools.JsonlTools.dumpDir(d, "stream_lsh")
+    graft.tools.JsonlTools.writeJsonl(graft.Tables.documents(s, d), path)
+    val cap = graft.ops.Dedup.maxBucket
+    drain(s, { ss =>
+      import ss.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val docs = graft.tools.JsonlTools.readStreamJsonl(ss, path)
+        .filter(col("text").isNotNull)
+      graft.ops.Dedup.sigOf(docs)
+        .select(col("doc_id"),
+          posexplode(graft.ops.Dedup.bandArr).as(Seq("band", "h")))
+        .as[(Long, Int, String)]
+        .groupByKey(r => (r._2, r._3))
+        .flatMapGroupsWithState[Array[Long], (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+          val seen = state.getOption.getOrElse(Array.empty[Long])
+          val arriving = rows.map(_._1).toArray.distinct.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var cur = seen
+          arriving.foreach { id =>
+            if (!cur.contains(id) && cur.length < cap) {
+              cur.foreach(m =>
+                out += ((math.min(m, id), math.max(m, id))))
+              cur = cur :+ id
+            }
+          }
+          if (cur.length != seen.length) state.update(cur)
+          out.iterator
+        }
+        .toDF("doc_a", "doc_b")
+    }, "stream_lsh", "append")
+      .distinct()
+  }
+
   /** Stream-stream interval join: each event joined to the same user's
     * events in the preceding 60 s, with watermarks on both sides so
     * join state evicts as event time advances (bounded state — the only
@@ -404,6 +465,7 @@ object StreamToolOps {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_state_dedup" -> (streamStateDedup _),
     "q_stream_tws_dedup" -> (streamTwsDedup _),
+    "q_stream_lsh_pairs" -> (streamLshPairs _),
     "q_stream_jsonl" -> (streamJsonlIngest _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_session" -> (streamSession _),
@@ -455,6 +517,24 @@ object StreamToolOps {
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_stream_tws_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // arrival-prefix cap semantics (see streamLshPairs): pairs among
+    // each band bucket's first-maxBucket members by doc_id
+    "q_stream_lsh_pairs" -> {
+      val bands = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"m${b * 4 + r}::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH sig AS (${graft.ops.Dedup.sigSql}), bands0 AS ($bands),
+         |ranked AS (SELECT doc_id, band, h,
+         |    row_number() OVER (PARTITION BY band, h ORDER BY doc_id) AS rk
+         |  FROM bands0),
+         |kept AS (SELECT doc_id, band, h FROM ranked
+         |         WHERE rk <= ${graft.ops.Dedup.maxBucket})
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM kept a JOIN kept b ON a.band = b.band AND a.h = b.h
+         |  AND a.doc_id < b.doc_id""".stripMargin
+    },
     "q_stream_jsonl" ->
       """SELECT source, count(*)::BIGINT AS n_distinct,
         |  sum(length(text))::BIGINT AS sum_chars

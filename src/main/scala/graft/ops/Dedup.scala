@@ -103,14 +103,20 @@ object Dedup {
     * partition, so the hash-heavy map is explicitly rebalanced across
     * cores first (at real scale the file count does this for free).
     */
-  def minhashSig(s: SparkSession, d: String): DataFrame = {
-    // Contract on degenerate input: a document with NO tokens (null
-    // text, or an empty/all-null token set) emits no signature row —
-    // the explode+groupBy twin and the SQL oracle both drop such
-    // documents, and the native expression alone would instead emit a
-    // null (null array) or Long.MaxValue (empty array) signature.
-    val sig = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  def minhashSig(s: SparkSession, d: String): DataFrame =
+    sigOf(documents(s, d).repartition(s.sparkContext.defaultParallelism))
+
+  /** The signature transform on an ARBITRARY (doc_id, text) frame —
+    * batch or streaming (pure narrow column expressions, so the same
+    * subtree plans under a micro-batch). Contract on degenerate input:
+    * a document with NO tokens (null text, or an empty/all-null token
+    * set) emits no signature row — the explode+groupBy twin and the
+    * SQL oracle both drop such documents, and the native expression
+    * alone would instead emit a null (null array) or Long.MaxValue
+    * (empty array) signature.
+    */
+  private[graft] def sigOf(docs: DataFrame): DataFrame = {
+    val sig = docs
       .select(col("doc_id"),
         filter(array_distinct(tokens(col("text"))), _.isNotNull).as("tk"))
       .filter(size(col("tk")) > 0)
@@ -175,17 +181,19 @@ object Dedup {
     * hash-bucket join — never all-pairs — with degenerate buckets
     * dropped.
     */
-  def lshPairs(s: SparkSession, d: String): DataFrame = {
-    // one band column per 4 signature mins, exploded — the signature
-    // subtree is computed once (a union-of-selects or self-join here
-    // recomputes it per branch: observed 8× the work)
-    val bandArr = array((0 until 4).map { b =>
-      md5(concat_ws(",",
-        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
-    }: _*)
+  /** One band hash per 4 signature mins, as a single array column so
+    * the signature subtree is computed once (a union-of-selects or
+    * self-join here recomputes it per branch: observed 8× the work).
+    * Shared with the streaming incremental variant.
+    */
+  private[graft] def bandArr: Column = array((0 until 4).map { b =>
+    md5(concat_ws(",",
+      (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+  }: _*)
+
+  def lshPairs(s: SparkSession, d: String): DataFrame =
     bandedPairs(minhashSig(s, d)
       .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "h"))))
-  }
 
   /** MinHash Jaccard ESTIMATION for the LSH candidate pairs: the
     * fraction of agreeing signature components estimates J(A,B) —
@@ -781,7 +789,7 @@ object Dedup {
        |  AND a.doc_id < b.doc_id""".stripMargin
   }
 
-  private val sigSql: String = {
+  private[graft] val sigSql: String = {
     val mins = minhashSeeds.zipWithIndex
       .map { case (seed, i) => s"min(xor(h, ${seed})) AS m$i" }.mkString(", ")
     s"""SELECT doc_id, $mins
