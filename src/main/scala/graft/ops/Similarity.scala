@@ -48,6 +48,37 @@ object Similarity {
       .limit(10)
   }
 
+  /** FILTERED vector search — the metadata-predicated top-k every
+    * retrieval/serving stack actually runs ("nearest English docs",
+    * "nearest docs from source X"): attach the metadata, apply the
+    * predicate BEFORE the distance kernel, then score and TakeOrdered.
+    * Pre-filtering is the scale-correct order: the predicate's
+    * selectivity directly cuts the dot-product work AND guarantees k
+    * results whenever k matches exist — post-filtering (score global
+    * top-k, then filter) reads every vector and can return fewer than
+    * k rows for a selective predicate, the classic vector-store
+    * gotcha. At volume the metadata attach is a doc-keyed join that
+    * bucketing/co-partitioning makes shuffle-free (embeddings and
+    * documents share the id keyspace by construction); with an IVF
+    * index the same predicate intersects the cell posting lists
+    * instead.
+    */
+  def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val meta = documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val q = e.filter(col("vec_id") === 0).select(col("le").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .join(meta, "vec_id")
+      .filter(col("lang") === "en")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("lang"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Deterministic pseudo-random hyperplanes from md5 (j = plane,
     * d = dimension) — reproducible in any engine with md5.
     */
@@ -517,6 +548,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
+    "q_knn_filtered" -> (knnFiltered _),
     "q_knn_batch" -> (knnBatch _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_lsh_multiprobe" -> (knnLshMultiProbe _),
@@ -712,6 +744,15 @@ object Similarity {
          |     q AS (SELECT le AS qe FROM v WHERE vec_id = 0),
          |     e AS (SELECT * FROM v WHERE vec_id <> 0)
          |SELECT e.vec_id, round($cosSql, 6) AS sim
+         |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_filtered" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |           FROM embeddings),
+         |     q AS (SELECT le AS qe FROM v WHERE vec_id = 0),
+         |     e AS (SELECT v.vec_id, v.le, d.lang FROM v
+         |           JOIN documents d ON v.vec_id = d.doc_id
+         |           WHERE v.vec_id <> 0 AND d.lang = 'en')
+         |SELECT e.vec_id, e.lang, round($cosSql, 6) AS sim
          |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH hp AS (
