@@ -480,6 +480,7 @@ object StreamToolOps {
     "q_src_jsonl" -> (graft.tools.JsonlTools.roundTrip _),
     "q_src_jsonl_gz" -> (graft.tools.JsonlTools.roundTripGz _),
     "q_src_orc" -> (graft.tools.OrcTools.roundTrip _),
+    "q_src_schema_evo" -> (graft.tools.SchemaEvolution.roundTrip _),
     "q_stream_jsonl_gz" -> (streamJsonlIngestGz _),
   )
 
@@ -509,6 +510,17 @@ object StreamToolOps {
       """SELECT source, count(*)::BIGINT AS n_docs, 0::BIGINT AS n_corrupt,
         |  sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
+    // the merged scan null-fills `lang` on gen-1 files; the even/odd
+    // doc_id generation split lets the oracle recompute the boundary
+    // from the original table (see SchemaEvolution)
+    "q_src_schema_evo" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_legacy,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_evolved,
+        |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->

@@ -660,8 +660,63 @@ object Curation {
         max(col("score_micro")).as("max_score"))
   }
 
+  /** Weighted sampling WITHOUT replacement, exact sample mass:
+    * systematic PPS (probability-proportional-to-size) over a
+    * hash-randomized order — the estimator-grade sampler behind
+    * "pick ~k docs, long docs proportionally more often" that a
+    * rate-cut (`sample`) or an independent coin (`qualitySample`)
+    * cannot give, because neither controls the TOTAL drawn. Classic
+    * construction (Madow's systematic selection after a random
+    * permutation): lay every document's weight end to end along a
+    * line in a content-hash order, drop exactly k equally spaced
+    * sample points on it, and a document is drawn once per point
+    * landing inside its span — multiplicity
+    * m_i = ⌊(C_i + w_i)·k / W⌋ − ⌊C_i·k / W⌋ with C_i the mass
+    * strictly before doc i and W the corpus mass, so Σ m_i
+    * TELESCOPES to exactly k (no float boundary, no rejection pass)
+    * and inclusion is ∝ w_i for every w_i ≤ W/k. The randomization is
+    * the hash order itself; the arithmetic is pure BIGINT (the k·W
+    * product stays under 2^63 up to ~10^15 weight units at k=1000 —
+    * petabyte-of-chars headroom).
+    *
+    * Shape at 100 TB: the same two-phase running mass as `curriculum`
+    * — range-partition the NARROW (doc_id, w, key) projection on the
+    * hash order, per-partition running sums in parallel windows, one
+    * broadcast row of mass offsets per partition — so there is no
+    * global-order funnel anywhere, and the output is the drawn docs
+    * only (expected k rows).
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 1000L
+    val key = conv(substring(
+      md5(concat(lit("pps|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val sorted = documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"), key.as("pps_key"))
+      .repartitionByRange(fanout(s), col("pps_key"), col("doc_id"))
+      .sortWithinPartitions("pps_key", "doc_id")
+      .withColumn("spid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy("spid").orderBy(col("pps_key"), col("doc_id"))
+    val cum = sorted.withColumn("cum_in", sum(col("w")).over(w) - col("w"))
+    val offW = Window.orderBy("spid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("spid"))
+      .agg(sum(col("w")).as("m"))
+      .withColumn("off", coalesce(sum(col("m")).over(offW), lit(0L)))
+      .select(col("spid"), col("off"))
+    val total = sorted.agg(sum(col("w")).as("tw"))
+    cum.join(broadcast(offsets), "spid")
+      .crossJoin(broadcast(total))
+      .withColumn("mult",
+        expr(s"((cum_in + off + w) * $k) DIV tw - ((cum_in + off) * $k) DIV tw"))
+      .filter(col("mult") >= 1L)
+      .select(col("doc_id"), col("w"), col("mult"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cur_curriculum" -> (curriculum _),
+    "q_cur_weighted_sample" -> (weightedSample _),
     "q_cur_epoch_shards" -> (epochShards _),
     "q_cur_upsample" -> (upsample _),
     "q_cur_shuffle" -> (shuffleOrder _),
@@ -714,6 +769,25 @@ object Curation {
         |  min(score_micro)::BIGINT AS min_score,
         |  max(score_micro)::BIGINT AS max_score
         |FROM c GROUP BY 1""".stripMargin,
+    // systematic PPS: exclusive running mass over the SAME hash order
+    // and the same telescoping ⌊·k/W⌋ difference — all BIGINT, so both
+    // engines land identical sample points
+    "q_cur_weighted_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, n_chars::BIGINT AS w,
+        |    ('0x' || substr(md5('pps|' || doc_id), 1, 15))::BIGINT
+        |      AS pps_key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    coalesce(sum(w) OVER (ORDER BY pps_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+        |    sum(w) OVER () AS tw
+        |  FROM v)
+        |SELECT doc_id, w,
+        |  (((cw + w) * 1000) // tw - (cw * 1000) // tw)::BIGINT AS mult
+        |FROM c
+        |WHERE ((cw + w) * 1000) // tw > (cw * 1000) // tw""".stripMargin,
     "q_cur_epoch_shards" ->
       """WITH o AS (SELECT doc_id,
         |  (row_number() OVER (ORDER BY

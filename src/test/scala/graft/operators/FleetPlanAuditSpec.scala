@@ -32,6 +32,7 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     "q_tpch_q22" -> 1,          // 1-row mean-balance threshold, non-equi compare
     "q_tpch_q11" -> 1,          // 1-row global value-total threshold frame
     "q_cur_curriculum" -> 1,    // 1-row corpus token-mass total
+    "q_cur_weighted_sample" -> 1, // 1-row corpus weight-mass total
     "q_a13_histogram" -> 1,     // 1-row global min/max range frame
     "q_cur_boilerplate" -> 1,   // 1-row doc-count threshold frame
     "q_cur_lengthgate" -> 1,    // 1-row percentile-bounds frame
@@ -46,6 +47,8 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     // not in the per-query plan
     "q_knn_batch" -> 1,         // bounded query block (top-k probe side)
     "q_knn_brute" -> 1,         // bounded query block
+    "q_knn_filtered" -> 1,      // bounded query block (pre-filtered probe)
+    "q_text_bm25" -> 1,         // 1-row corpus (L, N, df) stats frame
     "q_knn_hardneg" -> 1,       // bounded query block
     "q_knn_int8" -> 1,          // 1-row quantization-range frame
     "q_knn_ivf" -> 2,           // k-row centroid set, assign + probe

@@ -26,21 +26,27 @@ QUERIES = [
     "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop",
     "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
     "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_knn_pca",
-    "q_sk_kmv", "q_src_jsonl", "q_src_jsonl_gz", "q_stream_dedup_wm",
+    "q_knn_filtered", "q_cur_group_split", "q_cur_weighted_sample",
+    "q_sk_kmv", "q_src_jsonl", "q_src_jsonl_gz", "q_src_orc",
+    "q_src_schema_evo",
+    "q_stream_dedup_wm",
     "q_stream_join", "q_stream_jsonl", "q_stream_jsonl_gz",
+    "q_stream_lsh_pairs",
     "q_stream_session", "q_stream_session_append",
     "q_stream_state_dedup", "q_stream_tumbling", "q_stream_tws_dedup",
-    "q_text_bpe_encode",
+    "q_text_bm25", "q_text_bpe_encode",
     "q_text_bpe_train", "q_text_cooc", "q_text_novelty", "q_text_tfidf",
     "q_text_vocab_oov", "q_tpch_q18", "q_tpch_q21", "q_tpch_q3",
-    "q_tpch_q9", "q_w_concurrency",
+    "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_w_concurrency",
 ]
 
 NOTE = (
-    "Round-12 refresh (48 headline queries; the round-12 session-2 "
-    "additions join the sweep: asof-exec vs window asof, labelprop, "
-    "kcore, ivfpq, pca, kmv, tws dedup, concurrency, novelty, "
-    "cross-source matrix, attribution). "
+    "Round-12 refresh (57 headline queries; the round-12 additions in "
+    "the sweep: asof-exec vs window asof, labelprop, kcore, ivfpq, pca, "
+    "kmv, tws dedup, concurrency, novelty, cross-source matrix, "
+    "attribution, streaming LSH, BM25, group split, filtered ANN, ORC, "
+    "schema-evolution read, systematic PPS weighted sampling, "
+    "and the fact-broadcast-inversion TPC-H rows q3/q5/q8). "
     "sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
     "disjoint key ranges). Medians of 3 timed reps after one untimed "
     "warm-up, storage drop + GC drain outside each timed window, "
@@ -58,7 +64,15 @@ NOTE = (
     "three; (4) semantic dedup's quantizer is TRAINED k-means (2 exact "
     "integer Lloyd rounds, memoized per corpus) - recall vs first-k "
     "seeds gated >= by SemanticQuantizerSpec (round-12 sf0.01 run: 189 "
-    "vs 165 dup witnesses). forced_paths times the budget-gated graph "
+    "vs 165 dup witnesses); (5) the driver-side graph kernels "
+    "(labelprop/pagerank/triangles/kcore) moved onto one primitive CSR "
+    "adjacency - the boxed-Map solves were the top of the previous "
+    "slope table (labelprop 12.4x) despite trivial plans - and the "
+    "local-triangle budget re-sized to 2M edges for the 10x-faster "
+    "kernel; (6) the fact-broadcast estimate inversion fixed across "
+    "q3/q5/q8/q9/q10 (stats broadcast a full fact against the reduced "
+    "side; each site now co-shuffles with the reduced side as build, "
+    "plan-pinned). forced_paths times the budget-gated graph "
     "operators with BOTH gate sides forced (graft.tools.GateCheck, same "
     "rep protocol): the *_distributed rows are the plans that run at "
     "100 TB, and edges_build is the memo-bypassed one-time derivation. "
