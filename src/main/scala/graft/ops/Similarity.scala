@@ -79,6 +79,50 @@ object Similarity {
       .limit(10)
   }
 
+  /** HYBRID retrieval — the two-retriever pipeline production RAG
+    * stacks run: a lexical BM25 top-20 (TextAnalysis.bm25) and a
+    * vector cosine top-20 are fused by Reciprocal Rank Fusion,
+    * rrf(d) = Σ_retrievers 1/(60 + rank_r(d)) — the standard
+    * training-free fusion (Cormack et al.'s 60 constant), here in
+    * integer micro-units (1000000 DIV (60 + rank)) so the fused score
+    * is engine-exact. Rank fusion beats score fusion operationally
+    * because BM25 and cosine live on incomparable scales; ranks need
+    * no calibration.
+    *
+    * Shape at 100 TB: each retriever is a corpus-scale scan funneled
+    * through TakeOrdered into a ≤20-row frame; the ranking windows and
+    * the full-outer fuse join run on those bounded frames only — the
+    * single-partition window is 20 rows by construction, not a funnel.
+    */
+  def hybrid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("le"))
+    val q = e.filter(col("vec_id") === 0).select(col("le").as("qe"))
+    val vecTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("le"), col("qe")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(20)
+    val vecRank = vecTop.withColumn("r_vec",
+      row_number().over(Window.orderBy(col("sim").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("r_vec"))
+    val bmRank = TextAnalysis.bm25(s, d).withColumn("r_bm",
+      row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("r_bm"))
+    bmRank.join(vecRank, Seq("doc_id"), "outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 DIV (60 + r_bm)"), lit(0L))
+          + coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("r_bm"), col("r_vec"), col("rrf_micro"))
+  }
+
   /** Deterministic pseudo-random hyperplanes from md5 (j = plane,
     * d = dimension) — reproducible in any engine with md5.
     */
@@ -549,6 +593,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> (knnBrute _),
     "q_knn_filtered" -> (knnFiltered _),
+    "q_knn_hybrid" -> (hybrid _),
     "q_knn_batch" -> (knnBatch _),
     "q_knn_lsh" -> (knnLsh _),
     "q_knn_lsh_multiprobe" -> (knnLshMultiProbe _),
@@ -745,6 +790,29 @@ object Similarity {
          |     e AS (SELECT * FROM v WHERE vec_id <> 0)
          |SELECT e.vec_id, round($cosSql, 6) AS sim
          |FROM e, q ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // composes the BM25 oracle verbatim as a subquery (one definition,
+    // TextAnalysis.bm25Sql) with the brute-force vector oracle; RRF on
+    // BIGINT ranks is engine-exact by construction
+    "q_knn_hybrid" ->
+      s"""WITH bm AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_bm
+         |  FROM (${TextAnalysis.bm25Sql}) b),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
+         |      FROM embeddings),
+         |q AS (SELECT le AS qe FROM v WHERE vec_id = 0),
+         |vt AS (SELECT e.vec_id AS doc_id, round($cosSql, 6) AS sim
+         |       FROM (SELECT * FROM v WHERE vec_id <> 0) e, q
+         |       ORDER BY sim DESC, doc_id LIMIT 20),
+         |vr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+         |       FROM vt)
+         |SELECT coalesce(bm.doc_id, vr.doc_id) AS doc_id,
+         |  bm.r_bm AS r_bm, vr.r_vec AS r_vec,
+         |  (coalesce(1000000 // (60 + bm.r_bm), 0)
+         |    + coalesce(1000000 // (60 + vr.r_vec), 0))::BIGINT AS rrf_micro
+         |FROM bm FULL JOIN vr ON bm.doc_id = vr.doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
     "q_knn_filtered" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS le
          |           FROM embeddings),

@@ -735,6 +735,38 @@ object TextAnalysis {
     "q_pipeline_corpus" -> (corpusPipeline _),
   )
 
+  /** DuckDB twin of `bm25` — object-level so the hybrid-retrieval
+    * oracle (Similarity) can compose it as a parenthesized subquery.
+    */
+  private[ops] val bm25Sql: String = {
+    val perdocCols = bm25Terms.map(t =>
+      s"len(list_filter(str_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t")
+      .mkString(", ")
+    val dfCols = bm25Terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t")
+      .mkString(", ")
+    val score = bm25Terms.map(t =>
+      s"""(CASE WHEN tf_$t > 0 THEN
+         |  (((2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
+         |      // (2 * (2 * df_$t + 1)))
+         |    * ((1000000 * 44 * tf_$t * len_total)
+         |      // (20 * tf_$t * len_total + 6 * len_total + 18 * dl * n_docs)))
+         |    // 1000000
+         |  ELSE 0 END)""".stripMargin).mkString(" + ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl, $perdocCols
+       |  FROM documents),
+       |totals AS (
+       |  SELECT sum(dl)::BIGINT AS len_total, count(*)::BIGINT AS n_docs,
+       |    $dfCols
+       |  FROM perdoc)
+       |SELECT doc_id, dl, score_micro FROM (
+       |  SELECT doc_id, dl, $score AS score_micro FROM perdoc, totals) s
+       |WHERE score_micro > 0
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
 
@@ -826,34 +858,7 @@ object TextAnalysis {
          |GROUP BY t.source""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q_text_bm25" -> {
-      val perdocCols = bm25Terms.map(t =>
-        s"len(list_filter(str_split(text, ' '), x -> x = '$t'))::BIGINT AS tf_$t")
-        .mkString(", ")
-      val dfCols = bm25Terms.map(t =>
-        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t")
-        .mkString(", ")
-      val score = bm25Terms.map(t =>
-        s"""(CASE WHEN tf_$t > 0 THEN
-           |  (((2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
-           |      // (2 * (2 * df_$t + 1)))
-           |    * ((1000000 * 44 * tf_$t * len_total)
-           |      // (20 * tf_$t * len_total + 6 * len_total + 18 * dl * n_docs)))
-           |    // 1000000
-           |  ELSE 0 END)""".stripMargin).mkString(" + ")
-      s"""WITH perdoc AS (
-         |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl, $perdocCols
-         |  FROM documents),
-         |totals AS (
-         |  SELECT sum(dl)::BIGINT AS len_total, count(*)::BIGINT AS n_docs,
-         |    $dfCols
-         |  FROM perdoc)
-         |SELECT doc_id, dl, score_micro FROM (
-         |  SELECT doc_id, dl, $score AS score_micro FROM perdoc, totals) s
-         |WHERE score_micro > 0
-         |ORDER BY score_micro DESC, doc_id
-         |LIMIT 20""".stripMargin
-    },
+    "q_text_bm25" -> bm25Sql,
     // same md5 window hashing + tokenization contract as
     // q_dedup_substring, at W=3; the md5 strings and the 64-bit kernel
     // hashes only meet through counts, so either side may hash its own

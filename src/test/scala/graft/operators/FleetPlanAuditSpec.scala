@@ -48,6 +48,7 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     "q_knn_batch" -> 1,         // bounded query block (top-k probe side)
     "q_knn_brute" -> 1,         // bounded query block
     "q_knn_filtered" -> 1,      // bounded query block (pre-filtered probe)
+    "q_knn_hybrid" -> 2,        // query block + BM25's 1-row stats frame
     "q_text_bm25" -> 1,         // 1-row corpus (L, N, df) stats frame
     "q_knn_hardneg" -> 1,       // bounded query block
     "q_knn_int8" -> 1,          // 1-row quantization-range frame
