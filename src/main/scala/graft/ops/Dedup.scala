@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Deduplication operators for large-scale corpus pipelines — exact,
@@ -717,6 +718,69 @@ object Dedup {
           .as("wh"))
   }
 
+  /** Content-defined chunking dedup — the storage-dedup classic
+    * (Rabin-style variable boundaries) applied at token granularity:
+    * a chunk boundary falls BEFORE token i whenever the hash of the
+    * adjacent token pair (tk[i-1], tk[i]) lands in 1/16 of hash space,
+    * so boundaries are a pure function of LOCAL content. That is the
+    * property fixed windows lack: inserting one token shifts EVERY
+    * downstream fixed window (paragraphDedup's 16-token chunks all
+    * change), but moves at most the one enclosing content-defined
+    * chunk — so re-ingesting a corpus with small edits re-deduplicates
+    * everything outside the edit. Output: per-source chunk mass, how
+    * much of it is repeated verbatim (duplicate occurrences of a chunk
+    * hash within the source), and the mean chunk length — the
+    * dedupable-storage estimate an intake pipeline budgets from.
+    *
+    * Shape at 100 TB: one token-wide exchange keyed on doc_id for the
+    * lag/running-sum windows (each partition = one doc's tokens — the
+    * paragraph-dedup class, uniform by construction), one
+    * map-side-combinable reassembly groupBy, then chunk-hash counts.
+    * The boundary hash is md5 over the pair text (engine-portable, so
+    * the DuckDB oracle lands identical boundaries); expected chunk
+    * length is the 16-token boundary odds, independent of corpus size.
+    */
+  def contentChunks(s: SparkSession, d: String): DataFrame =
+    contentChunksOf(documents(s, d))
+
+  /** The per-source aggregation over `chunksOf`, parameterized by the
+    * documents frame (spec entry point for synthetic corpora).
+    */
+  private[ops] def contentChunksOf(docs: DataFrame): DataFrame =
+    chunksOf(docs).groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("occ"), max(col("n_toks")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_chunks"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("occ") * col("n_toks")).as("sum_tokens"),
+        sum((col("occ") - 1) * col("n_toks")).as("dup_tokens"))
+
+  /** The (doc_id, source, cid, ch, n_toks) chunk table behind
+    * `contentChunks` — takes the documents frame directly so the
+    * edit-locality property spec can chunk synthetic corpora.
+    */
+  private[ops] def chunksOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        posexplode(filter(split(col("text"), " "), t => length(t) > 0)))
+      .select(col("doc_id"), col("source"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    toks
+      .withColumn("flag",
+        when(col("pos") > 1 &&
+          conv(substring(md5(concat_ws(" ",
+            lag(col("tok"), 1).over(w), col("tok"))), 1, 4), 16, 10)
+            .cast("long") % 16 === 0, 1L).otherwise(0L))
+      .withColumn("cid", sum(col("flag")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("source"), col("cid"))
+      .agg(md5(concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok"))).as("ch"),
+        count(lit(1)).as("n_toks"))
+  }
+
   /** Cross-source duplication matrix: where do the near-dups COME
     * from? Every LSH candidate pair is attributed to its unordered
     * (source, source) cell — the standard corpus-intake diagnostic
@@ -740,6 +804,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_substring" -> (substringOverlap _),
+    "q_dedup_content_chunks" -> (contentChunks _),
     "q_dedup_matrix" -> (crossSourceMatrix _),
     "q_dedup_crossmodal" -> (crossModalConsensus _),
     "q_dedup_exact" -> (exact _),
@@ -829,6 +894,45 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // boundary hash is md5 over the adjacent-pair TEXT, so both
+    // engines land identical chunk boundaries (unlike the FNV window
+    // kernels, whose oracles compare resulting pairs, never hashes)
+    "q_dedup_content_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    unnest(range(1, len(tk) + 1))::BIGINT AS pos,
+        |    unnest(tk) AS tok
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, pos, tok,
+        |    CASE WHEN pos > 1 AND
+        |      ('0x' || substr(md5(
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           || ' ' || tok), 1, 4))::BIGINT % 16 = 0
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, source, pos, tok,
+        |    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, source, cid,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS ch,
+        |    count(*)::BIGINT AS n_toks
+        |  FROM c GROUP BY doc_id, source, cid),
+        |occ AS (
+        |  SELECT source, ch, count(*)::BIGINT AS occ,
+        |    max(n_toks) AS n_toks
+        |  FROM ch GROUP BY source, ch)
+        |SELECT source, sum(occ)::BIGINT AS n_chunks,
+        |  count(*)::BIGINT AS n_uniq,
+        |  sum(occ * n_toks)::BIGINT AS sum_tokens,
+        |  sum((occ - 1) * n_toks)::BIGINT AS dup_tokens
+        |FROM occ GROUP BY source""".stripMargin,
     "q_dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id,
