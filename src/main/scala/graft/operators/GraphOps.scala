@@ -399,6 +399,48 @@ object GraphOps {
     out
   }
 
+  /** Personalized-PageRank twin of `pagerankLocal`: the 15% teleport
+    * mass restarts at the SEED SET (the 3 smallest vertex ids — the
+    * CSR id array is sorted, so seeds are indices 0..2) instead of
+    * uniformly, and the walk starts there too. Same exact-integer
+    * discipline — nonnegative long division truncates identically in
+    * the JVM, SQL DIV, and DuckDB //.
+    */
+  private[operators] def pprLocal(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val (ids, off, adj) = csrAdjacency(edges)
+    val n = ids.length
+    val nSeeds = math.min(3, n)
+    val init = prScale / nSeeds.toLong
+    val sbase = (15L * init) / 100L
+    var pr = new Array[Long](n)
+    var i = 0
+    while (i < nSeeds) { pr(i) = init; i += 1 }
+    var round = 0
+    while (round < 3) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        var c = 0L
+        var j = off(v)
+        val e = off(v + 1)
+        while (j < e) {
+          val u = adj(j)
+          c += pr(u) / (off(u + 1) - off(u)).toLong
+          j += 1
+        }
+        next(v) = (if (v < nSeeds) sbase else 0L) + (85L * c) / 100L
+        v += 1
+      }
+      pr = next
+      round += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), pr(i)); i += 1 }
+    out
+  }
+
   /** Dense-indexed CSR adjacency shared by the driver-side graph
     * kernels: sorted distinct vertex ids, prefix offsets, and the
     * 2m-entry neighbor array (each undirected edge lands in both
@@ -501,6 +543,69 @@ object GraphOps {
           .groupBy(col("v"))
           .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
           .select(col("v").as("id"), col("pr"))
+          .localCheckpoint(false)
+      }
+      pr.select(col("id").as("v"), col("pr")).localCheckpoint(true)
+    }
+  }
+
+  /** Personalized PageRank — proximity to a SEED SET, the similarity-
+    * expansion primitive curation uses ("find suppliers like these
+    * three"): the teleport mass restarts at the seeds, so rank decays
+    * with graph distance from them instead of measuring global
+    * centrality. Seeds are the 3 smallest vertex ids (deterministic,
+    * oracle-expressible); same memoized edge list, budget gate, and
+    * exact-integer 3-round iteration as `pagerank` — the only deltas
+    * are the seed-concentrated init and the seed-gated base term.
+    */
+  def ppr(s: SparkSession, d: String): DataFrame = {
+    val (e, nEdges) = affinityEdges(s, d)
+    if (nEdges == 0L) {
+      import s.implicits._
+      return Seq.empty[(Long, Long)].toDF("v", "pr")
+    }
+    if (nEdges <= broadcastEdgeBudget(s)) {
+      val ranks = pprLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+      import s.implicits._
+      return s.sparkContext
+        .parallelize(ranks.toIndexedSeq,
+          math.max(1, math.min(fanout(s), ranks.length / 32768 + 1)))
+        .toDF("v", "pr")
+    }
+    pprDistributed(s, e, nEdges)
+  }
+
+  /** Over-budget PPR — `pagerankDistributed` with the seed-gated base;
+    * the rank frame stays defined over ALL vertices each round (zeros
+    * included) so a seed with no in-mass never drops out of the join.
+    * The 3-row seed collect is the centroid-class bounded collect.
+    */
+  private[operators] def pprDistributed(s: SparkSession, e: DataFrame,
+      nEdges: Long): DataFrame = {
+    graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
+      val edges = e.select(col("sa").as("u"), col("sb").as("v"))
+        .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val g = edges.join(deg, "u").localCheckpoint(true)
+      // one row per VERTEX (deg), not per edge (g) — the edge frame
+      // would collapse the 3-smallest pick onto repeated copies of the
+      // minimum id
+      val seeds = deg.select(col("u")).orderBy(col("u")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val init = prScale / seeds.length
+      val sbase = (15L * init) / 100L
+      var pr = g.select(col("u").as("id")).distinct()
+        .withColumn("pr", when(col("id").isin(seeds: _*), lit(init))
+          .otherwise(lit(0L)))
+      for (_ <- 1 to 3) {
+        pr = g.join(pr, col("u") === col("id"))
+          .select(col("v"), expr("pr DIV deg").as("c"))
+          .groupBy(col("v"))
+          .agg(expr("(85 * sum(c)) DIV 100").as("m"))
+          .select(col("v").as("id"),
+            (when(col("v").isin(seeds: _*), lit(sbase)).otherwise(lit(0L))
+              + col("m")).as("pr"))
           .localCheckpoint(false)
       }
       pr.select(col("id").as("v"), col("pr")).localCheckpoint(true)
@@ -787,6 +892,7 @@ object GraphOps {
     "q_g4_degrees" -> (degrees _),
     "q_g5_kcore" -> (kcore _),
     "q_g6_labelprop" -> (labelprop _),
+    "q_g7_ppr" -> (ppr _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -906,6 +1012,40 @@ object GraphOps {
          |g AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
          |init AS (SELECT ${prScale} // count(DISTINCT u) AS i FROM e),
          |p0 AS (SELECT u AS id, (SELECT i FROM init) AS pr FROM deg),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT id AS v, pr::BIGINT AS pr FROM p3""".stripMargin
+    },
+    // pagerank's unrolled iteration with the teleport mass gated to
+    // the 3-smallest-id seed set; ranks stay defined over all vertices
+    // (zero rows included) so the round-N support never shrinks
+    "q_g7_ppr" -> {
+      def iter(prev: String, next: String): String =
+        s"""$next AS (
+           |  SELECT g.v AS id,
+           |    CASE WHEN g.v IN (SELECT id FROM seeds)
+           |      THEN (15 * (SELECT i FROM init)) // 100 ELSE 0 END
+           |      + (85 * sum($prev.pr // g.deg)) // 100 AS pr
+           |  FROM g JOIN $prev ON $prev.id = g.u GROUP BY g.v)"""
+          .stripMargin
+      s"""WITH co AS (
+         |  SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS cnt
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_suppkey < b.l_suppkey
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT sa, sb FROM co
+         |          WHERE cnt >= 1.25 * (SELECT avg(cnt) FROM co)),
+         |e AS (SELECT sa AS u, sb AS v FROM pairs
+         |      UNION ALL SELECT sb, sa FROM pairs),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+         |g AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+         |seeds AS (SELECT u AS id FROM deg ORDER BY u LIMIT 3),
+         |init AS (SELECT ${prScale} // count(*) AS i FROM seeds),
+         |p0 AS (SELECT u AS id,
+         |         CASE WHEN u IN (SELECT id FROM seeds)
+         |           THEN (SELECT i FROM init) ELSE 0 END AS pr
+         |       FROM deg),
          |${iter("p0", "p1")},
          |${iter("p1", "p2")},
          |${iter("p2", "p3")}
