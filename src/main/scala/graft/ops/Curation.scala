@@ -714,9 +714,59 @@ object Curation {
       .select(col("doc_id"), col("w"), col("mult"))
   }
 
+  /** Per-stratum weighted sampling — `weightedSample`'s systematic PPS
+    * run independently inside every language: exactly k=200 draws PER
+    * STRATUM with inclusion ∝ n_chars within it. This completes the
+    * sampling matrix (uniform rate `sample`, weighted rate
+    * `qualitySample`, uniform exact-k `quota`, weighted exact-k global
+    * `weightedSample`): the shape a corpus rebalance actually needs —
+    * fixed per-language budgets, long docs favored inside each budget,
+    * still RNG-free and partition-invariant.
+    *
+    * Shape at 100 TB: the per-stratum running mass uses the same
+    * two-phase discipline, but offsets key on (partition, stratum):
+    * range-partition on (lang, hash order) so a partition holds
+    * contiguous spans of one-or-few strata, take per-(partition,
+    * stratum) sums (≤ partitions × strata rows — broadcast-sized),
+    * prefix them per stratum, and add back. Per-stratum totals are a
+    * strata-bounded broadcast. No stratum ever funnels through one
+    * reducer beyond its own contiguous span.
+    */
+  def stratifiedWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 200L
+    val key = conv(substring(
+      md5(concat(lit("spps|"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val sorted = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"),
+        key.as("pps_key"))
+      .repartitionByRange(fanout(s), col("lang"), col("pps_key"),
+        col("doc_id"))
+      .sortWithinPartitions("lang", "pps_key", "doc_id")
+      .withColumn("spid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy("spid", "lang")
+      .orderBy(col("pps_key"), col("doc_id"))
+    val cum = sorted.withColumn("cum_in", sum(col("w")).over(w) - col("w"))
+    val offW = Window.partitionBy("lang").orderBy("spid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("spid"), col("lang"))
+      .agg(sum(col("w")).as("m"))
+      .withColumn("off", coalesce(sum(col("m")).over(offW), lit(0L)))
+      .select(col("spid"), col("lang"), col("off"))
+    val totals = sorted.groupBy(col("lang")).agg(sum(col("w")).as("tw"))
+    cum.join(broadcast(offsets), Seq("spid", "lang"))
+      .join(broadcast(totals), "lang")
+      .withColumn("mult",
+        expr(s"((cum_in + off + w) * $k) DIV tw - ((cum_in + off) * $k) DIV tw"))
+      .filter(col("mult") >= 1L)
+      .select(col("doc_id"), col("lang"), col("w"), col("mult"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cur_curriculum" -> (curriculum _),
     "q_cur_weighted_sample" -> (weightedSample _),
+    "q_cur_stratified_pps" -> (stratifiedWeighted _),
     "q_cur_epoch_shards" -> (epochShards _),
     "q_cur_upsample" -> (upsample _),
     "q_cur_shuffle" -> (shuffleOrder _),
@@ -769,6 +819,25 @@ object Curation {
         |  min(score_micro)::BIGINT AS min_score,
         |  max(score_micro)::BIGINT AS max_score
         |FROM c GROUP BY 1""".stripMargin,
+    // per-stratum systematic PPS: the same telescoping ⌊·k/W⌋
+    // difference with the running mass and total partitioned by lang
+    "q_cur_stratified_pps" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang, n_chars::BIGINT AS w,
+        |    ('0x' || substr(md5('spps|' || doc_id), 1, 15))::BIGINT
+        |      AS pps_key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, w,
+        |    coalesce(sum(w) OVER (PARTITION BY lang
+        |      ORDER BY pps_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+        |    sum(w) OVER (PARTITION BY lang) AS tw
+        |  FROM v)
+        |SELECT doc_id, lang, w,
+        |  (((cw + w) * 200) // tw - (cw * 200) // tw)::BIGINT AS mult
+        |FROM c
+        |WHERE ((cw + w) * 200) // tw > (cw * 200) // tw""".stripMargin,
     // systematic PPS: exclusive running mass over the SAME hash order
     // and the same telescoping ⌊·k/W⌋ difference — all BIGINT, so both
     // engines land identical sample points

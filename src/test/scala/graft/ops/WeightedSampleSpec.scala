@@ -45,6 +45,40 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("per-stratum PPS draws exactly k inside EVERY language") {
+    val perLang = Curation.stratifiedWeighted(TestSpark.spark, dir)
+      .groupBy("lang").agg(sum(col("mult")).as("drawn")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = graft.Tables.documents(TestSpark.spark, dir)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(perLang.keySet == langs, "every stratum must be sampled")
+    perLang.foreach { case (l, n) =>
+      assert(n == 200L, s"stratum $l drew $n, want exactly 200")
+    }
+  }
+
+  test("per-stratum draw matches a per-stratum local reference") {
+    val s = TestSpark.spark
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+      val ordered = ds.map { case (id, _, w) =>
+        (java.lang.Long.parseLong(md5hex(s"spps|$id").take(15), 16), id, w)
+      }.sortBy(t => (t._1, t._2))
+      val tw = ordered.map(_._3).sum
+      var cw = 0L
+      ordered.flatMap { case (_, id, w) =>
+        val m = (cw + w) * 200L / tw - cw * 200L / tw
+        cw += w
+        if (m >= 1) Some(id -> m) else None
+      }
+    }.toMap
+    val got = Curation.stratifiedWeighted(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+  }
+
   test("every document heavier than one step is always drawn") {
     val s = TestSpark.spark
     val docs = graft.Tables.documents(s, dir)

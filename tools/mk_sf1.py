@@ -26,7 +26,7 @@ QUERIES = [
     "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop", "q_g7_ppr",
     "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
     "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_knn_pca",
-    "q_knn_filtered", "q_knn_hybrid", "q_cur_group_split", "q_cur_weighted_sample",
+    "q_knn_filtered", "q_knn_hybrid", "q_cur_group_split", "q_cur_weighted_sample", "q_cur_stratified_pps",
     "q_sk_kmv", "q_src_jsonl", "q_src_jsonl_gz", "q_src_orc",
     "q_src_schema_evo",
     "q_stream_dedup_wm",
@@ -41,11 +41,11 @@ QUERIES = [
 ]
 
 NOTE = (
-    "Round-12 refresh (60 headline queries; the round-12 additions in "
+    "Round-12 refresh (61 headline queries; the round-12 additions in "
     "the sweep: asof-exec vs window asof, labelprop, kcore, ivfpq, pca, "
     "kmv, tws dedup, concurrency, novelty, cross-source matrix, "
     "attribution, streaming LSH, BM25, group split, filtered ANN, ORC, "
-    "schema-evolution read, systematic PPS weighted sampling, RRF hybrid retrieval, content-defined chunking, personalized pagerank, "
+    "schema-evolution read, systematic PPS weighted sampling, RRF hybrid retrieval, content-defined chunking, personalized pagerank, per-stratum PPS, "
     "and the fact-broadcast-inversion TPC-H rows q3/q5/q8). "
     "sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
     "disjoint key ranges). Medians of 3 timed reps after one untimed "
