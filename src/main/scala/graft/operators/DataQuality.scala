@@ -102,6 +102,38 @@ object DataQuality {
         (col("global_us") - col("max_us")).as("lag_us"))
   }
 
+  /** Observed-metrics telemetry — Spark's `observe()`/`Observation`
+    * API: intake invariants (row count, null keys, purchase count,
+    * freshness high-water mark) PIGGYBACK on the pipeline's own action
+    * as accumulator-style metrics on the scan, so the audit costs ZERO
+    * extra passes — at 100 TB the difference between "audited" and
+    * "audited by scanning twice". The pipeline action here is the
+    * per-type count the CDC monitor actually runs; the returned frame
+    * is the observed metric row (bounded, driver-local by design —
+    * this op is EAGER: building it runs the one observed action).
+    * All four metrics are exact integers, so the DuckDB oracle
+    * recomputes them directly.
+    */
+  def observed(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val ev = events(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_user"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purchase"),
+      max(expr("ts_ns DIV 1000")).as("max_ts_us"))
+    // the real action the metrics ride on (its result is the monitor's
+    // cheap per-type table; the metrics frame is this op's output)
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_null_user").asInstanceOf[Long],
+      m("n_purchase").asInstanceOf[Long],
+      m("max_ts_us").asInstanceOf[Long]))
+      .toDF("n_rows", "n_null_user", "n_purchase", "max_ts_us")
+  }
+
   /** Z-score anomaly audit: per event stream, how many values sit
     * more than 3 standard deviations from the stream mean. Moments
     * come from EXACT decimal sums (one combinable pass), and the flag
@@ -133,6 +165,7 @@ object DataQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_anomalies" -> (anomalies _),
     "q_dq_freshness" -> (freshness _),
+    "q_dq_observe" -> (observed _),
     "q_dq_profile" -> (profile _),
     "q_dq_integrity" -> (integrity _),
     "q_dq_skew" -> (skew _),
@@ -154,6 +187,14 @@ object DataQuality {
         |      THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
         |FROM events e JOIN m USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "q_dq_observe" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_null_user,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_purchase,
+        |  max(epoch_ns(ts) // 1000)::BIGINT AS max_ts_us
+        |FROM events""".stripMargin,
     "q_dq_freshness" ->
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,
