@@ -22,7 +22,7 @@ QUERIES = [
     "q_cur_upsample", "q_dedup_canonical", "q_dedup_crossmodal",
     "q_dedup_groups", "q_dedup_matrix", "q_dedup_semantic",
     "q_dedup_substring", "q_dedup_content_chunks",
-    "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
+    "q_dq_observe", "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
     "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop", "q_g7_ppr",
     "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
     "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_knn_pca",
@@ -41,11 +41,11 @@ QUERIES = [
 ]
 
 NOTE = (
-    "Round-12 refresh (61 headline queries; the round-12 additions in "
+    "Round-12 refresh (62 headline queries; the round-12 additions in "
     "the sweep: asof-exec vs window asof, labelprop, kcore, ivfpq, pca, "
     "kmv, tws dedup, concurrency, novelty, cross-source matrix, "
     "attribution, streaming LSH, BM25, group split, filtered ANN, ORC, "
-    "schema-evolution read, systematic PPS weighted sampling, RRF hybrid retrieval, content-defined chunking, personalized pagerank, per-stratum PPS, "
+    "schema-evolution read, systematic PPS weighted sampling, RRF hybrid retrieval, content-defined chunking, personalized pagerank, per-stratum PPS, observed-metrics telemetry, "
     "and the fact-broadcast-inversion TPC-H rows q3/q5/q8). "
     "sf1 = 10x sf0.1 via graft.tools.GenScale (shard-replicated, "
     "disjoint key ranges). Medians of 3 timed reps after one untimed "
