@@ -29,6 +29,23 @@ class PprSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("planted path graph: support is exactly the 3-hop ball around seeds") {
+    // path 0-1-2-...-29; seeds are the 3 smallest ids {0,1,2}. After 3
+    // propagation rounds, rank is nonzero exactly for vertices within
+    // 3 hops of the seed set (ids ≤ 5) — the teleport-locality contract
+    // that distinguishes PPR from global pagerank, whose uniform init
+    // ranks every vertex.
+    val edges = (0L until 29L).map(i => (i, i + 1)).toArray
+    val ranks = GraphOps.pprLocal(edges).toMap
+    (0L to 29L).foreach { v =>
+      val inBall = v <= 5L
+      assert((ranks(v) > 0L) == inBall,
+        s"vertex $v: rank ${ranks(v)} — support must be the 3-hop ball")
+    }
+    // decay along the path: each hop away from the seeds ranks lower
+    assert(ranks(3L) > ranks(4L) && ranks(4L) > ranks(5L))
+  }
+
   test("seed teleport floor holds and mass never exceeds the injection") {
     val ranks = GraphOps.ppr(TestSpark.spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
