@@ -127,10 +127,13 @@ object DataQuality {
     ev.groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
     val m = obs.get
     import s.implicits._
+    // on an EMPTY events table count is 0 but the sum/max metrics are
+    // SQL NULL — surface them as nullable columns (DuckDB's sum/max
+    // over zero rows are NULL too, so the oracle row still matches)
+    // instead of NPEing on the cast
+    def optL(k: String): Option[Long] = Option(m(k)).map(_.asInstanceOf[Long])
     Seq((m("n_rows").asInstanceOf[Long],
-      m("n_null_user").asInstanceOf[Long],
-      m("n_purchase").asInstanceOf[Long],
-      m("max_ts_us").asInstanceOf[Long]))
+      optL("n_null_user"), optL("n_purchase"), optL("max_ts_us")))
       .toDF("n_rows", "n_null_user", "n_purchase", "max_ts_us")
   }
 

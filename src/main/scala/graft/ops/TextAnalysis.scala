@@ -669,9 +669,31 @@ object TextAnalysis {
     * ORDERING is textbook-identical, and dropping the transcendental
     * keeps every score a pure integer expression both engines compute
     * bit-for-bit (the tfidf/lm_score lesson). k1 = 6/5 and b = 3/4 are
-    * folded into one integer denominator:
-    *   sat = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
-    *       = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)   with avgdl = L/N.
+    * folded into one integer denominator over the ROUNDED average
+    * document length A = round(L/N) (half-up, via the doubled-divisor
+    * trick):
+    *   sat = tf·(k1+1)/(tf + k1·(1 − b + b·dl/A))
+    *       = 22·tf·A / (10·tf·A + 3·A + 9·dl).
+    *
+    * int64 headroom at the 100 TB target (the round-12 form multiplied
+    * tf by the UNBOUNDED corpus total L per row — 10^6·44·tf·L blows
+    * 2^63 once L reaches ~2·10^11 tokens, a few hundred GB of text;
+    * dividing L/N out replaces the corpus-scale factor with the
+    * corpus-INVARIANT average, so per-row products depend only on
+    * per-doc magnitudes):
+    *   - avgdl: 2·L + N < 2^63 holds to L ≈ 4.6·10^18 tokens (~18 EB
+    *     of text — two orders past the target);
+    *   - sat: 10^6·22·tf·A < 2^63 needs tf·A < 4.2·10^11 — with
+    *     A ≤ 10^4 (web-scale prose) that is tf ≤ 4·10^7, i.e. a
+    *     single document repeating one term ~40M times, far past any
+    *     real doc (tf ≤ dl and a 10^7-token doc is ~50 MB);
+    *   - idf: 2·10^6·(2N+1) < 2^63 holds to N ≈ 2.3·10^12 docs
+    *     (~10 KB/doc ⇒ 10^10 docs at 100 TB — 200× headroom);
+    *   - product: idf_micro is CAPPED at 4·10^12 (an odds ratio of
+    *     4·10^6 — terms rarer than 1-in-4M docs saturate; beyond that
+    *     rarity idf dwarfs the tf term anyway and the cap is the same
+    *     deterministic integer both engines compute), so
+    *     cap · sat_max = 4·10^12 · 2.2·10^6 = 8.8·10^18 < 2^63.
     *
     * Plan shape: per-doc tf/dl are array expressions straight off the
     * text column — ONE corpus scan, no explode, no shuffle; the global
@@ -694,14 +716,18 @@ object TextAnalysis {
       bm25Terms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val glob = perDoc.agg(globCols.head, globCols.tail: _*)
+      .withColumn("avgdl", expr("(2 * len_total + n_docs) DIV (2 * n_docs)"))
     val termScore = bm25Terms.map { t =>
-      // idf_micro rounds half-up via the doubled-divisor trick; sat's
-      // floor DIV loses < 1 micro-unit — both engine-exact integers
+      // idf_micro rounds half-up via the doubled-divisor trick and is
+      // capped for int64 headroom (see Scaladoc); sat's floor DIV
+      // loses < 1 micro-unit — both engine-exact integers
       expr(s"""CASE WHEN tf_$t > 0 THEN
-        (((2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
-            DIV (2 * (2 * df_$t + 1)))
-          * ((1000000 * 44 * tf_$t * len_total)
-            DIV (20 * tf_$t * len_total + 6 * len_total + 18 * dl * n_docs)))
+        (least(
+           (2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
+             DIV (2 * (2 * df_$t + 1)),
+           4000000000000)
+          * ((1000000 * 22 * tf_$t * avgdl)
+            DIV (10 * tf_$t * avgdl + 3 * avgdl + 9 * dl)))
           DIV 1000000
         ELSE 0 END""")
     }.reduce(_ + _)
@@ -747,19 +773,24 @@ object TextAnalysis {
       .mkString(", ")
     val score = bm25Terms.map(t =>
       s"""(CASE WHEN tf_$t > 0 THEN
-         |  (((2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
-         |      // (2 * (2 * df_$t + 1)))
-         |    * ((1000000 * 44 * tf_$t * len_total)
-         |      // (20 * tf_$t * len_total + 6 * len_total + 18 * dl * n_docs)))
+         |  (least(
+         |     (2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
+         |       // (2 * (2 * df_$t + 1)),
+         |     4000000000000)
+         |    * ((1000000 * 22 * tf_$t * avgdl)
+         |      // (10 * tf_$t * avgdl + 3 * avgdl + 9 * dl)))
          |    // 1000000
          |  ELSE 0 END)""".stripMargin).mkString(" + ")
     s"""WITH perdoc AS (
        |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl, $perdocCols
        |  FROM documents),
-       |totals AS (
+       |totals0 AS (
        |  SELECT sum(dl)::BIGINT AS len_total, count(*)::BIGINT AS n_docs,
        |    $dfCols
-       |  FROM perdoc)
+       |  FROM perdoc),
+       |totals AS (
+       |  SELECT *, (2 * len_total + n_docs) // (2 * n_docs) AS avgdl
+       |  FROM totals0)
        |SELECT doc_id, dl, score_micro FROM (
        |  SELECT doc_id, dl, $score AS score_micro FROM perdoc, totals) s
        |WHERE score_micro > 0

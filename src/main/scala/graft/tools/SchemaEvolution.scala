@@ -39,8 +39,20 @@ object SchemaEvolution {
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(base + "/gen1")
+    // n_legacy below counts `lang IS NULL` on the merged scan while the
+    // oracle counts by the staging parity (doc_id % 2) — the two only
+    // coincide if every gen-2 row carries a non-null lang. Enforce that
+    // at write time THROUGH the written column (a side-channel check
+    // column would be pruned as unused): a null lang in the source
+    // fails the stage loudly instead of silently misclassifying gen-2
+    // rows as legacy and diverging from the oracle.
     docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("lang").isNotNull, col("lang"))
+          .otherwise(raise_error(concat(
+            lit("schema-evolution staging: null lang at doc_id="),
+            col("doc_id").cast("string"))))
+          .as("lang"))
       .write.mode("overwrite").parquet(base + "/gen2")
     s.read.option("mergeSchema", "true")
       .parquet(base + "/gen1", base + "/gen2")

@@ -29,6 +29,21 @@ class RegistrySpec extends AnyFunSuite {
     assert(unguarded.isEmpty, s"queries without oracles: $unguarded")
   }
 
+  test("README's stated query count equals the registry (no hand-drift)") {
+    // rounds 11 and 12 both shipped a hand-written count that new
+    // queries outran mid-round; same discipline as ScalingDocSpec —
+    // a number the code can check, the code checks
+    val p = java.nio.file.Paths.get("README.md")
+    assume(java.nio.file.Files.exists(p), "no README.md (not repo root?)")
+    val readme = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val m = "(\\d+) registered queries".r.findFirstMatchIn(readme)
+      .getOrElse(fail("README lost the 'N registered queries' phrase " +
+        "this spec pins — keep the phrase or update the pin"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(1)} registered queries, registry has " +
+        s"${SparkEntry.queries.size} — update README.md")
+  }
+
   test("flagship entry returns rows") {
     val n = SparkEntry.entry(graft.etl.TestSpark.spark).count()
     assert(n > 0)
