@@ -51,7 +51,12 @@ object Bench {
       // sf-dir parquet. r7 measured q_dedup_canonical spread
       // [5.0, 13.7] with the max always on the first rep; excluding it
       // makes round-over-round medians attributable to code changes.
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // the warm-up's count doubles as the artifact's result
+      // cardinality ("rows"): SCALING.md's throughput rows derive
+      // their event/user counts from it instead of hard-coding
+      // constants that can drift from the queries they label
+      val warmRows: Option[Long] =
+        try Some(fn(spark, sfDir).count()) catch { case _: Throwable => None }
       val runs = (1 to reps).map { _ =>
         // drop accumulated STORAGE before each rep's timer starts: the
         // checkpoint-heavy chains (graph/dedup/cdc) eagerly persist
@@ -78,10 +83,12 @@ object Bench {
         (dt, ok)
       }
       val ts = runs.map(_._1)
-      (name, median(ts), runs.forall(_._2), ts.min, ts.max)
+      ((name, median(ts), runs.forall(_._2), ts.min, ts.max), warmRows)
     }
-    val full = renderJson(results, sfDir)
-    val short = renderShortJson(results, sfDir)
+    val rows = results.collect { case ((n, _, _, _, _), Some(r)) => n -> r }.toMap
+    val timings = results.map(_._1)
+    val full = renderJson(timings, sfDir, rows)
+    val short = renderShortJson(timings, sfDir)
     // Redundant channels so any driver heuristic finds a parseable
     // line. The stdout copies are the SHORT rendering: rounds 1-3 all
     // shipped parsed:null because the 88-query line (~2.3 KB) overflows
@@ -172,9 +179,16 @@ object Bench {
     * to ms; Locale.ROOT because a comma-decimal default locale would
     * corrupt the JSON.
     */
-  def renderJson(results: Seq[(String, Double, Boolean, Double, Double)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double, Boolean, Double, Double)], sfDir: String,
+                 rows: Map[String, Long] = Map.empty): String = {
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
+    // "rows" = each query's result cardinality (warm-up rep count):
+    // the SCALING.md renderer derives the scale queries' event/user
+    // counts from it — one verdict row per event (q_etl_scale_cdc),
+    // one dn row per loaded user (q_etl_scale_load)
+    val rowsObj = rows.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"rows":$rowsObj,"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
   }
 
   /** The driver-contract stdout line: ONE JSON object, bounded-length.

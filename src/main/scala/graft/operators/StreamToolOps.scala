@@ -299,26 +299,51 @@ object StreamToolOps {
     // sweep at sf0.1 confirmed the shared 8 is this query's optimum
     // too (4 → 3.5 s, 8 → 3.1 s, 16 → 4.4 s): narrower serializes the
     // join work faster than it saves store setup, wider pays setup.
-    // Watermark = the REPLAY's disorder bound (EventStream.
-    // replayWatermark): with multi-file layouts the triggers arrive
-    // out of event-time order, and a small watermark silently dropped
-    // cross-trigger join state (sf1 emitted 2.4× instead of 10×)
+    drain(s, ss => streamJoinBuild(ss, d), "stream_join", "append")
+
+  /** The RocksDB-state twin of `streamJoin` — identical plan and
+    * drained result (the two registry entries share one oracle), with
+    * the four per-partition join state stores backed by the RocksDB
+    * provider instead of the default HDFS-backed in-memory map. The
+    * default store holds every live key in executor heap, so at 100 TB
+    * the stream-stream join's state (bounded by the watermark horizon
+    * × arrival rate, not by corpus size — but that product is large)
+    * competes with the join itself for memory; RocksDB spills state to
+    * local SSD with an in-heap block cache, which is the provider a
+    * long-horizon production stream deploys with. Benchmarking BOTH
+    * under the same drained-replay protocol prices the provider swap
+    * (per-batch store open/commit constants vs heap pressure) so the
+    * choice is measured, not asserted — the conf is scoped to drain's
+    * cloned session, leaving the rest of the fleet on the default
+    * provider.
+    */
+  def streamJoinRocksdb(s: SparkSession, d: String): DataFrame =
     drain(s, { ss =>
-      val wm = EventStream.replayWatermark(ss, d)
-      val l = EventStream.readEvents(ss, d)
-        .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
-          col("ts").as("l_ts"))
-        .withWatermark("l_ts", wm)
-      val r = EventStream.readEvents(ss, d)
-        .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
-          col("ts").as("r_ts"))
-        .withWatermark("r_ts", wm)
-      l.join(r,
-        col("l_uid") === col("r_uid") &&
-          col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
-          col("r_ts") < col("l_ts"))
-        .select(col("l_id"), col("r_id"))
-    }, "stream_join", "append")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      streamJoinBuild(ss, d)
+    }, "stream_join_rdb", "append")
+
+  // Watermark = the REPLAY's disorder bound (EventStream.
+  // replayWatermark): with multi-file layouts the triggers arrive
+  // out of event-time order, and a small watermark silently dropped
+  // cross-trigger join state (sf1 emitted 2.4× instead of 10×)
+  private def streamJoinBuild(ss: SparkSession, d: String): DataFrame = {
+    val wm = EventStream.replayWatermark(ss, d)
+    val l = EventStream.readEvents(ss, d)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", wm)
+    val r = EventStream.readEvents(ss, d)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", wm)
+    l.join(r,
+      col("l_uid") === col("r_uid") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 60 seconds") &&
+        col("r_ts") < col("l_ts"))
+      .select(col("l_id"), col("r_id"))
+  }
 
   /** Stream-static enrichment join: the event stream joined to a
     * static dimension snapshot (customer) that Spark re-plans per
@@ -468,6 +493,7 @@ object StreamToolOps {
     "q_stream_lsh_pairs" -> (streamLshPairs _),
     "q_stream_jsonl" -> (streamJsonlIngest _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_join_rocksdb" -> (streamJoinRocksdb _),
     "q_stream_session" -> (streamSession _),
     "q_stream_session_append" -> (streamSessionAppend _),
     "q_stream_static" -> (streamStatic _),
@@ -621,6 +647,14 @@ object StreamToolOps {
     // at µs precision (epoch_ns // 1000) because Spark timestamps are
     // µs — an ns-precision compare would diverge on sub-µs boundaries.
     "q_stream_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM events l JOIN events r
+        |  ON r.user_id = l.user_id
+        |  AND (epoch_ns(r.ts) // 1000) >= (epoch_ns(l.ts) // 1000) - 60000000
+        |  AND (epoch_ns(r.ts) // 1000) < (epoch_ns(l.ts) // 1000)""".stripMargin,
+    // the provider swap may not change a single emitted row — the
+    // RocksDB twin shares the HDFS-store query's oracle verbatim
+    "q_stream_join_rocksdb" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id
         |FROM events l JOIN events r
         |  ON r.user_id = l.user_id

@@ -739,6 +739,15 @@ object Dedup {
     * The boundary hash is md5 over the pair text (engine-portable, so
     * the DuckDB oracle lands identical boundaries); expected chunk
     * length is the 16-token boundary odds, independent of corpus size.
+    *
+    * DECISION: md5 is kept deliberately over Spark's cheaper native
+    * xxhash64 — DuckDB lacks xxhash64, so a 64-bit boundary hash would
+    * forfeit the oracle's bit-exact boundary reproduction and demote
+    * this operator to a rows-only check. The hash runs once per
+    * adjacent token pair inside the already-token-wide scan stage, so
+    * at 100 TB the stage stays scan-bandwidth-bound either way; the
+    * portability guarantee is worth more than the per-pair digest
+    * delta.
     */
   def contentChunks(s: SparkSession, d: String): DataFrame =
     contentChunksOf(documents(s, d))

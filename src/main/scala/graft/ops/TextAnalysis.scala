@@ -682,11 +682,17 @@ object TextAnalysis {
     * corpus-INVARIANT average, so per-row products depend only on
     * per-doc magnitudes):
     *   - avgdl: 2·L + N < 2^63 holds to L ≈ 4.6·10^18 tokens (~18 EB
-    *     of text — two orders past the target);
-    *   - sat: 10^6·22·tf·A < 2^63 needs tf·A < 4.2·10^11 — with
-    *     A ≤ 10^4 (web-scale prose) that is tf ≤ 4·10^7, i.e. a
-    *     single document repeating one term ~40M times, far past any
-    *     real doc (tf ≤ dl and a 10^7-token doc is ~50 MB);
+    *     of text — two orders past the target), and the value entering
+    *     sat is CAPPED at 10^4 (web-scale prose averages are two
+    *     orders below; a corpus whose average document tops 10^4
+    *     tokens saturates the length normalization — the same
+    *     deterministic `least` both engines compute);
+    *   - sat: tf entering sat is CAPPED at 10^6 (BM25's tf term is
+    *     asymptotically flat — at tf = 10^6 sat is within 1e-5 of its
+    *     k1+1 ceiling, so the cap is semantically invisible), giving
+    *     the PROVEN bound 10^6·22·tf_c·A_c ≤ 2.2·10^17 < 2^63 with no
+    *     prose assumption left (the round-13 form relied on an
+    *     undocumented avgdl ≤ 10^4 domain bound);
     *   - idf: 2·10^6·(2N+1) < 2^63 holds to N ≈ 2.3·10^12 docs
     *     (~10 KB/doc ⇒ 10^10 docs at 100 TB — 200× headroom);
     *   - product: idf_micro is CAPPED at 4·10^12 (an odds ratio of
@@ -716,18 +722,20 @@ object TextAnalysis {
       bm25Terms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val glob = perDoc.agg(globCols.head, globCols.tail: _*)
-      .withColumn("avgdl", expr("(2 * len_total + n_docs) DIV (2 * n_docs)"))
+      .withColumn("avgdl",
+        expr("least((2 * len_total + n_docs) DIV (2 * n_docs), 10000)"))
     val termScore = bm25Terms.map { t =>
       // idf_micro rounds half-up via the doubled-divisor trick and is
-      // capped for int64 headroom (see Scaladoc); sat's floor DIV
-      // loses < 1 micro-unit — both engine-exact integers
+      // capped for int64 headroom (see Scaladoc); tf is capped where
+      // sat is already flat; sat's floor DIV loses < 1 micro-unit —
+      // all engine-exact integers, mirrored in bm25Sql
       expr(s"""CASE WHEN tf_$t > 0 THEN
         (least(
            (2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
              DIV (2 * (2 * df_$t + 1)),
            4000000000000)
-          * ((1000000 * 22 * tf_$t * avgdl)
-            DIV (10 * tf_$t * avgdl + 3 * avgdl + 9 * dl)))
+          * ((1000000 * 22 * least(tf_$t, 1000000) * avgdl)
+            DIV (10 * least(tf_$t, 1000000) * avgdl + 3 * avgdl + 9 * dl)))
           DIV 1000000
         ELSE 0 END""")
     }.reduce(_ + _)
@@ -777,8 +785,8 @@ object TextAnalysis {
          |     (2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
          |       // (2 * (2 * df_$t + 1)),
          |     4000000000000)
-         |    * ((1000000 * 22 * tf_$t * avgdl)
-         |      // (10 * tf_$t * avgdl + 3 * avgdl + 9 * dl)))
+         |    * ((1000000 * 22 * least(tf_$t, 1000000) * avgdl)
+         |      // (10 * least(tf_$t, 1000000) * avgdl + 3 * avgdl + 9 * dl)))
          |    // 1000000
          |  ELSE 0 END)""".stripMargin).mkString(" + ")
     s"""WITH perdoc AS (
@@ -789,7 +797,8 @@ object TextAnalysis {
        |    $dfCols
        |  FROM perdoc),
        |totals AS (
-       |  SELECT *, (2 * len_total + n_docs) // (2 * n_docs) AS avgdl
+       |  SELECT *,
+       |    least((2 * len_total + n_docs) // (2 * n_docs), 10000) AS avgdl
        |  FROM totals0)
        |SELECT doc_id, dl, score_micro FROM (
        |  SELECT doc_id, dl, $score AS score_micro FROM perdoc, totals) s

@@ -90,6 +90,30 @@ object GateCheck {
     }
     assert(pLocal == pDist, "pagerank disagrees")
     println(s"[gatecheck] pagerank agree (bit-identical): n=${pLocal.size}")
+
+    // ppr / kcore / labelprop share pagerank's broadcast-edge budget
+    // gate (graft.graph.broadcastEdges): force each side, assert
+    // bit-equality, and price both — these rows were the round-12/13
+    // gap in the forced-path table (their distributed twins were
+    // spec-pinned at fixture scale but never sf1-priced)
+    def pairCheck(tag: String,
+        run: () => org.apache.spark.sql.DataFrame): Unit = {
+      def asMap() = run().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def forced(budget: String)(f: => Map[Long, Long]): Map[Long, Long] = {
+        spark.conf.set("graft.graph.broadcastEdges", budget)
+        try f finally spark.conf.unset("graft.graph.broadcastEdges")
+      }
+      val local = timed(s"$tag local")(
+        forced(Long.MaxValue.toString)(asMap()))
+      val dist = timed(s"$tag distributed")(forced("0")(asMap()))
+      assert(local == dist, s"$tag disagrees between gate sides")
+      println(s"[gatecheck] $tag agree (bit-identical): n=${local.size}")
+    }
+    pairCheck("ppr", () => graft.operators.GraphOps.ppr(spark, sfDir))
+    pairCheck("kcore", () => graft.operators.GraphOps.kcore(spark, sfDir))
+    pairCheck("labelprop",
+      () => graft.operators.GraphOps.labelprop(spark, sfDir))
     // one machine-readable line for the BENCH_sf1 slope bookkeeping
     println("GATECHECK_JSON {" + medians.map { case (k, v) =>
       "\"" + k.replace(' ', '_') + "\":" +

@@ -51,10 +51,28 @@ object RenderScaling {
 
   /** The reference-comparison summary + volatility status, from the
     * full-fleet artifact.
+    *
+    * The THROUGHPUT rows render from the data-scale queries
+    * (`q_etl_scale_cdc`: the full sf events table against the
+    * sf-synthetic user snapshot; `q_etl_scale_load`: that snapshot
+    * loaded into an empty tree), with the event/user counts taken from
+    * the artifact's `rows` map (one verdict row per event, one dn row
+    * per loaded user) — never from constants. Round 13 shipped
+    * headline rows whose labels attached the scale variants' data
+    * sizes ("10k events", "15k users") to the FIXTURE-bound queries
+    * (4-event golden scenario, 24-user golden load), fabricating
+    * throughputs from sizes that belonged to neither query; deriving
+    * both the query and the count from the artifact makes that class
+    * of mislabel structurally impossible (ScalingDocSpec pins the
+    * label ↔ query binding).
     */
   def benchSummary(artifact: JValue): String = {
     val qs = numMap(artifact \ "queries")
     val total = num(artifact \ "value")
+    val rows = (artifact \ "rows") match {
+      case JNothing => Map.empty[String, Double]
+      case other => numMap(other)
+    }
     val failed = (artifact \ "failed") match {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => Nil
@@ -68,9 +86,19 @@ object RenderScaling {
     require(qs.nonEmpty, "BENCH_DOC.json has an empty queries map")
     def med(name: String): Double = qs.getOrElse(name, sys.error(
       s"BENCH_DOC.json lacks $name — partial or stale full-fleet artifact"))
+    def rowsOf(name: String): Long = rows.getOrElse(name, sys.error(
+      s"BENCH_DOC.json lacks a rows entry for $name — re-bench at HEAD " +
+        "and promote (throughput rows derive their data sizes from the " +
+        "artifact, never from constants)")).toLong
+    def kfmt(n: Long): String =
+      if (n >= 1000) r1(n / 1000.0) + "k" else n.toString
     val (slowName, slowMed) = qs.maxBy(_._2)
-    val cdc = med("q_etl_cdc_batch")
-    val load = med("q_etl_initial_load")
+    val cdcScale = med("q_etl_scale_cdc")
+    val loadScale = med("q_etl_scale_load")
+    val nEvents = rowsOf("q_etl_scale_cdc")
+    val nUsers = rowsOf("q_etl_scale_load")
+    val cdcFix = med("q_etl_cdc_batch")
+    val loadFix = med("q_etl_initial_load")
     val volLine =
       if (volatileQ.isEmpty)
         "Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: none."
@@ -87,8 +115,10 @@ object RenderScaling {
     Seq(
       "| Path | Measured (BENCH_DOC.json, committed snapshot of record) | Reference floor |",
       "|---|---|---|",
-      s"| CDC cycle, 10k events vs 15k-user snapshot | ${r2(cdc)} s ≈ ${r1(10.0 / cdc)}k events/s (q_etl_cdc_batch median) | ~5 events/s |",
-      s"| Initial load, 15k users into empty tree | ${r2(load)} s ≈ ${r1(15.0 / load)}k users/s (q_etl_initial_load median) | 37,678 users per production run (duration unrecorded) |",
+      s"| CDC cycle at data scale, ${kfmt(nEvents)} events vs ${kfmt(nUsers)}-user snapshot | ${r2(cdcScale)} s ≈ ${kfmt((nEvents / cdcScale).toLong)} events/s (q_etl_scale_cdc median) | ~5 events/s |",
+      s"| Initial load at data scale, ${kfmt(nUsers)} users into an empty tree | ${r2(loadScale)} s ≈ ${kfmt((nUsers / loadScale).toLong)} users/s (q_etl_scale_load median) | 37,678 users per production run (duration unrecorded) |",
+      s"| Golden-fixture CDC cycle — reference scenario 01, fixture-bound constant cost, no throughput claim | ${r2(cdcFix)} s (q_etl_cdc_batch median) | — |",
+      s"| Golden-fixture initial load — reference fixture tree, fixture-bound constant cost, no throughput claim | ${r2(loadFix)} s (q_etl_initial_load median) | — |",
       s"| Full ${qs.size}-query suite | ${r2(total)} s total, ${failed.size} failed, slowest single query $slowName at ${r2(slowMed)} s | — |",
       "",
       volLine + graphLine).mkString("\n")
@@ -156,6 +186,17 @@ object RenderScaling {
       new String(java.nio.file.Files.readAllBytes(root.resolve(p)), "UTF-8")
     def exists(p: String): Boolean =
       java.nio.file.Files.exists(root.resolve(p))
+    // self-describing one-liners beat a raw NoSuchFileException: every
+    // file this tool reads has a known producer to point at
+    def require_(p: String, hint: String): Unit =
+      if (!exists(p)) {
+        System.err.println(s"no $p — $hint")
+        sys.exit(1)
+      }
+    require_("SCALING.md", "run from the repo root")
+    require_("BENCH_DOC.json",
+      "run RenderScaling (no --check) after a bench to promote one")
+    require_("BENCH_sf1.json", "run python3 tools/mk_sf1.py")
     val doc = read("SCALING.md")
     if (args.contains("--check")) {
       // the gate compares COMMITTED files only: doc ↔ BENCH_DOC.json.
@@ -177,16 +218,22 @@ object RenderScaling {
       }
       println("SCALING.md matches BENCH_DOC.json + BENCH_sf1.json")
     } else {
-      // promote the fresh run to the snapshot of record, then render
-      // from the promoted file (absent a fresh run, re-render from the
-      // existing snapshot — e.g. after a prose edit outside markers)
-      if (exists("BENCH_LAST.json"))
+      // render from the fresh run FIRST (render's med()/rows/require
+      // checks validate it), and only then promote it to the snapshot
+      // of record: copying first would clobber the committed artifact
+      // with a malformed/partial/different-SF runtime file and fail
+      // afterward, leaving a broken BENCH_DOC.json in the tree.
+      // Absent a fresh run, re-render from the existing snapshot —
+      // e.g. after a prose edit outside the markers.
+      val fresh = exists("BENCH_LAST.json")
+      val src = if (fresh) "BENCH_LAST.json" else "BENCH_DOC.json"
+      val out = render(doc,
+        JsonMethods.parse(read(src)),
+        JsonMethods.parse(read("BENCH_sf1.json")))
+      if (fresh)
         java.nio.file.Files.copy(root.resolve("BENCH_LAST.json"),
           root.resolve("BENCH_DOC.json"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val out = render(doc,
-        JsonMethods.parse(read("BENCH_DOC.json")),
-        JsonMethods.parse(read("BENCH_sf1.json")))
       java.nio.file.Files.write(root.resolve("SCALING.md"),
         out.getBytes("UTF-8"))
       println("BENCH_LAST.json promoted to BENCH_DOC.json; SCALING.md " +

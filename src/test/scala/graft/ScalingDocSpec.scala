@@ -42,11 +42,64 @@ class ScalingDocSpec extends AnyFunSuite {
   test("the snapshot of record is tracked by git (the round-12 failure mode)") {
     // gating an untracked file makes the suite red whenever someone
     // else re-benches; this pin keeps the gate on committed state only
-    val gitignore = read(".gitignore").getOrElse("")
+    val gi = read(".gitignore")
+    assume(gi.isDefined,
+      "no .gitignore (not running from repo root?)")
+    val gitignore = gi.get
     assert(!gitignore.linesIterator.map(_.trim).contains("BENCH_DOC.json"),
       "BENCH_DOC.json must be committed — it is the artifact of record")
     assert(gitignore.linesIterator.map(_.trim).contains("BENCH_LAST.json"),
       "BENCH_LAST.json is the runtime scratch file and stays untracked")
+  }
+
+  test("throughput rows are sourced from the scale queries with artifact-derived counts") {
+    // round 13 shipped headline rows whose labels attached the scale
+    // variants' data sizes to the FIXTURE queries (q_etl_cdc_batch =
+    // 4 golden events labeled "10k events"; q_etl_initial_load =
+    // 24-user golden fixture labeled "15k users"), fabricating
+    // throughput from constants that belonged to neither query. Pin
+    // label ↔ query ↔ count on a synthetic artifact so the binding
+    // cannot drift again.
+    val artifact = org.json4s.jackson.JsonMethods.parse(
+      """{"value": 10.0,
+        | "queries": {"q_etl_scale_cdc": 2.0, "q_etl_scale_load": 1.5,
+        |             "q_etl_cdc_batch": 1.0, "q_etl_initial_load": 2.5},
+        | "rows": {"q_etl_scale_cdc": 100000, "q_etl_scale_load": 15000},
+        | "failed": [], "volatile": []}""".stripMargin)
+    val summary = graft.tools.RenderScaling.benchSummary(artifact)
+    val lines = summary.linesIterator.toSeq
+    val evRow = lines.find(_.contains("events/s")).getOrElse(
+      fail("no events/s throughput row"))
+    val usRow = lines.find(_.contains("users/s")).getOrElse(
+      fail("no users/s throughput row"))
+    // the throughput rows must cite the SCALE queries and derive both
+    // the data size and the rate from the artifact's rows map
+    assert(evRow.contains("q_etl_scale_cdc median"), evRow)
+    assert(evRow.contains("100.0k events"), evRow)
+    assert(evRow.contains("50.0k events/s"), evRow) // 100000 / 2.0 s
+    assert(usRow.contains("q_etl_scale_load median"), usRow)
+    assert(usRow.contains("15.0k users"), usRow)
+    assert(usRow.contains("10.0k users/s"), usRow) // 15000 / 1.5 s
+    // the fixture queries stay visible but may not claim throughput
+    val fixRows = lines.filter(l =>
+      l.contains("q_etl_cdc_batch median") ||
+        l.contains("q_etl_initial_load median"))
+    assert(fixRows.size == 2, fixRows)
+    fixRows.foreach { l =>
+      assert(l.contains("no throughput claim"), l)
+      assert(!l.contains("/s"), l)
+    }
+    // and a scale-variant artifact without rows must fail loudly, not
+    // silently fall back to constants
+    val noRows = org.json4s.jackson.JsonMethods.parse(
+      """{"value": 1.0,
+        | "queries": {"q_etl_scale_cdc": 2.0, "q_etl_scale_load": 1.5,
+        |             "q_etl_cdc_batch": 1.0, "q_etl_initial_load": 2.5},
+        | "failed": [], "volatile": []}""".stripMargin)
+    val e = intercept[RuntimeException] {
+      graft.tools.RenderScaling.benchSummary(noRows)
+    }
+    assert(e.getMessage.contains("rows entry"), e.getMessage)
   }
 
   test("both generated blocks are present and carry artifact numbers") {

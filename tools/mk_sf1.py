@@ -30,7 +30,8 @@ QUERIES = [
     "q_sk_kmv", "q_src_jsonl", "q_src_jsonl_gz", "q_src_orc",
     "q_src_schema_evo",
     "q_stream_dedup_wm",
-    "q_stream_join", "q_stream_jsonl", "q_stream_jsonl_gz",
+    "q_stream_join", "q_stream_join_rocksdb", "q_stream_jsonl",
+    "q_stream_jsonl_gz",
     "q_stream_lsh_pairs",
     "q_stream_session", "q_stream_session_append",
     "q_stream_state_dedup", "q_stream_tumbling", "q_stream_tws_dedup",
@@ -41,7 +42,14 @@ QUERIES = [
 ]
 
 NOTE = (
-    "Round-12 refresh (62 headline queries; the round-12 additions in "
+    "Round-14 refresh: adds q_stream_join_rocksdb (the stream-stream "
+    "join under the RocksDB state-store provider, pricing the provider "
+    "swap against the HDFS-store q_stream_join row), re-prices "
+    "q_text_bm25/q_knn_hybrid on the round-13/14 capped integer "
+    "arithmetic, and extends forced_paths with ppr/kcore/labelprop "
+    "local+distributed rows (GateCheck now forces BOTH sides of every "
+    "broadcast-edge-budget gate). "
+    "Round-12 base (62 headline queries; the round-12 additions in "
     "the sweep: asof-exec vs window asof, labelprop, kcore, ivfpq, pca, "
     "kmv, tws dedup, concurrency, novelty, cross-source matrix, "
     "attribution, streaming LSH, BM25, group split, filtered ANN, ORC, "
