@@ -37,18 +37,38 @@ object EtlOps {
     */
   def etlInitialLoad(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pre = Directory.parseDump(s,
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$refData/ldapII.txt")))
-    val users = EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
-      .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
-    val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
-      cryptoIvHex = Some("0" * 32))
-    val out = InitialLoad.run(pre, users, conf)
-    out.snapshot
-      .map(Directory.formatEntry _)
-      .toDF("entry_line")
-      .orderBy("entry_line")
+    // Fixture-bound (24 users into the golden tree): the cost is not
+    // data but PLAN CONSTANTS — under AQE the merge tree ran as 13
+    // jobs / 13 stages / 193 tasks with ~75 % of the wall in
+    // driver-side stage orchestration (BenchTrace: driverGap 1.5–2.1 s
+    // of a 2.3 s median). Executing the whole load eagerly inside a
+    // static width-1 scope collapses it to one job with single-task
+    // stages. The DATA-proportional twin (`etlScaleLoad`) keeps AQE —
+    // same reasoning, opposite regime, both measured (the
+    // q_etl_scale_cdc planning note records AQE winning at scale).
+    graft.Tables.withStaticParts(s, 1) {
+      val pre = Directory.parseDump(s,
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$refData/ldapII.txt")))
+      val users = EtlSchema.readUsersCsv(s, s"$refData/initial_data.csv")
+        .filter(!col("pk_uniqueid").isin(4731.0, 4732.0))
+      val conf = EtlConf(baseDn = "ou=user,ou=ph08,o=BMUKK",
+        cryptoIvHex = Some("0" * 32))
+      val out = InitialLoad.run(pre, users, conf)
+      out.snapshot
+        .map(Directory.formatEntry _)
+        .toDF("entry_line")
+        // total order without a global-sort range exchange: at width 1
+        // a single-partition sort IS the total order, and skips the
+        // RangePartitioner's extra sampling job
+        .coalesce(1)
+        .sortWithinPartitions("entry_line")
+        // eager: the plan must EXECUTE inside the static-width scope
+        // (conf is read at execution time, and the bench/verify action
+        // runs after this function returns). Per-invocation frame,
+        // never re-read after the caller's action — safe to drop.
+        .localCheckpoint(true)
+    }
   }
 
   /** Conversion-function surface (F1–F5) over the reference user CSV. */
