@@ -321,6 +321,17 @@ object StreamToolOps {
     drain(s, { ss =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: commit uploads the batch's changelog
+      // instead of snapshotting SST files per (store × trigger) —
+      // the deployment setting for RocksDB state at scale, and
+      // measured here to matter (see SCALING.md's provider note)
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
+      // every RocksDB put otherwise pays a read-before-write just to
+      // maintain the numRowsTotal metric — observability the join's
+      // semantics never reads
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".trackTotalNumberOfRows", "false")
       streamJoinBuild(ss, d)
     }, "stream_join_rdb", "append")
 

@@ -177,9 +177,22 @@ object TextAnalysis {
 
   /** Count-based bigram language model: conditional probability
     * P(w2 | w1) for every bigram seen ≥ 5 times, as integer micro-units
-    * (round(c12 * 1e6 / c1) — one correctly-rounded division, exact
-    * BIGINT everywhere else, so the table is bit-identical under any
-    * partitioning). The training shape at 100 TB: ONE explode into
+    * round(10^6·c12/c1), computed as a STAGED pure-int64 half-up
+    * rounding (round 14). The previous form `round(c12·10^6 / c1)`
+    * had two scale failures the fixtures cannot see: the int64
+    * product wraps once one word occurs > 9.2·10^12 times, and the
+    * division ran through a DOUBLE, which silently loses integer
+    * precision past 2^53 (~9·10^9 — a stopword bigram count crosses
+    * that at well under 1 TB of text). The staged identity
+    * `10^6·c12 = (1000·q1 + q2)·c1 + r2` with
+    * `q1 = (1000·c12) DIV c1, r1 = (1000·c12) % c1,
+    *  q2 = (1000·r1) DIV c1, r2 = (1000·r1) % c1`
+    * gives floor = 1000·q1 + q2 and half-up = +1 iff 2·r2 ≥ c1 —
+    * bit-exact at any scale, every intermediate < 2^63 to
+    * ~9.2·10^15 corpus tokens (~37 PB of text); the DuckDB twin
+    * mirrors the staged form verbatim. Exact BIGINT everywhere else,
+    * so the table is bit-identical under any partitioning.
+    * The training shape at 100 TB: ONE explode into
     * bigram pairs, two map-side-combinable counts, and a join that
     * stays keyed on w1 (vocabulary-bounded, AQE-broadcast when the
     * vocab fits). This one plan IS the inner loop of n-gram LM
@@ -210,9 +223,20 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy("w1")))
       .filter(col("c12") >= 5)
       .select(col("w1"), col("w2"), col("c12"),
-        round(col("c12") * lit(1000000L) / col("c1")).cast("long")
-          .as("p_micro"))
+        expr(pMicroStaged("c12", "c1")).as("p_micro"))
   }
+
+  /** The staged int64 half-up rounding of 10^6·num/den (see bigramLm's
+    * Scaladoc) — one definition for the engine expression and both
+    * DuckDB twins (`DIV`/`%` parse identically in Spark SQL and
+    * DuckDB... DuckDB uses `//`, so the divider token is a parameter).
+    */
+  private def pMicroStaged(num: String, den: String,
+      div: String = "DIV"): String =
+    s"""(1000 * ((1000 * $num) $div $den)
+       |  + (1000 * ((1000 * $num) % $den)) $div $den
+       |  + (CASE WHEN 2 * ((1000 * ((1000 * $num) % $den)) % $den)
+       |       >= $den THEN 1 ELSE 0 END))""".stripMargin
 
   /** LM-based document scoring — the perplexity-filter shape with the
     * transcendentals removed: each document's bigrams are looked up in
@@ -287,10 +311,21 @@ object TextAnalysis {
 
   /** Per-language Simpson diversity of the token distribution:
     * 1 − Σc²/N² in integer micro-units — the corpus-mix diagnostic
-    * (low diversity = crawl full of templated text). Exact BIGINT
-    * sums; ONE double division at the end, so the index is
-    * engine-identical — the log-free alternative to Shannon entropy,
-    * whose transcendental sum would drift across partition orders.
+    * (low diversity = crawl full of templated text). Exact sums; ONE
+    * double division at the end, so the index is engine-identical —
+    * the log-free alternative to Shannon entropy, whose transcendental
+    * sum would drift across partition orders.
+    *
+    * Width audit (round 14): the int64 form failed twice inside the
+    * 100 TB envelope — `sum(c·c)` wraps once one term reaches
+    * c > 3·10^9 occurrences in a language (a stopword crosses that
+    * under 100 GB of text), and `n_tokens·n_tokens` wraps at
+    * N > 3·10^9 total tokens. The squares now run in decimal(38,0)
+    * (engine) / HUGEINT (oracle) — both exact to 10^38, and
+    * Σc² ≤ N² < 10^28 at 100 TB — and the denominator squares in
+    * DOUBLE (N < 2^53 keeps each factor exact; the quotient feeds the
+    * double index anyway, and both engines' int→double conversions and
+    * IEEE ops round identically, so the micro value stays bit-equal).
     */
   def diversity(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -300,10 +335,12 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_terms"),
-        sum(col("c") * col("c")).as("sum_c2"))
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sum_c2"))
       .select(col("lang"), col("n_tokens"), col("n_terms"),
-        round((lit(1.0) - col("sum_c2")
-          / (col("n_tokens") * col("n_tokens"))) * 1000000.0)
+        round((lit(1.0) - col("sum_c2").cast("double")
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          * 1000000.0)
           .cast("long").as("simpson_micro"))
 
   /** Top-term co-occurrence: for the 20 most frequent terms, how many
@@ -601,7 +638,16 @@ object TextAnalysis {
     * V·partitions merge, never a global sort of the vocabulary. The
     * V-row vocab then broadcasts back onto the occurrence stream, so
     * the corpus side is one scan + one final per-source aggregation.
-    * The OOV rate is an integer micro-unit division (engine-exact).
+    * The OOV rate is an integer micro-unit division (engine-exact),
+    * STAGED as two thousand-fold steps (round 14): the direct form
+    * `(10^6·n_oov) DIV n_occ` wraps int64 once one source holds
+    * > 9.2·10^12 OOV tokens (~40 TB of text — inside the target);
+    * `floor(10^6·a/b) = 1000·q + floor(1000·r/b)` with
+    * `q = (1000·a) DIV b, r = (1000·a) % b` is the same integer
+    * exactly, and every intermediate stays < 2^63 to ~9.2·10^15
+    * tokens per source (~37 PB of text). The DuckDB twin mirrors the
+    * staged form verbatim (its sum() already promotes to HUGEINT —
+    * the exposure was engine-side only).
     * Ties at the V boundary are broken by the token string, so the
     * vocabulary is a deterministic set on both engines.
     */
@@ -618,7 +664,9 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_occ"),
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_micro", expr("(1000000 * n_oov) DIV n_occ"))
+      .withColumn("oov_micro", expr(
+        "1000 * ((1000 * n_oov) DIV n_occ)" +
+          " + (1000 * ((1000 * n_oov) % n_occ)) DIV n_occ"))
   }
 
   /** Composite corpus pipeline: quality filter → exact dedup
@@ -930,12 +978,15 @@ object TextAnalysis {
         |v AS (SELECT tk, 1 AS in_v FROM (
         |  SELECT tk, count(*) AS c FROM tok GROUP BY 1
         |  ORDER BY c DESC, tk LIMIT 1000))
-        |SELECT source, count(*)::BIGINT AS n_occ,
-        |  sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-        |  ((1000000 * sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END))
-        |    // count(*))::BIGINT AS oov_micro
-        |FROM tok LEFT JOIN v USING (tk)
-        |GROUP BY source""".stripMargin,
+        |SELECT source, n_occ, n_oov,
+        |  (1000 * ((1000 * n_oov) // n_occ)
+        |    + (1000 * ((1000 * n_oov) % n_occ)) // n_occ)::BIGINT
+        |    AS oov_micro
+        |FROM (
+        |  SELECT source, count(*)::BIGINT AS n_occ,
+        |    sum(CASE WHEN v.in_v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+        |  FROM tok LEFT JOIN v USING (tk)
+        |  GROUP BY source) g""".stripMargin,
     "q_pipeline_corpus" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(str_split(text, ' ')))::BIGINT AS n_tokens
@@ -995,7 +1046,7 @@ object TextAnalysis {
         |FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents) x
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
     "q_text_bigram_lm" ->
-      """WITH t AS (SELECT str_split(text, ' ') AS t FROM documents
+      s"""WITH t AS (SELECT str_split(text, ' ') AS t FROM documents
         |           WHERE len(str_split(text, ' ')) >= 2),
         |pairs AS (
         |  SELECT t[i] AS w1, t[i+1] AS w2
@@ -1004,7 +1055,7 @@ object TextAnalysis {
         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
         |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
         |SELECT c12.w1, c12.w2, c12.c12,
-        |  CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
+        |  ${pMicroStaged("c12.c12", "c1.c1", "//")}::BIGINT AS p_micro
         |FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5""".stripMargin,
     "q_text_cooc" ->
       """WITH occ AS (
@@ -1030,7 +1081,7 @@ object TextAnalysis {
         |    AS chunk_hash
         |FROM x""".stripMargin,
     "q_text_lm_score" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
         |           WHERE len(str_split(text, ' ')) >= 2),
         |pairs AS (
         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
@@ -1040,7 +1091,7 @@ object TextAnalysis {
         |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
         |lm AS (
         |  SELECT c12.w1, c12.w2,
-        |    CAST(round(c12.c12 * 1000000 / c1.c1) AS BIGINT) AS p_micro
+        |    ${pMicroStaged("c12.c12", "c1.c1", "//")}::BIGINT AS p_micro
         |  FROM c12 JOIN c1 USING (w1) WHERE c12.c12 >= 5),
         |sc AS (
         |  SELECT p.doc_id, count(*) AS n_bigrams,
@@ -1065,10 +1116,12 @@ object TextAnalysis {
         |        FROM documents) x
         |  GROUP BY 1, 2),
         |g AS (SELECT lang, sum(c)::BIGINT AS n_tokens,
-        |             count(*) AS n_terms, sum(c * c)::BIGINT AS sum_c2
+        |             count(*) AS n_terms,
+        |             sum(c::HUGEINT * c) AS sum_c2
         |      FROM c GROUP BY lang)
         |SELECT lang, n_tokens, n_terms,
-        |  CAST(round((1.0 - sum_c2::DOUBLE / (n_tokens * n_tokens))
+        |  CAST(round((1.0 - sum_c2::DOUBLE
+        |      / (n_tokens::DOUBLE * n_tokens::DOUBLE))
         |    * 1000000.0) AS BIGINT) AS simpson_micro
         |FROM g""".stripMargin,
     "q_text_postings" ->

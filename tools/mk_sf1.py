@@ -43,8 +43,10 @@ QUERIES = [
 
 NOTE = (
     "Round-14 refresh: adds q_stream_join_rocksdb (the stream-stream "
-    "join under the RocksDB state-store provider, pricing the provider "
-    "swap against the HDFS-store q_stream_join row), re-prices "
+    "join under the RocksDB state-store provider with changelog "
+    "checkpointing and numRowsTotal tracking off - the tuned "
+    "production deployment settings, see SCALING.md - pricing the "
+    "provider swap against the HDFS-store q_stream_join row), re-prices "
     "q_text_bm25/q_knn_hybrid on the round-13/14 capped integer "
     "arithmetic, and extends forced_paths with ppr/kcore/labelprop "
     "local+distributed rows (GateCheck now forces BOTH sides of every "
