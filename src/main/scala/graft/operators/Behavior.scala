@@ -90,7 +90,12 @@ object Behavior {
     val tot = cnt.groupBy("from_type").agg(sum(col("n")).as("n_from"))
     cnt.join(tot, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        expr("(1000000 * n) DIV n_from").as("p_micro"))
+        // staged exact floor of 10^6·n/n_from (the TextAnalysis width
+        // discipline): the direct product left only ~9× headroom if
+        // the events table is itself the 100 TB table (~10^12 rows);
+        // staged, every intermediate is safe to ~9.2·10^15 events
+        expr("1000 * ((1000 * n) DIV n_from)" +
+          " + (1000 * ((1000 * n) % n_from)) DIV n_from").as("p_micro"))
   }
 
   /** Top session paths: gap-sessionize (30-min inactivity), render
@@ -134,7 +139,9 @@ object Behavior {
     * non-purchase rows), then one small aggregation per model, unioned
     * with a model tag. Purchases with no prior touch credit "(none)".
     * Money is exact decimal(18,2) through the sum (partial-agg order
-    * independence), emitted as micro-unit BIGINT.
+    * independence), emitted as micro-unit DECIMAL(38,0) — a BIGINT
+    * micro column wraps (engine) or errors (oracle) past ~$9.2e12 per
+    * segment, inside the 100 TB envelope.
     */
   def attribution(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -154,7 +161,13 @@ object Behavior {
     def model(name: String, c: Column): DataFrame = credited
       .groupBy(coalesce(c, lit("(none)")).as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
-        (sum(dec(col("value"))) * lit(1000000)).cast("long")
+        // decimal(38,0) output, not long: a long revenue_micro wraps
+        // (engine, silently under non-ANSI) or errors (oracle) once a
+        // touch segment's revenue passes ~$9.2e12 — a 100 TB events
+        // table can sum there. v has scale 2, so ×10^6 is integral
+        // and the (38,0) cast is exact; both engines agg decimals
+        // exactly to 38 digits
+        (sum(dec(col("value"))) * lit(1000000)).cast("decimal(38,0)")
           .as("revenue_micro"))
       .withColumn("model", lit(name))
     model("first", col("first_touch"))
@@ -191,11 +204,11 @@ object Behavior {
         |SELECT 'first' AS model, coalesce(first_touch, '(none)')
         |    AS touch_type,
         |  count(*) AS n_purchases,
-        |  (sum(v) * 1000000)::BIGINT AS revenue_micro
+        |  (sum(v) * 1000000)::DECIMAL(38,0) AS revenue_micro
         |FROM p GROUP BY 2
         |UNION ALL
         |SELECT 'last', coalesce(last_touch, '(none)'), count(*),
-        |  (sum(v) * 1000000)::BIGINT
+        |  (sum(v) * 1000000)::DECIMAL(38,0)
         |FROM p GROUP BY 2""".stripMargin,
     "q_beh_paths" ->
       """WITH g AS (
@@ -226,7 +239,9 @@ object Behavior {
         |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n,
-        |  ((1000000 * c.n) // t.n_from)::BIGINT AS p_micro
+        |  (1000 * ((1000 * c.n) // t.n_from)
+        |    + (1000 * ((1000 * c.n) % t.n_from)) // t.n_from)::BIGINT
+        |    AS p_micro
         |FROM c JOIN t USING (from_type)""".stripMargin,
     "q_beh_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_type

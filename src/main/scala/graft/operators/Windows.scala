@@ -389,6 +389,10 @@ object Windows {
     * head-room). Counts are exact integers; the index is assembled as
     * one deterministic double expression over exact sums
     * (n·Σc² − (Σc)²) / (n·Σc), never a streamed float variance.
+    * Σc² runs in decimal(38,0) (oracle: HUGEINT) — the int64 square
+    * wraps once one stream sustains > 3·10^9 events/hour, and the sum
+    * wraps well before that at 100 TB (round-14 width audit); both
+    * engines convert the identical exact integer to double at the end.
     */
   def burstiness(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -397,7 +401,8 @@ object Windows {
       .agg(count(lit(1)).as("c"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("sc2"))
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sc2"))
       .select(col("event_type"), col("n_hours"),
         round((col("n_hours").cast("double") * col("sc2").cast("double")
           - col("sc").cast("double") * col("sc").cast("double"))
@@ -434,7 +439,7 @@ object Windows {
         |  FROM events GROUP BY 1, 2),
         |s AS (
         |  SELECT event_type, count(*) AS n_hours, sum(c) AS sc,
-        |    sum(c * c) AS sc2
+        |    sum(c::HUGEINT * c) AS sc2
         |  FROM h GROUP BY 1)
         |SELECT event_type, n_hours,
         |  round((n_hours::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)

@@ -267,10 +267,19 @@ object Curation {
       sum(when(col("lang") =!= "en", col("c_dt")).otherwise(0L)).as("c_bg"))
     val tot = vocab.agg(sum(col("c_tgt")).as("n_tgt"),
       sum(col("c_bg")).as("n_bg"), count(lit(1)).as("v"))
+    // factors cast to DOUBLE before multiplying (round-14 width
+    // audit): the long×long numerator (c_tgt+1)·(n_bg+v) wraps int64
+    // once token totals reach ~10^13 — inside the 100 TB envelope —
+    // while each factor stays exactly representable in double to
+    // 2^53 (~9·10^15 tokens), so the double product is the correctly
+    // rounded true product and both engines compute the identical
+    // ratio (the oracle mirrors the same per-factor casts)
     val w = vocab.join(broadcast(tot))
       .select(col("term"),
-        round(((col("c_tgt") + 1) * (col("n_bg") + col("v")))
-          / ((col("c_bg") + 1) * (col("n_tgt") + col("v"))) * lit(1000000.0))
+        round(((col("c_tgt") + 1).cast("double")
+          * (col("n_bg") + col("v")).cast("double"))
+          / ((col("c_bg") + 1).cast("double")
+            * (col("n_tgt") + col("v")).cast("double")) * lit(1000000.0))
           .cast("long").as("w"))
     dt.join(broadcast(w), "term")
       .groupBy("doc_id")
@@ -960,7 +969,8 @@ object Curation {
         |               count(*) AS v FROM vocab),
         |w AS (
         |  SELECT term, CAST(round(
-        |    ((c_tgt + 1) * (n_bg + v)) / ((c_bg + 1) * (n_tgt + v))
+        |    ((c_tgt + 1)::DOUBLE * (n_bg + v)::DOUBLE)
+        |      / ((c_bg + 1)::DOUBLE * (n_tgt + v)::DOUBLE)
         |      * 1000000.0) AS BIGINT) AS w
         |  FROM vocab, tot)
         |SELECT dt.doc_id, sum(dt.c_dt)::BIGINT AS n_tokens,
