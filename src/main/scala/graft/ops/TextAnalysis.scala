@@ -231,7 +231,7 @@ object TextAnalysis {
     * DuckDB twins (`DIV`/`%` parse identically in Spark SQL and
     * DuckDB... DuckDB uses `//`, so the divider token is a parameter).
     */
-  private def pMicroStaged(num: String, den: String,
+  private[ops] def pMicroStaged(num: String, den: String,
       div: String = "DIV"): String =
     s"""(1000 * ((1000 * $num) $div $den)
        |  + (1000 * ((1000 * $num) % $den)) $div $den
@@ -758,6 +758,25 @@ object TextAnalysis {
     */
   private val bm25Terms = Seq("spark", "join", "hash")
 
+  /** One term's integer BM25 score over columns (tf_t, df_t, n_docs,
+    * avgdl, dl) — idf_micro rounds half-up via the doubled-divisor
+    * trick and is capped for int64 headroom (see bm25's Scaladoc); tf
+    * is capped where sat is already flat; sat's floor DIV loses < 1
+    * micro-unit — all engine-exact integers, mirrored in bm25Sql.
+    * Exposed private[ops] so WidthAuditSpec can evaluate it at
+    * overflow-regime literals the fixtures cannot reach.
+    */
+  private[ops] def bm25TermScoreSql(t: String): String =
+    s"""CASE WHEN tf_$t > 0 THEN
+      (least(
+         (2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
+           DIV (2 * (2 * df_$t + 1)),
+         4000000000000)
+        * ((1000000 * 22 * least(tf_$t, 1000000) * avgdl)
+          DIV (10 * least(tf_$t, 1000000) * avgdl + 3 * avgdl + 9 * dl)))
+        DIV 1000000
+      ELSE 0 END"""
+
   def bm25(s: SparkSession, d: String): DataFrame = {
     val perDoc = documents(s, d).select(
       col("doc_id") +:
@@ -772,21 +791,8 @@ object TextAnalysis {
     val glob = perDoc.agg(globCols.head, globCols.tail: _*)
       .withColumn("avgdl",
         expr("least((2 * len_total + n_docs) DIV (2 * n_docs), 10000)"))
-    val termScore = bm25Terms.map { t =>
-      // idf_micro rounds half-up via the doubled-divisor trick and is
-      // capped for int64 headroom (see Scaladoc); tf is capped where
-      // sat is already flat; sat's floor DIV loses < 1 micro-unit —
-      // all engine-exact integers, mirrored in bm25Sql
-      expr(s"""CASE WHEN tf_$t > 0 THEN
-        (least(
-           (2 * 1000000 * (2 * n_docs - 2 * df_$t + 1) + (2 * df_$t + 1))
-             DIV (2 * (2 * df_$t + 1)),
-           4000000000000)
-          * ((1000000 * 22 * least(tf_$t, 1000000) * avgdl)
-            DIV (10 * least(tf_$t, 1000000) * avgdl + 3 * avgdl + 9 * dl)))
-          DIV 1000000
-        ELSE 0 END""")
-    }.reduce(_ + _)
+    val termScore = bm25Terms.map(t => expr(bm25TermScoreSql(t)))
+      .reduce(_ + _)
     perDoc.join(broadcast(glob))
       .withColumn("score_micro", termScore)
       .filter(col("score_micro") > 0)
