@@ -222,6 +222,18 @@ object StreamToolOps {
     drain(s, { ss =>
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // same two provider tunings as streamJoinRocksdb (rationale in
+      // SCALING.md's provider note): changelog commits instead of
+      // per-trigger SST snapshots, and no read-before-write
+      // numRowsTotal maintenance. A/B at sf1 was NEUTRAL here (the
+      // per-user seen-type state is tiny, so instance setup — not
+      // commit cost — dominates); kept because they are the settings
+      // a production deployment runs with and they measurably win on
+      // the state-heavy join
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".trackTotalNumberOfRows", "false")
       EventStream.firstSeenPairsTws(EventStream.readEvents(ss, d))
         .toDF("user_id", "event_type")
     }, "stream_tws_dedup", "append")
