@@ -48,14 +48,18 @@ class BehaviorSpec extends AnyFunSuite {
   test("attribution conserves purchase count and revenue in both models") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
+    // revenue_micro is decimal(38,0) since the round-14 width audit
+    // (a BIGINT micro column wraps past ~$9.2e12 per segment)
     val rows = Behavior.attribution(spark, d).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))
     val purchases = graft.Tables.events(spark, d)
       .filter(col("event_type") === "purchase")
     val nTotal = purchases.count()
-    val revTotal = purchases
-      .agg((sum(graft.Tables.dec(col("value"))) * lit(1000000)).cast("long"))
-      .head().getLong(0)
+    val revTotal = BigDecimal(purchases
+      .agg((sum(graft.Tables.dec(col("value"))) * lit(1000000))
+        .cast("decimal(38,0)"))
+      .head().getDecimal(0))
     Seq("first", "last").foreach { m =>
       val part = rows.filter(_._1 == m)
       assert(part.map(_._3).sum == nTotal,
