@@ -311,6 +311,9 @@ object StreamToolOps {
     // sweep at sf0.1 confirmed the shared 8 is this query's optimum
     // too (4 → 3.5 s, 8 → 3.1 s, 16 → 4.4 s): narrower serializes the
     // join work faster than it saves store setup, wider pays setup.
+    // Re-swept for the RocksDB twin (round 14), where per-partition
+    // instance setup is heavier: width 4 still REGRESSED it (~4.5 →
+    // 5.9 s at sf0.1) — the shared 8 stands for both providers.
     drain(s, ss => streamJoinBuild(ss, d), "stream_join", "append")
 
   /** The RocksDB-state twin of `streamJoin` — identical plan and
