@@ -669,6 +669,82 @@ object TextAnalysis {
           " + (1000 * ((1000 * n_oov) % n_occ)) DIV n_occ"))
   }
 
+  /** Intra-document repetition signals — the Gopher/RefinedWeb-class
+    * quality filter that the cross-document passes (boilerplate, the
+    * dedup family) deliberately do not cover: how much of a document
+    * is ITS OWN repeated content. Three standard signals per doc:
+    * duplicate-token fraction (1 − type/token ratio), the modal
+    * 2-gram's token share (templated text is dominated by one
+    * bigram), and the duplicate-trigram-position fraction (the
+    * n-gram form of "the same sentence over and over"). High values
+    * mark generator loops, scraped navigation, and log spam — the
+    * documents a perplexity filter wrongly LIKES because repetition
+    * is easy to predict.
+    *
+    * Shape at 100 TB: every signal is a pure column expression over
+    * the token array — raw (non-deduplicated) n-gram transforms,
+    * array_distinct counts, and a single sorted-run fold for the
+    * modal bigram — so the operator is ONE corpus scan with ZERO
+    * shuffle, the MinHash/SimHash cost class. Width: all micro
+    * products are per-document magnitudes (10^6·n_toks wraps only
+    * past ~9.2·10^12 tokens in ONE document ≈ 37 TB of text in a
+    * single row — not a real document), never corpus-scale counts.
+    * The DuckDB twin computes the modal bigram relationally
+    * (unnest → count → max) — different evaluation, same exact
+    * integers, so the micro values hash-match.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOf(documents(s, d))
+
+  /** The signal projection over an explicit documents frame — spec
+    * entry point for constructed corpora (RepetitionSpec).
+    */
+  private[ops] def repetitionOf(docs: DataFrame): DataFrame = {
+    // raw n-grams: one string per POSITION (Dedup.ngrams deduplicates,
+    // which would erase exactly the multiplicity this operator counts)
+    def rawNgrams(t: Column, n: Int): Column =
+      when(size(t) >= n, transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_toks"),
+        size(array_distinct(col("t"))).cast("long").as("n_dist"),
+        rawNgrams(col("t"), 2).as("bg"),
+        rawNgrams(col("t"), 3).as("tri"))
+    // modal bigram count = longest run in the SORTED bigram array —
+    // a row-local fold, no per-doc groupBy shuffle. The zero's
+    // prev = "" can never match a real bigram (concat_ws always
+    // emits the separator, so every bigram has length ≥ 1).
+    val best = aggregate(
+      array_sort(col("bg")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    base
+      .withColumn("best", best)
+      .withColumn("n_tri", size(col("tri")).cast("long"))
+      .withColumn("n_tri_d", size(array_distinct(col("tri"))).cast("long"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("(1000000 * (n_toks - n_dist)) DIV n_toks")
+          .as("dup_token_micro"),
+        // overlapping occurrences can cover > n tokens ("a a a": the
+        // modal bigram occurs twice over 3 tokens) — cap at 1.0
+        expr("least(1000000, (1000000 * 2 * best) DIV n_toks)")
+          .as("top_bigram_micro"),
+        expr("CASE WHEN n_tri > 0 THEN" +
+          " (1000000 * (n_tri - n_tri_d)) DIV n_tri ELSE 0 END")
+          .as("dup_trigram_micro"))
+  }
+
   /** Composite corpus pipeline: quality filter → exact dedup
     * (first-doc survivor) → per-language counts — the end-to-end shape
     * of a training-data preparation job, as one declarative plan.
@@ -820,6 +896,7 @@ object TextAnalysis {
     "q_text_bpe_encode" -> (bpeEncode _),
     "q_text_diversity" -> (diversity _),
     "q_text_vocab_oov" -> (vocabCoverage _),
+    "q_text_repetition" -> (repetition _),
     "q_pipeline_corpus" -> (corpusPipeline _),
   )
 
@@ -1115,6 +1192,42 @@ object TextAnalysis {
         |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents) x
         |  WHERE length(w) >= 2) y
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // the modal bigram is computed relationally (unnest → count →
+    // max) where the engine uses a row-local sorted-run fold — same
+    // exact integers either way; bigrams/trigrams are raw (one per
+    // position), tokens are the plain space split both engines share
+    "q_text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL AND len(str_split(text, ' ')) >= 1),
+        |tok AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n,
+        |    len(list_distinct(t))::BIGINT AS nd
+        |  FROM base),
+        |bg AS (
+        |  SELECT doc_id, max(c)::BIGINT AS best FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |            FROM base) z) u
+        |    GROUP BY doc_id, g) q
+        |  GROUP BY doc_id),
+        |tri AS (
+        |  SELECT doc_id,
+        |    greatest(len(t) - 2, 0)::BIGINT AS n_tri,
+        |    len(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 2, 0) + 1),
+        |      i -> array_to_string(t[i:i+2], ' '))))::BIGINT AS n_tri_d
+        |  FROM base)
+        |SELECT tok.doc_id, n AS n_toks,
+        |  ((1000000 * (n - nd)) // n)::BIGINT AS dup_token_micro,
+        |  least(1000000,
+        |    (1000000 * 2 * coalesce(best, 0)) // n)::BIGINT
+        |    AS top_bigram_micro,
+        |  (CASE WHEN n_tri > 0
+        |     THEN (1000000 * (n_tri - n_tri_d)) // n_tri
+        |     ELSE 0 END)::BIGINT AS dup_trigram_micro
+        |FROM tok LEFT JOIN bg USING (doc_id) JOIN tri USING (doc_id)""".stripMargin,
     "q_text_diversity" ->
       """WITH c AS (
         |  SELECT lang, term, count(*) AS c

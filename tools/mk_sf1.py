@@ -37,12 +37,15 @@ QUERIES = [
     "q_stream_state_dedup", "q_stream_tumbling", "q_stream_tws_dedup",
     "q_text_bm25", "q_text_bpe_encode",
     "q_text_bpe_train", "q_text_cooc", "q_text_novelty", "q_text_tfidf",
-    "q_text_vocab_oov", "q_tpch_q18", "q_tpch_q21", "q_tpch_q3",
+    "q_text_vocab_oov", "q_text_repetition", "q_tpch_q18", "q_tpch_q21",
+    "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_w_concurrency",
 ]
 
 NOTE = (
-    "Round-14 refresh: adds q_stream_join_rocksdb (the stream-stream "
+    "Round-14 refresh: adds q_text_repetition (intra-document "
+    "repetition signals - zero-shuffle row-local expressions) and "
+    "q_stream_join_rocksdb (the stream-stream "
     "join under the RocksDB state-store provider with changelog "
     "checkpointing and numRowsTotal tracking off - the tuned "
     "production deployment settings, see SCALING.md - pricing the "
