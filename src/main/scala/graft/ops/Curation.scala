@@ -571,16 +571,35 @@ object Curation {
     * vocabulary-bounded, so the joins broadcast and the only
     * corpus-sized work is the explode, whose output is ~N rows by
     * construction (the mix redistributes mass, it doesn't grow it).
+    *
+    * The replication factor is CAPPED at 100 (round-14 scale audit):
+    * uncapped, a rare language in a large corpus gets r = N/(L·n_l)
+    * per-doc copies — a 100-doc language in a 10^10-doc corpus means
+    * 2·10^7 copies, i.e. a ~160 MB `sequence` array built inside ONE
+    * row before the explode (executor OOM) concentrated on whichever
+    * partitions hold those docs (skew), and an epoch that is 20 % the
+    * same hundred documents (memorization, the thing a mix exists to
+    * avoid). 100× is the standard upsampling ceiling in published
+    * data-mix recipes; the cap is the same deterministic `least` in
+    * both engines and is unreachable at fixture scale (ratios ≈ 1).
     */
-  def upsample(s: SparkSession, d: String): DataFrame = {
-    val counts = documents(s, d).groupBy("lang")
+  def upsample(s: SparkSession, d: String): DataFrame =
+    upsampleOf(documents(s, d))
+
+  /** The mix over an explicit documents frame — spec entry point for
+    * constructed skewed corpora (the cap is unreachable on the
+    * fixtures).
+    */
+  private[ops] def upsampleOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang")
       .agg(count(lit(1)).as("n_l"))
     val totals = counts.agg(sum(col("n_l")).as("n"),
       count(lit(1)).as("nl"))
-    val rated = documents(s, d).select(col("doc_id"), col("lang"))
+    val rated = docs.select(col("doc_id"), col("lang"))
       .join(broadcast(counts), "lang")
       .crossJoin(broadcast(totals))
-      .withColumn("r_micro", expr("(1000000 * n) DIV (nl * n_l)"))
+      .withColumn("r_micro",
+        expr("least((1000000 * n) DIV (nl * n_l), 100000000)"))
       .withColumn("h",
         conv(substring(md5(concat(lit("up|"), col("doc_id"))), 1, 8), 16, 10)
           .cast("long") % 1000000L)
@@ -882,7 +901,8 @@ object Curation {
         |t AS (SELECT count(*) AS n, (SELECT count(*) FROM c) AS nl
         |      FROM documents),
         |r AS (SELECT d.doc_id, d.lang,
-        |        (1000000 * t.n) // (t.nl * c.n_l) AS r_micro,
+        |        least((1000000 * t.n) // (t.nl * c.n_l),
+        |              100000000) AS r_micro,
         |        ('0x' || substr(md5('up|' || d.doc_id), 1, 8))::BIGINT
         |          % 1000000 AS h
         |      FROM documents d, c, t WHERE d.lang = c.lang),

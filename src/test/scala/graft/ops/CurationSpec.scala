@@ -136,4 +136,24 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("upsample caps a rare language's replication at 100x (constructed skew)") {
+    // 300 docs of one language + 1 doc of another: the uncapped ratio
+    // for the rare doc is 301/(2*1) = 150.5x — past the 100x ceiling
+    // that bounds per-row sequence arrays, partition skew, and
+    // same-doc epoch mass at corpus scale. The cap lands exactly:
+    // r_micro = 100e6, zero fractional part, so exactly 100 copies.
+    val spark = graft.etl.TestSpark.spark
+    import spark.implicits._
+    val docs = ((1L to 300L).map(i => (i, "big")) :+ (9999L, "rare"))
+      .toDF("doc_id", "lang")
+    val out = Curation.upsampleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rare = out.count(_._1 == 9999L)
+    assert(rare == 100, s"rare-doc copies: $rare != 100")
+    // the big language's ratio is 301/600 < 1: every doc gets 0 or 1
+    // copies, never more
+    val perBig = out.filter(_._2 == "big").groupBy(_._1).map(_._2.size)
+    assert(perBig.forall(_ == 1), "big-lang docs must not replicate")
+  }
 }
