@@ -105,6 +105,18 @@ object Behavior {
     * counts — are deterministic; the path space is in practice
     * vocabulary-bounded, so the final count is a small aggregation and
     * the top-k a TakeOrdered, never a global sort.
+    *
+    * Paths render from each session's FIRST 64 events (round-14 scale
+    * audit): an uncapped collect_list buffers a whole session in one
+    * aggregation row, and at 100 TB a bot session with 10^7 events is
+    * a several-hundred-MB buffer on one key (OOM + skew) whose exact
+    * path tail carries no journey signal anyway. The cap is applied
+    * as a row_number filter BEFORE the aggregation — bounding the
+    * buffer itself, not just the output — over the same
+    * (user, ts, event_id) window the sessionizer already shuffled on
+    * (no extra exchange), and the oracle applies the identical rank
+    * filter. Human sessions are far below 64 events; the fixture is
+    * unaffected.
     */
   def sessionPaths(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -119,7 +131,12 @@ object Behavior {
       .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
-    sess.groupBy("user_id", "sid")
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sid").orderBy("ts_ns", "event_id")
+    sess
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 64)
+      .groupBy("user_id", "sid")
       .agg(concat_ws(">", transform(
         array_sort(collect_list(struct(col("ts_ns"), col("event_id"),
           col("event_type")))),
@@ -223,10 +240,14 @@ object Behavior {
         |  SELECT *, sum(brk) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY tns, event_id) AS rn
+        |  FROM s),
         |p AS (
         |  SELECT user_id, sid,
         |    string_agg(event_type, '>' ORDER BY tns, event_id) AS path
-        |  FROM s GROUP BY 1, 2)
+        |  FROM r WHERE rn <= 64 GROUP BY 1, 2)
         |SELECT path, count(*) AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_beh_transitions" ->
