@@ -14,42 +14,46 @@ object Behavior {
 
   /** Ordered funnel signup → click → purchase: how many users reach
     * each stage, where each stage must happen STRICTLY after the
-    * previous one. Computed in ONE shuffle: the per-user event stream
-    * is collected sorted (events-per-user is bounded in any real
-    * product-analytics store) and the stage progression folds
-    * row-locally in a single codegen'd `aggregate` pass — the
-    * first-qualifying-transition semantics the three-join SQL
-    * formulation (the oracle) expresses relationally. At 100 TB the
-    * fold scales with users×events-per-user, and the single shuffle
-    * keys on the (uniform) user id.
+    * previous one.
+    *
+    * The stage times are chained conditional minima — s1 = first
+    * signup, s2 = first click with t > s1, s3 = first purchase with
+    * t > s2 (the first QUALIFYING event is exactly the minimum
+    * qualifying time, since any later qualifying event also
+    * qualifies) — computed as three sequential whole-partition window
+    * aggregates over ONE user-keyed exchange. Round 14 replaced the
+    * previous collect_list + fold form: the fold buffered a user's
+    * whole event stream inside a single aggregation row, the same
+    * bot-user OOM/skew hazard as the uncapped session paths — but
+    * unlike paths, the funnel cannot truncate (a stage may first
+    * qualify arbitrarily deep in the stream), so the fix is the
+    * spill-safe plan shape, not a cap: WindowExec sorts and SPILLS a
+    * pathological user's partition through the external sorter
+    * instead of materializing it as one buffer row. The follow-up
+    * per-user reduction groups on the window's own partitioning key,
+    * so no second exchange (AQE plan: one shuffle total). The
+    * three-join SQL formulation (the oracle) expresses the same
+    * semantics relationally.
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
-    val arr = events(s, d)
-      .select(col("user_id"),
-        struct(tus.as("t"), col("event_id"), col("event_type")).as("e"))
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(col("e"))).as("seq"))
-    val nil = lit(null).cast("long")
-    val folded = arr.select(aggregate(
-      col("seq"),
-      struct(nil.as("s1"), nil.as("s2"), nil.as("s3")),
-      (acc, x) => {
-        val t = x.getField("t")
-        val ty = x.getField("event_type")
-        struct(
-          when(acc.getField("s1").isNull && ty === "signup", t)
-            .otherwise(acc.getField("s1")).as("s1"),
-          when(acc.getField("s2").isNull && acc.getField("s1").isNotNull &&
-            ty === "click" && t > acc.getField("s1"), t)
-            .otherwise(acc.getField("s2")).as("s2"),
-          when(acc.getField("s3").isNull && acc.getField("s2").isNotNull &&
-            ty === "purchase" && t > acc.getField("s2"), t)
-            .otherwise(acc.getField("s3")).as("s3"))
-      }).as("f"))
-    folded.agg(
-      sum(when(col("f.s1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
-      sum(when(col("f.s2").isNotNull, 1L).otherwise(0L)).as("n_click"),
-      sum(when(col("f.s3").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val staged = events(s, d)
+      .select(col("user_id"), tus.as("t"), col("event_type"))
+      .withColumn("s1",
+        min(when(col("event_type") === "signup", col("t"))).over(w))
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("t") > col("s1"),
+          col("t"))).over(w))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("t") > col("s2"),
+          col("t"))).over(w))
+    staged.groupBy("user_id")
+      .agg(first(col("s1")).as("s1"), first(col("s2")).as("s2"),
+        first(col("s3")).as("s3"))
+      .agg(
+        sum(when(col("s1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("s3").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
   }
 
   /** Cohort retention: users grouped by first-activity week, counted
