@@ -168,14 +168,29 @@ object Dedup {
   /** Banded candidate pairs from an exploded (doc_id, band, h) frame:
     * collect bucket members, drop degenerate buckets, emit bucket-local
     * pairs — never all-pairs.
+    *
+    * The member collection is the SIZE-CAPPED aggregator (round-14
+    * scale audit), not collect_list: the over-cap filter used to run
+    * AFTER an unbounded collect, so the degenerate bucket it exists to
+    * drop — every near-empty or boilerplate doc sharing one band hash,
+    * the most common adversarial shape in a raw crawl — first
+    * materialized ALL its members in one aggregation row (10^10 docs
+    * in one bucket = an 80 GB buffer → executor OOM before the filter
+    * ever saw it). CappedSortedIds keeps the smallest cap+1 ids per
+    * partial buffer (map-side combined, O(cap) per task): a kept
+    * bucket (≤ cap members) is collected in full, an over-cap bucket
+    * saturates at cap+1 and the same size filter drops it —
+    * value-identical output, bounded state at any corpus size.
     */
-  private def bandedPairs(bands: DataFrame): DataFrame =
+  private def bandedPairs(bands: DataFrame): DataFrame = {
+    val cappedIds = udaf(new graft.functions.CappedSortedIds(maxBucket))
     bands.groupBy("band", "h")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .agg(cappedIds(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairsInBucket).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
 
   /** LSH banding over the MinHash signature (4 bands × 4 rows): docs
     * sharing any band hash become candidate near-dup pairs. Pure
