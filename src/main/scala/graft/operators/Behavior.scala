@@ -160,9 +160,14 @@ object Behavior {
     * non-purchase rows), then one small aggregation per model, unioned
     * with a model tag. Purchases with no prior touch credit "(none)".
     * Money is exact decimal(18,2) through the sum (partial-agg order
-    * independence), emitted as micro-unit DECIMAL(38,0) — a BIGINT
+    * independence), carried as micro-unit DECIMAL(38,0) — a BIGINT
     * micro column wraps (engine) or errors (oracle) past ~$9.2e12 per
-    * segment, inside the 100 TB envelope.
+    * segment, inside the 100 TB envelope — and EMITTED as its decimal
+    * STRING: the driver's cross-engine hash is type-sensitive on wide
+    * decimals (pandas holds DECIMAL(38,0) as object on one side,
+    * float64 on the other — the round-6 HUGEINT family), so the
+    * terminal column is the canonical digit string, exact and
+    * hash-identical on both engines.
     */
   def attribution(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -182,14 +187,16 @@ object Behavior {
     def model(name: String, c: Column): DataFrame = credited
       .groupBy(coalesce(c, lit("(none)")).as("touch_type"))
       .agg(count(lit(1)).as("n_purchases"),
-        // decimal(38,0) output, not long: a long revenue_micro wraps
-        // (engine, silently under non-ANSI) or errors (oracle) once a
-        // touch segment's revenue passes ~$9.2e12 — a 100 TB events
-        // table can sum there. v has scale 2, so ×10^6 is integral
-        // and the (38,0) cast is exact; both engines agg decimals
-        // exactly to 38 digits
+        // decimal(38,0) through the agg, not long: a long
+        // revenue_micro wraps (engine, silently under non-ANSI) or
+        // errors (oracle) once a touch segment's revenue passes
+        // ~$9.2e12 — a 100 TB events table can sum there. v has
+        // scale 2, so ×10^6 is integral and the (38,0) cast is
+        // exact. The terminal cast to STRING keeps the driver's
+        // type-sensitive hash stable (scale-0 decimals render as
+        // bare digit strings identically in Spark and DuckDB)
         (sum(dec(col("value"))) * lit(1000000)).cast("decimal(38,0)")
-          .as("revenue_micro"))
+          .cast("string").as("revenue_micro"))
       .withColumn("model", lit(name))
     model("first", col("first_touch"))
       .unionByName(model("last", col("last_touch")))
@@ -225,11 +232,11 @@ object Behavior {
         |SELECT 'first' AS model, coalesce(first_touch, '(none)')
         |    AS touch_type,
         |  count(*) AS n_purchases,
-        |  (sum(v) * 1000000)::DECIMAL(38,0) AS revenue_micro
+        |  ((sum(v) * 1000000)::DECIMAL(38,0))::VARCHAR AS revenue_micro
         |FROM p GROUP BY 2
         |UNION ALL
         |SELECT 'last', coalesce(last_touch, '(none)'), count(*),
-        |  (sum(v) * 1000000)::DECIMAL(38,0)
+        |  ((sum(v) * 1000000)::DECIMAL(38,0))::VARCHAR
         |FROM p GROUP BY 2""".stripMargin,
     "q_beh_paths" ->
       """WITH g AS (

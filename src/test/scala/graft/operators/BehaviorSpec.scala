@@ -48,11 +48,13 @@ class BehaviorSpec extends AnyFunSuite {
   test("attribution conserves purchase count and revenue in both models") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
-    // revenue_micro is decimal(38,0) since the round-14 width audit
-    // (a BIGINT micro column wraps past ~$9.2e12 per segment)
+    // revenue_micro is decimal(38,0) through the agg (round-14 width
+    // audit: a BIGINT micro column wraps past ~$9.2e12 per segment)
+    // emitted as its digit STRING since round 15 (the driver's
+    // cross-engine hash is type-sensitive on wide decimals)
     val rows = Behavior.attribution(spark, d).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        BigDecimal(r.getDecimal(3))))
+        BigDecimal(r.getString(3))))
     val purchases = graft.Tables.events(spark, d)
       .filter(col("event_type") === "purchase")
     val nTotal = purchases.count()
