@@ -57,6 +57,11 @@ object Bench {
       // constants that can drift from the queries they label
       val warmRows: Option[Long] =
         try Some(fn(spark, sfDir).count()) catch { case _: Throwable => None }
+      // fallback cardinality from the first successful TIMED rep: a
+      // transient warm-up failure must not silently drop the rows
+      // entry (only the scale queries would fail loudly later, via
+      // RenderScaling.rowsOf)
+      var repRows: Option[Long] = None
       val runs = (1 to reps).map { _ =>
         // drop accumulated STORAGE before each rep's timer starts: the
         // checkpoint-heavy chains (graph/dedup/cdc) eagerly persist
@@ -76,14 +81,19 @@ object Bench {
         System.gc()
         val w0 = BenchTrace.nowMs
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try {
+          val c = fn(spark, sfDir).count()
+          if (repRows.isEmpty) repRows = Some(c)
+          true
+        } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         if (BenchTrace.enabled)
           System.err.println(BenchTrace.report(name, w0, BenchTrace.nowMs))
         (dt, ok)
       }
       val ts = runs.map(_._1)
-      ((name, median(ts), runs.forall(_._2), ts.min, ts.max), warmRows)
+      ((name, median(ts), runs.forall(_._2), ts.min, ts.max),
+        warmRows.orElse(repRows))
     }
     val rows = results.collect { case ((n, _, _, _, _), Some(r)) => n -> r }.toMap
     val timings = results.map(_._1)

@@ -176,6 +176,17 @@ object EtlOps {
   private val scaleConf = EtlConf(baseDn = "ou=user,ou=ph01,o=BMUKK",
     cryptoIvHex = Some("0" * 32))
 
+  /** Structural bootstrap rows in the scale-load snapshot (the base-dn
+    * chain plus the `ou=ETD,ou=idnSync` sibling — 5 for the scale
+    * conf's 3-level base). `q_etl_scale_load`'s result cardinality is
+    * users + this constant; RenderScaling subtracts it so the
+    * headline's user count and users/s rate are the loaded USERS, not
+    * the structural DNs. Derived from the same bootstrapEntries call
+    * the load itself makes, so it cannot drift from the query.
+    */
+  val scaleLoadBootstrapRows: Int =
+    graft.etl.Directory.bootstrapEntries(Seq(scaleConf.baseDn)).size
+
   /** Initial load of the sf-scaled synthetic user table into an empty
     * tree — the MERGE engine at data scale (scales with SF).
     */

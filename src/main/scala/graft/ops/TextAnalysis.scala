@@ -842,6 +842,17 @@ object TextAnalysis {
     * Exposed private[ops] so WidthAuditSpec can evaluate it at
     * overflow-regime literals the fixtures cannot reach.
     */
+  /** avgdl derivation over the global (len_total, n_docs) row: half-up
+    * rounded mean document length via the doubled-divisor trick,
+    * CAPPED at 10^4 so the per-row sat products keep their proven
+    * int64 bound on any corpus (see bm25's headroom argument; the
+    * DuckDB twin mirrors it with `//`). Exposed private[ops] so
+    * WidthAuditSpec can evaluate the DERIVATION at long-document and
+    * exabyte-count literals the fixtures cannot reach.
+    */
+  private[ops] val avgdlSql: String =
+    "least((2 * len_total + n_docs) DIV (2 * n_docs), 10000)"
+
   private[ops] def bm25TermScoreSql(t: String): String =
     s"""CASE WHEN tf_$t > 0 THEN
       (least(
@@ -865,8 +876,7 @@ object TextAnalysis {
       bm25Terms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val glob = perDoc.agg(globCols.head, globCols.tail: _*)
-      .withColumn("avgdl",
-        expr("least((2 * len_total + n_docs) DIV (2 * n_docs), 10000)"))
+      .withColumn("avgdl", expr(avgdlSql))
     val termScore = bm25Terms.map(t => expr(bm25TermScoreSql(t)))
       .reduce(_ + _)
     perDoc.join(broadcast(glob))

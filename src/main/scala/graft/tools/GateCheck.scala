@@ -41,6 +41,19 @@ object GateCheck {
       r
     }
 
+    // force a budget conf for the duration of f, RESTORING any
+    // pre-existing value afterward — an unconditional unset would
+    // clobber a budget the caller configured on the session (latent
+    // only for non-default sessions, but the restore costs nothing)
+    def withConf[T](key: String, value: String)(f: => T): T = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
     // one full affinity-graph derivation, memo bypassed: the graph
     // queries share a session-memoized edge list (round 12), so the
     // per-query bench rows price the analytics — THIS row keeps the
@@ -52,14 +65,12 @@ object GateCheck {
 
     // triangles: default budget (256k) vs forced-local vs forced-dist
     val dist = timed("triangles distributed") {
-      spark.conf.set("graft.graph.localTriangleEdges", "0")
-      try graft.operators.GraphOps.triangles(spark, sfDir).collect().head
-      finally spark.conf.unset("graft.graph.localTriangleEdges")
+      withConf("graft.graph.localTriangleEdges", "0")(
+        graft.operators.GraphOps.triangles(spark, sfDir).collect().head)
     }
     val local = timed("triangles local") {
-      spark.conf.set("graft.graph.localTriangleEdges", Long.MaxValue.toString)
-      try graft.operators.GraphOps.triangles(spark, sfDir).collect().head
-      finally spark.conf.unset("graft.graph.localTriangleEdges")
+      withConf("graft.graph.localTriangleEdges", Long.MaxValue.toString)(
+        graft.operators.GraphOps.triangles(spark, sfDir).collect().head)
     }
     assert(dist.getLong(0) == local.getLong(0) &&
       dist.getLong(1) == local.getLong(1),
@@ -73,8 +84,7 @@ object GateCheck {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cLocal = timed("components local")(comps())
     val cDist = timed("components distributed") {
-      spark.conf.set("graft.cc.localEdges", "0")
-      try comps() finally spark.conf.unset("graft.cc.localEdges")
+      withConf("graft.cc.localEdges", "0")(comps())
     }
     assert(cLocal == cDist, "components disagree")
     println(s"[gatecheck] components agree: n=${cLocal.size}")
@@ -85,8 +95,7 @@ object GateCheck {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pLocal = timed("pagerank local")(pr())
     val pDist = timed("pagerank distributed") {
-      spark.conf.set("graft.graph.broadcastEdges", "0")
-      try pr() finally spark.conf.unset("graft.graph.broadcastEdges")
+      withConf("graft.graph.broadcastEdges", "0")(pr())
     }
     assert(pLocal == pDist, "pagerank disagrees")
     println(s"[gatecheck] pagerank agree (bit-identical): n=${pLocal.size}")
@@ -100,13 +109,11 @@ object GateCheck {
         run: () => org.apache.spark.sql.DataFrame): Unit = {
       def asMap() = run().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      def forced(budget: String)(f: => Map[Long, Long]): Map[Long, Long] = {
-        spark.conf.set("graft.graph.broadcastEdges", budget)
-        try f finally spark.conf.unset("graft.graph.broadcastEdges")
-      }
       val local = timed(s"$tag local")(
-        forced(Long.MaxValue.toString)(asMap()))
-      val dist = timed(s"$tag distributed")(forced("0")(asMap()))
+        withConf("graft.graph.broadcastEdges", Long.MaxValue.toString)(
+          asMap()))
+      val dist = timed(s"$tag distributed")(
+        withConf("graft.graph.broadcastEdges", "0")(asMap()))
       assert(local == dist, s"$tag disagrees between gate sides")
       println(s"[gatecheck] $tag agree (bit-identical): n=${local.size}")
     }

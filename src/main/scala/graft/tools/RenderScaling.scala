@@ -96,7 +96,11 @@ object RenderScaling {
     val cdcScale = med("q_etl_scale_cdc")
     val loadScale = med("q_etl_scale_load")
     val nEvents = rowsOf("q_etl_scale_cdc")
-    val nUsers = rowsOf("q_etl_scale_load")
+    // the load's result cardinality counts users + the structural
+    // bootstrap DNs (base-dn chain + ETD sibling); the headline's
+    // count and rate are the loaded USERS
+    val nUsers = rowsOf("q_etl_scale_load") -
+      graft.operators.EtlOps.scaleLoadBootstrapRows
     val cdcFix = med("q_etl_cdc_batch")
     val loadFix = med("q_etl_initial_load")
     val volLine =
@@ -180,6 +184,35 @@ object RenderScaling {
     splice(splice(doc, "bench-summary", benchSummary(benchLast)),
       "sf1-slopes", sf1Slopes(benchSf1))
 
+  /** The promote-and-render transaction, rooted at `root` so the spec
+    * can drive it against a scratch tree: render SCALING.md from the
+    * fresh runtime artifact FIRST (parse + benchSummary's med()/rows
+    * requires validate it), and only after the render succeeds promote
+    * BENCH_LAST.json over the committed BENCH_DOC.json and write the
+    * doc. A malformed/partial/wrong-SF runtime file therefore throws
+    * BEFORE any byte of the snapshot of record or the doc changes —
+    * copying first would leave a broken BENCH_DOC.json in the tree.
+    * Absent a fresh run, re-renders from the existing snapshot (e.g.
+    * after a prose edit outside the markers). RenderPromoteSpec pins
+    * the failure atomicity.
+    */
+  def promoteAndRender(root: java.nio.file.Path): Unit = {
+    def read(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(root.resolve(p)), "UTF-8")
+    val doc = read("SCALING.md")
+    val fresh = java.nio.file.Files.exists(root.resolve("BENCH_LAST.json"))
+    val src = if (fresh) "BENCH_LAST.json" else "BENCH_DOC.json"
+    val out = render(doc,
+      JsonMethods.parse(read(src)),
+      JsonMethods.parse(read("BENCH_sf1.json")))
+    if (fresh)
+      java.nio.file.Files.copy(root.resolve("BENCH_LAST.json"),
+        root.resolve("BENCH_DOC.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.write(root.resolve("SCALING.md"),
+      out.getBytes("UTF-8"))
+  }
+
   def main(args: Array[String]): Unit = {
     val root = java.nio.file.Paths.get(".")
     def read(p: String): String =
@@ -218,24 +251,7 @@ object RenderScaling {
       }
       println("SCALING.md matches BENCH_DOC.json + BENCH_sf1.json")
     } else {
-      // render from the fresh run FIRST (render's med()/rows/require
-      // checks validate it), and only then promote it to the snapshot
-      // of record: copying first would clobber the committed artifact
-      // with a malformed/partial/different-SF runtime file and fail
-      // afterward, leaving a broken BENCH_DOC.json in the tree.
-      // Absent a fresh run, re-render from the existing snapshot —
-      // e.g. after a prose edit outside the markers.
-      val fresh = exists("BENCH_LAST.json")
-      val src = if (fresh) "BENCH_LAST.json" else "BENCH_DOC.json"
-      val out = render(doc,
-        JsonMethods.parse(read(src)),
-        JsonMethods.parse(read("BENCH_sf1.json")))
-      if (fresh)
-        java.nio.file.Files.copy(root.resolve("BENCH_LAST.json"),
-          root.resolve("BENCH_DOC.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.write(root.resolve("SCALING.md"),
-        out.getBytes("UTF-8"))
+      promoteAndRender(root)
       println("BENCH_LAST.json promoted to BENCH_DOC.json; SCALING.md " +
         "regenerated from BENCH_DOC.json + BENCH_sf1.json — commit both")
     }

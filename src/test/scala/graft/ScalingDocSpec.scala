@@ -60,11 +60,16 @@ class ScalingDocSpec extends AnyFunSuite {
     // throughput from constants that belonged to neither query. Pin
     // label ↔ query ↔ count on a synthetic artifact so the binding
     // cannot drift again.
+    // scale_load's cardinality is users + the 5 structural bootstrap
+    // DNs: 905 rows = 900 users, chosen so the subtraction is VISIBLE
+    // in the rendered strings (900 vs 905, 600/s vs 603/s)
+    assert(graft.operators.EtlOps.scaleLoadBootstrapRows == 5,
+      "scale-load bootstrap chain changed — update this spec's numbers")
     val artifact = org.json4s.jackson.JsonMethods.parse(
       """{"value": 10.0,
         | "queries": {"q_etl_scale_cdc": 2.0, "q_etl_scale_load": 1.5,
         |             "q_etl_cdc_batch": 1.0, "q_etl_initial_load": 2.5},
-        | "rows": {"q_etl_scale_cdc": 100000, "q_etl_scale_load": 15000},
+        | "rows": {"q_etl_scale_cdc": 100000, "q_etl_scale_load": 905},
         | "failed": [], "volatile": []}""".stripMargin)
     val summary = graft.tools.RenderScaling.benchSummary(artifact)
     val lines = summary.linesIterator.toSeq
@@ -78,8 +83,9 @@ class ScalingDocSpec extends AnyFunSuite {
     assert(evRow.contains("100.0k events"), evRow)
     assert(evRow.contains("50.0k events/s"), evRow) // 100000 / 2.0 s
     assert(usRow.contains("q_etl_scale_load median"), usRow)
-    assert(usRow.contains("15.0k users"), usRow)
-    assert(usRow.contains("10.0k users/s"), usRow) // 15000 / 1.5 s
+    assert(usRow.contains("900 users"), usRow) // 905 rows − 5 bootstrap
+    assert(usRow.contains("600 users/s"), usRow) // 900 / 1.5 s
+    assert(!usRow.contains("905"), usRow) // the raw cardinality may not leak
     // the fixture queries stay visible but may not claim throughput
     val fixRows = lines.filter(l =>
       l.contains("q_etl_cdc_batch median") ||

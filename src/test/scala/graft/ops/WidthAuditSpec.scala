@@ -100,6 +100,31 @@ class WidthAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("avgdl derivation caps at 10^4 on long-document corpora and holds int64 to exabyte token counts") {
+    import spark.implicits._
+    // (len_total, n_docs): the cap must bite whenever L/N > 10^4 — a
+    // book/code corpus whose AVERAGE document is long — because the
+    // per-row sat bound 10^6·22·tf_c·avgdl < 2^63 is proven only for
+    // avgdl ≤ 10^4; and 2·L + N must not wrap at the documented
+    // L ≈ 4.6·10^18 headroom edge
+    val cases = Seq(
+      (70L, 9L),                           // half-up mean below the cap
+      (99995000L, 10000L),                 // mean 9999.5 rounds UP to the cap value
+      (100005000L, 10000L),                // mean 10000.5 -> 10001: cap bites
+      (2000000000000L, 1000L),             // 2e9-token average docs -> cap
+      (4600000000000000000L, 1000000000L)) // 2L+N at the int64 edge
+      .toDF("len_total", "n_docs")
+    val got = cases
+      .withColumn("avgdl", expr(TextAnalysis.avgdlSql))
+      .select("len_total", "n_docs", "avgdl")
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (l, n, a) =>
+      val want = ((2 * BigInt(l) + n) / (2 * BigInt(n))).min(10000).toLong
+      assert(a == want, s"avgdl(L=$l, N=$n): got=$a want=$want")
+    }
+    assert(got.count(_._3 == 10000L) == 4, "cap regime not exercised")
+  }
+
   test("decimal(19,0) squares sum exactly past the int64 wrap (diversity/burstiness shape)") {
     import spark.implicits._
     // two counts of 3e12: c*c = 9e24 each — far past 2^63 ≈ 9.2e18
