@@ -846,25 +846,54 @@ object GraphOps {
   private[operators] def labelpropDistributed(s: SparkSession, e: DataFrame,
       nEdges: Long): DataFrame =
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
+      // PERSIST (not checkpoint) the v-partitioned edge list: an
+      // InMemoryRelation keeps its outputPartitioning visible to the
+      // planner, so every round's join against a lab frame that is
+      // itself hash-partitioned on the same key plans WITHOUT
+      // re-exchanging the E-row edge side — a checkpoint's RDD scan
+      // hides the partitioning and re-shuffled the edges every round.
+      // Lineage stays rooted at the pinned memoized edge frame, so a
+      // cache eviction recomputes instead of failing.
       val dir = e.select(col("sa").as("u"), col("sb").as("v"))
         .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
-        .localCheckpoint(false)
-      var lab = dir.select(col("u").as("v")).distinct()
-        .select(col("v"), col("v").as("label"))
-        .localCheckpoint(false)
-      val byVote = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u")).orderBy(col("c").desc, col("label"))
-      for (_ <- 1 to lpaRounds) {
-        lab = dir.join(lab, "v")
-          .groupBy(col("u"), col("label"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(byVote))
-          .filter(col("rn") === 1)
-          .select(col("u").as("v"), col("label"))
-          .localCheckpoint(false)
+        .repartition(col("v"))
+        .persist()
+      // top-1 label per vertex as min(struct(-count, label)): struct
+      // ordering is lexicographic, so the minimum is the max-count
+      // label with ties to the SMALLEST label — the LPA tie rule,
+      // bit-equal to the former row_number window but partially
+      // aggregable: both stages hash-combine map-side, and the second
+      // exchange carries one pre-combined row per (vertex, label) per
+      // partition instead of sorting them inside an exchange. The
+      // per-(u,label) count stage is the scale-safe shape for hub
+      // vertices — a single-stage map-of-counts UDAF would hold a
+      // degree-sized buffer per vertex.
+      // no per-round checkpoint: the 4-round chain plans as ONE static
+      // tree over the cached edge list (the alias-aware aggregate
+      // partitioning on u-renamed-v is what lets the next round's join
+      // reuse it), trading a handful of per-round materialization jobs
+      // for one pipelined execution
+      def top1(votes: DataFrame): DataFrame = votes
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("top"))
+        .select(col("u").as("v"), col("top.label").as("label"))
+      // round 1 inlined: every vertex starts labeled with its own id,
+      // so the first round's neighbor-label join is the IDENTITY —
+      // vote directly on neighbor ids. This removes both round 1's
+      // two join exchanges and the initial distinct-vertex frame
+      // (every vertex appears as a source in the directed list), and
+      // the iteration chain's stage count — not data volume — is what
+      // the forced sf1 slope prices on this graph.
+      var lab = top1(dir.select(col("u"), col("v").as("label")))
+      for (_ <- 2 to lpaRounds) {
+        lab = top1(dir.join(lab, "v").select(col("u"), col("label")))
       }
-      lab.select(col("v"), col("label").as("community"))
-        .localCheckpoint(true)
+      val out = lab.select(col("v"), col("label").as("community"))
+        .localCheckpoint(true) // eager: safe to release the cache below
+      dir.unpersist(false)
+      out
     }
 
   /** Degree distribution in exact log2 buckets (bit length — never a
