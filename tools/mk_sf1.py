@@ -43,6 +43,12 @@ QUERIES = [
 ]
 
 NOTE = (
+    "Round-15 refresh: labelprop's distributed iteration restructured "
+    "(persisted v-partitioned edge list visible to the planner, round-1 "
+    "identity-join inline, min(struct) vote instead of a row_number "
+    "window - see SCALING.md's graph section); its forced sf1 row "
+    "drops from the round-14 outlier into family with the other "
+    "graph twins. No new queries this round. "
     "Round-14 refresh: adds q_text_repetition (intra-document "
     "repetition signals - zero-shuffle row-local expressions) and "
     "q_stream_join_rocksdb (the stream-stream "
