@@ -529,7 +529,15 @@ object GraphOps {
       val edges = e.select(col("sa").as("u"), col("sb").as("v"))
         .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val g = edges.join(deg, "u").localCheckpoint(true)
+      // PERSIST the u-partitioned graph frame (the u-keyed join leaves
+      // it hash-partitioned on u, and an InMemoryRelation keeps that
+      // visible to the planner — a checkpoint's RDD scan hid it and
+      // re-exchanged the E-row side every round; the labelprop
+      // treatment, round 15). Each round's rank frame is the aggregate
+      // output hash-partitioned on v-aliased-id, so the per-round join
+      // plans with NO exchange on either side and the round's one
+      // shuffle is the map-side-combined contribution aggregation.
+      val g = edges.join(deg, "u").persist()
       // every vertex has deg ≥ 1, so the degree table's row count IS
       // the vertex count — no separate distinct() job
       val n = deg.count()
@@ -543,9 +551,11 @@ object GraphOps {
           .groupBy(col("v"))
           .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
           .select(col("v").as("id"), col("pr"))
-          .localCheckpoint(false)
       }
-      pr.select(col("id").as("v"), col("pr")).localCheckpoint(true)
+      val out = pr.select(col("id").as("v"), col("pr"))
+        .localCheckpoint(true) // eager: safe to release the cache below
+      g.unpersist(false)
+      out
     }
   }
 
@@ -587,7 +597,9 @@ object GraphOps {
       val edges = e.select(col("sa").as("u"), col("sb").as("v"))
         .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val g = edges.join(deg, "u").localCheckpoint(true)
+      // same persisted u-partitioned graph frame + exchange-free
+      // per-round join shape as pagerankDistributed (round 15)
+      val g = edges.join(deg, "u").persist()
       // one row per VERTEX (deg), not per edge (g) — the edge frame
       // would collapse the 3-smallest pick onto repeated copies of the
       // minimum id
@@ -606,9 +618,11 @@ object GraphOps {
           .select(col("v").as("id"),
             (when(col("v").isin(seeds: _*), lit(sbase)).otherwise(lit(0L))
               + col("m")).as("pr"))
-          .localCheckpoint(false)
       }
-      pr.select(col("id").as("v"), col("pr")).localCheckpoint(true)
+      val out = pr.select(col("id").as("v"), col("pr"))
+        .localCheckpoint(true) // eager: safe to release the cache below
+      g.unpersist(false)
+      out
     }
   }
 
