@@ -526,37 +526,48 @@ object GraphOps {
     // INSIDE the block — the whole 3-round chain runs as one static
     // pipelined job and consumers read the cached result.
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
-      val edges = e.select(col("sa").as("u"), col("sb").as("v"))
-        .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
-      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      // PERSIST the u-partitioned graph frame (the u-keyed join leaves
-      // it hash-partitioned on u, and an InMemoryRelation keeps that
-      // visible to the planner — a checkpoint's RDD scan hid it and
-      // re-exchanged the E-row side every round; the labelprop
-      // treatment, round 15). Each round's rank frame is the aggregate
-      // output hash-partitioned on v-aliased-id, so the per-round join
-      // plans with NO exchange on either side and the round's one
-      // shuffle is the map-side-combined contribution aggregation.
-      val g = edges.join(deg, "u").persist()
-      // every vertex has deg ≥ 1, so the degree table's row count IS
-      // the vertex count — no separate distinct() job
-      val n = deg.count()
-      val init = prScale / n
-      val base = (15L * init) / 100L
-      var pr = g.select(col("u").as("id")).distinct()
-        .withColumn("pr", lit(init))
-      for (_ <- 1 to 3) {
-        pr = g.join(pr, col("u") === col("id"))
-          .select(col("v"), expr("pr DIV deg").as("c"))
-          .groupBy(col("v"))
-          .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
-          .select(col("v").as("id"), col("pr"))
-      }
-      val out = pr.select(col("id").as("v"), col("pr"))
-        .localCheckpoint(true) // eager: safe to release the cache below
+      val (pr, g) = pagerankRounds(e)
+      val out = pr.localCheckpoint(true) // eager: safe to release below
       g.unpersist(false)
       out
     }
+  }
+
+  /** The un-materialized 3-round pagerank tree — split out so
+    * PlanShapeSpec can pin the round-15 exchange-free per-round join
+    * shape on the PLAN itself (the timing win is otherwise one silent
+    * checkpoint away from regressing). PERSIST the u-partitioned graph
+    * frame (the u-keyed join leaves it hash-partitioned on u, and an
+    * InMemoryRelation keeps that visible to the planner — a
+    * checkpoint's RDD scan hid it and re-exchanged the E-row side
+    * every round); each round's rank frame is the aggregate output
+    * hash-partitioned on v-aliased-id, so the per-round join plans
+    * with NO exchange on either side and the round's one shuffle is
+    * the map-side-combined contribution aggregation. Returns
+    * (ranks, graph frame); the caller owns materialization and the
+    * cache release, and must run inside a static-width scope.
+    */
+  private[operators] def pagerankRounds(e: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val edges = e.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val g = edges.join(deg, "u").persist()
+    // every vertex has deg ≥ 1, so the degree table's row count IS
+    // the vertex count — no separate distinct() job
+    val n = deg.count()
+    val init = prScale / n
+    val base = (15L * init) / 100L
+    var pr = g.select(col("u").as("id")).distinct()
+      .withColumn("pr", lit(init))
+    for (_ <- 1 to 3) {
+      pr = g.join(pr, col("u") === col("id"))
+        .select(col("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v"))
+        .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
+        .select(col("v").as("id"), col("pr"))
+    }
+    (pr.select(col("id").as("v"), col("pr")), g)
   }
 
   /** Personalized PageRank — proximity to a SEED SET, the similarity-
@@ -594,36 +605,45 @@ object GraphOps {
   private[operators] def pprDistributed(s: SparkSession, e: DataFrame,
       nEdges: Long): DataFrame = {
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
-      val edges = e.select(col("sa").as("u"), col("sb").as("v"))
-        .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
-      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      // same persisted u-partitioned graph frame + exchange-free
-      // per-round join shape as pagerankDistributed (round 15)
-      val g = edges.join(deg, "u").persist()
-      // one row per VERTEX (deg), not per edge (g) — the edge frame
-      // would collapse the 3-smallest pick onto repeated copies of the
-      // minimum id
-      val seeds = deg.select(col("u")).orderBy(col("u")).limit(3)
-        .collect().map(_.getLong(0)).toSeq
-      val init = prScale / seeds.length
-      val sbase = (15L * init) / 100L
-      var pr = g.select(col("u").as("id")).distinct()
-        .withColumn("pr", when(col("id").isin(seeds: _*), lit(init))
-          .otherwise(lit(0L)))
-      for (_ <- 1 to 3) {
-        pr = g.join(pr, col("u") === col("id"))
-          .select(col("v"), expr("pr DIV deg").as("c"))
-          .groupBy(col("v"))
-          .agg(expr("(85 * sum(c)) DIV 100").as("m"))
-          .select(col("v").as("id"),
-            (when(col("v").isin(seeds: _*), lit(sbase)).otherwise(lit(0L))
-              + col("m")).as("pr"))
-      }
-      val out = pr.select(col("id").as("v"), col("pr"))
-        .localCheckpoint(true) // eager: safe to release the cache below
+      val (pr, g) = pprRounds(e)
+      val out = pr.localCheckpoint(true) // eager: safe to release below
       g.unpersist(false)
       out
     }
+  }
+
+  /** The un-materialized 3-round PPR tree — same persisted
+    * u-partitioned graph frame + exchange-free per-round join shape
+    * as `pagerankRounds` (round 15), with the seed-gated init/base.
+    * Split out for PlanShapeSpec; caller owns materialization, cache
+    * release, and the static-width scope.
+    */
+  private[operators] def pprRounds(e: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val edges = e.select(col("sa").as("u"), col("sb").as("v"))
+      .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val g = edges.join(deg, "u").persist()
+    // one row per VERTEX (deg), not per edge (g) — the edge frame
+    // would collapse the 3-smallest pick onto repeated copies of the
+    // minimum id
+    val seeds = deg.select(col("u")).orderBy(col("u")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val init = prScale / seeds.length
+    val sbase = (15L * init) / 100L
+    var pr = g.select(col("u").as("id")).distinct()
+      .withColumn("pr", when(col("id").isin(seeds: _*), lit(init))
+        .otherwise(lit(0L)))
+    for (_ <- 1 to 3) {
+      pr = g.join(pr, col("u") === col("id"))
+        .select(col("v"), expr("pr DIV deg").as("c"))
+        .groupBy(col("v"))
+        .agg(expr("(85 * sum(c)) DIV 100").as("m"))
+        .select(col("v").as("id"),
+          (when(col("v").isin(seeds: _*), lit(sbase)).otherwise(lit(0L))
+            + col("m")).as("pr"))
+    }
+    (pr.select(col("id").as("v"), col("pr")), g)
   }
 
   /** Connected components of the affinity graph — the same hop+jump
@@ -860,14 +880,25 @@ object GraphOps {
   private[operators] def labelpropDistributed(s: SparkSession, e: DataFrame,
       nEdges: Long): DataFrame =
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
-      // PERSIST (not checkpoint) the v-partitioned edge list: an
-      // InMemoryRelation keeps its outputPartitioning visible to the
-      // planner, so every round's join against a lab frame that is
-      // itself hash-partitioned on the same key plans WITHOUT
-      // re-exchanging the E-row edge side — a checkpoint's RDD scan
-      // hides the partitioning and re-shuffled the edges every round.
-      // Lineage stays rooted at the pinned memoized edge frame, so a
-      // cache eviction recomputes instead of failing.
+      val (lab, dir) = labelpropRounds(e)
+      val out = lab.localCheckpoint(true) // eager: safe to release below
+      dir.unpersist(false)
+      out
+    }
+
+  /** The un-materialized 4-round LPA tree — split out for
+    * PlanShapeSpec (caller owns materialization, cache release, and
+    * the static-width scope). PERSIST (not checkpoint) the
+    * v-partitioned edge list: an InMemoryRelation keeps its
+    * outputPartitioning visible to the planner, so every round's join
+    * against a lab frame that is itself hash-partitioned on the same
+    * key plans WITHOUT re-exchanging the E-row edge side — a
+    * checkpoint's RDD scan hides the partitioning and re-shuffled the
+    * edges every round. Lineage stays rooted at the pinned memoized
+    * edge frame, so a cache eviction recomputes instead of failing.
+    */
+  private[operators] def labelpropRounds(e: DataFrame)
+      : (DataFrame, DataFrame) = {
       val dir = e.select(col("sa").as("u"), col("sb").as("v"))
         .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
         .repartition(col("v"))
@@ -904,11 +935,8 @@ object GraphOps {
       for (_ <- 2 to lpaRounds) {
         lab = top1(dir.join(lab, "v").select(col("u"), col("label")))
       }
-      val out = lab.select(col("v"), col("label").as("community"))
-        .localCheckpoint(true) // eager: safe to release the cache below
-      dir.unpersist(false)
-      out
-    }
+      (lab.select(col("v"), col("label").as("community")), dir)
+  }
 
   /** Degree distribution in exact log2 buckets (bit length — never a
     * transcendental): the first diagnostic on any derived graph — a
