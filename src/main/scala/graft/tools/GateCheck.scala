@@ -121,6 +121,25 @@ object GateCheck {
     pairCheck("kcore", () => graft.operators.GraphOps.kcore(spark, sfDir))
     pairCheck("labelprop",
       () => graft.operators.GraphOps.labelprop(spark, sfDir))
+
+    // BPE trainer: the one remaining budget gate without forced-path
+    // pricing (graft.bpe.localWords; the dedup CC loop shares the
+    // components rows' graft.cc.localEdges path above). The fixture
+    // vocabularies sit far under the 500k-word budget at every SF, so
+    // only a forced conf ever runs the distributed 8-round loop —
+    // price both sides and assert the merge tables identical, the
+    // BpeTrainSpec equality at data scale.
+    def bpeMerges(): Seq[(Long, String, String, Long)] =
+      graft.ops.TextAnalysis.bpeTrain(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq.sorted
+    val bpeLocal = timed("bpe local")(
+      withConf("graft.bpe.localWords", Long.MaxValue.toString)(bpeMerges()))
+    val bpeDist = timed("bpe distributed")(
+      withConf("graft.bpe.localWords", "0")(bpeMerges()))
+    assert(bpeLocal == bpeDist, "bpe merge tables disagree between gate sides")
+    println(s"[gatecheck] bpe agree (identical merges): n=${bpeLocal.size}")
+
     // one machine-readable line for the BENCH_sf1 slope bookkeeping
     println("GATECHECK_JSON {" + medians.map { case (k, v) =>
       "\"" + k.replace(' ', '_') + "\":" +

@@ -43,12 +43,18 @@ QUERIES = [
 ]
 
 NOTE = (
-    "Round-15 refresh: labelprop's distributed iteration restructured "
-    "(persisted v-partitioned edge list visible to the planner, round-1 "
-    "identity-join inline, min(struct) vote instead of a row_number "
-    "window - see SCALING.md's graph section); its forced sf1 row "
-    "drops from the round-14 outlier into family with the other "
-    "graph twins. No new queries this round. "
+    "Round-15 refresh: the labelprop/pagerank/ppr distributed "
+    "iterations restructured onto persisted key-partitioned graph "
+    "frames with exchange-free per-round joins (PlanShapeSpec pins the "
+    "plan shape; see SCALING.md's graph section) - labelprop's forced "
+    "sf1 row drops from the round-14 outlier into family with the "
+    "other graph twins. forced_paths also gains bpe local+distributed "
+    "rows: the BPE trainer was the one remaining budget gate "
+    "(graft.bpe.localWords) without forced sf1 pricing - the fixture "
+    "vocabularies never cross the 500k-word budget, so GateCheck now "
+    "forces both sides and asserts the merge tables identical (the "
+    "dedup CC loop shares the components rows' graft.cc.localEdges "
+    "path). No new queries this round. "
     "Round-14 refresh: adds q_text_repetition (intra-document "
     "repetition signals - zero-shuffle row-local expressions) and "
     "q_stream_join_rocksdb (the stream-stream "
