@@ -148,6 +148,10 @@ object Bench {
     results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
 
+  private def minsObj(results: Seq[(String, Double, Boolean, Double, Double)]): String =
+    results.map { case (k, _, _, lo, _) => "\"" + k + "\":" + r3(lo) }
+      .mkString("{", ",", "}")
+
   private def spreadObj(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     results.map { case (k, _, _, lo, hi) =>
       "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]" }
@@ -198,7 +202,10 @@ object Bench {
     // one dn row per loaded user (q_etl_scale_load)
     val rowsObj = rows.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"rows":$rowsObj,"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
+    // value_min mirrors the short line's headline diagnostic (the
+    // per-query floors are already in "spread"; this is their total)
+    val totalMin = results.map(_._4).sum
+    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"rows":$rowsObj,"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
   }
 
   /** The driver-contract stdout line: ONE JSON object, bounded-length.
@@ -206,11 +213,23 @@ object Bench {
     * `top` slowest (name-sorted) so the line stays inside the driver's
     * tail window; "n_all" records the full count; "failed" is never
     * truncated — it is the alarm channel.
+    *
+    * Contention-vs-regression is diagnosable from THIS line alone
+    * (round 16): "mins" carries each reported query's min-of-reps and
+    * "value_min" the min total over ALL queries, so a contended run
+    * shows value ≫ value_min (most reps paid box contention the plan's
+    * floor did not) while a real regression moves value and value_min
+    * together — two consecutive driver artifacts inflated ~14% on
+    * untouched plans and the adjudication needed out-of-band evidence.
+    * `top` dropped 30 → 18 to fund the second map inside the same
+    * ~2.2 KB tail-capture budget; the full per-query medians+spread
+    * still ship in BENCH_LAST.json.
     */
   def renderShortJson(results: Seq[(String, Double, Boolean, Double, Double)], sfDir: String,
-                      top: Int = 30): String = {
+                      top: Int = 18): String = {
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._4).sum
     val head = results.sortBy(-_._2).take(top).sortBy(_._1)
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${queriesObj(head)},"n_all":${results.size},"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
   }
 }

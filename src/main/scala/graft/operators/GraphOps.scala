@@ -351,12 +351,13 @@ object GraphOps {
     * exact integer arithmetic: contrib = pr DIV deg, next =
     * (15·(SCALE DIV n)) DIV 100 + (85·Σcontrib) DIV 100. Each
     * iteration is ONE join (edges × current ranks, both hash-
-    * partitioned on the vertex key, so the partitioning is reused
-    * across rounds) + ONE aggregation; lineage is truncated per round
-    * so the plan stays O(1) deep regardless of iteration count — the
-    * property that matters when this runs 20 rounds on a 100 TB edge
-    * list. Every vertex of the undirected graph has deg ≥ 1 and an
-    * in-neighbor, so no dangling-mass term is needed.
+    * partitioned on the vertex key — exchange-free at plan time,
+    * PlanShapeSpec) + ONE combinable aggregation, so each round costs
+    * exactly one shuffle; plan depth is bounded by persisting the rank
+    * frame every `iterPersistEvery` rounds (see `pagerankRounds`) —
+    * the property that matters when this runs 20 rounds on a 100 TB
+    * edge list. Every vertex of the undirected graph has deg ≥ 1 and
+    * an in-neighbor, so no dangling-mass term is needed.
     */
   /** Driver-side twin of the distributed PageRank iteration, in the
     * SAME exact integer arithmetic (contrib = pr DIV deg, next = base +
@@ -366,8 +367,8 @@ object GraphOps {
     * the 3-round loop then costs 3 joins + 3 aggs of pure job-launch
     * constants, all replaced by microseconds of array math.
     */
-  private[operators] def pagerankLocal(edges: Array[(Long, Long)])
-      : Array[(Long, Long)] = {
+  private[operators] def pagerankLocal(edges: Array[(Long, Long)],
+      rounds: Int = 3): Array[(Long, Long)] = {
     val (ids, off, adj) = csrAdjacency(edges)
     val n = ids.length
     val init = prScale / n.toLong
@@ -375,7 +376,7 @@ object GraphOps {
     var pr = new Array[Long](n)
     java.util.Arrays.fill(pr, init)
     var round = 0
-    while (round < 3) {
+    while (round < rounds) {
       val next = new Array[Long](n)
       var v = 0
       while (v < n) {
@@ -512,28 +513,69 @@ object GraphOps {
     pagerankDistributed(s, e, nEdges)
   }
 
-  /** The distributed 3-round iteration over a MATERIALIZED edge list —
-    * the over-budget path, also exercised directly by GraphOpsSpec to
-    * pin bit-equality with `pagerankLocal`.
+  /** The distributed iteration over a MATERIALIZED edge list — the
+    * over-budget path, also exercised directly by GraphOpsSpec to pin
+    * bit-equality with `pagerankLocal`.
     */
   private[operators] def pagerankDistributed(s: SparkSession, e: DataFrame,
-      nEdges: Long): DataFrame = {
+      nEdges: Long, rounds: Int = 3): DataFrame = {
     // Static planning for the iteration chain (Tables.withStaticWidth):
     // the graph size is KNOWN after the checkpoint, so AQE's per-
     // exchange materialization jobs (one per join/agg per round —
     // measured ~0.2 s each on local[32]) buy nothing; width follows the
     // directed edge count. The final rank frame materializes eagerly
-    // INSIDE the block — the whole 3-round chain runs as one static
-    // pipelined job and consumers read the cached result.
+    // INSIDE the block — the whole chain runs as one static pipelined
+    // job and consumers read the cached result.
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
-      val (pr, g) = pagerankRounds(e)
+      val (pr, handles) = pagerankRounds(e, rounds)
       val out = pr.localCheckpoint(true) // eager: safe to release below
-      g.unpersist(false)
+      handles.foreach(_.unpersist(false))
       out
     }
   }
 
-  /** The un-materialized 3-round pagerank tree — split out so
+  /** Multi-round pricing + equality hook for GateCheck (round 16): the
+    * 3-round oracle rows price one regime; this runs the SAME iteration
+    * at an arbitrary round count so BENCH_sf1's forced_paths carries a
+    * measured multi-round point (near-linear cost in rounds = the "one
+    * combinable shuffle per round" claim, measured, with the
+    * `iterPersistEvery` depth bound crossed at rounds > 8).
+    * distributed=true runs the exchange-free round loop (the 100 TB
+    * plan); false the CSR driver kernel — exact integers both sides,
+    * so GateCheck asserts them bit-identical.
+    */
+  private[graft] def pagerankN(s: SparkSession, d: String, rounds: Int,
+      distributed: Boolean): DataFrame = {
+    val (e, nEdges) = affinityEdges(s, d)
+    import s.implicits._
+    if (nEdges == 0L) return Seq.empty[(Long, Long)].toDF("v", "pr")
+    if (distributed) pagerankDistributed(s, e, nEdges, rounds)
+    else {
+      val ranks = pagerankLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1))), rounds)
+      s.sparkContext
+        .parallelize(ranks.toIndexedSeq,
+          math.max(1, math.min(fanout(s), ranks.length / 32768 + 1)))
+        .toDF("v", "pr")
+    }
+  }
+
+  /** Iteration rounds between plan-depth truncation points: every
+    * `iterPersistEvery` rounds the carried rank/label frame is
+    * PERSISTED (not checkpointed — the round-15 lesson: a checkpoint's
+    * RDD scan hides the hash partitioning and re-exchanges the E-row
+    * edge side every subsequent round, while an InMemoryRelation keeps
+    * it visible), so at any round count the un-cached plan suffix is
+    * ≤ k rounds deep and a lost executor recomputes at most k rounds
+    * past the last boundary — while the per-round exchange count stays
+    * exactly one combinable aggregation. 8 rounds of join+agg is a
+    * comfortable single-plan depth for codegen and the analyzer; the
+    * boundary frames are one row per VERTEX (never per edge), so the
+    * extra storage at 20+ rounds is a couple of V-row caches.
+    */
+  private[operators] val iterPersistEvery = 8
+
+  /** The un-materialized pagerank iteration tree — split out so
     * PlanShapeSpec can pin the round-15 exchange-free per-round join
     * shape on the PLAN itself (the timing win is otherwise one silent
     * checkpoint away from regressing). PERSIST the u-partitioned graph
@@ -543,12 +585,16 @@ object GraphOps {
     * every round); each round's rank frame is the aggregate output
     * hash-partitioned on v-aliased-id, so the per-round join plans
     * with NO exchange on either side and the round's one shuffle is
-    * the map-side-combined contribution aggregation. Returns
-    * (ranks, graph frame); the caller owns materialization and the
-    * cache release, and must run inside a static-width scope.
+    * the map-side-combined contribution aggregation. Plan depth is
+    * bounded by a persist boundary every `iterPersistEvery` rounds
+    * (PlanShapeSpec pins the k>3 case: boundary plan = one exchange
+    * per boundary round, final plan = only the post-boundary suffix).
+    * Returns (ranks, persisted handles — the graph frame plus any
+    * boundary frames); the caller owns materialization and the cache
+    * release, and must run inside a static-width scope.
     */
-  private[operators] def pagerankRounds(e: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private[operators] def pagerankRounds(e: DataFrame, rounds: Int = 3)
+      : (DataFrame, Seq[DataFrame]) = {
     val edges = e.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -558,16 +604,21 @@ object GraphOps {
     val n = deg.count()
     val init = prScale / n
     val base = (15L * init) / 100L
+    val handles = scala.collection.mutable.ArrayBuffer[DataFrame](g)
     var pr = g.select(col("u").as("id")).distinct()
       .withColumn("pr", lit(init))
-    for (_ <- 1 to 3) {
+    for (r <- 1 to rounds) {
       pr = g.join(pr, col("u") === col("id"))
         .select(col("v"), expr("pr DIV deg").as("c"))
         .groupBy(col("v"))
         .agg((lit(base) + expr("(85 * sum(c)) DIV 100")).as("pr"))
         .select(col("v").as("id"), col("pr"))
+      if (r % iterPersistEvery == 0 && r < rounds) {
+        pr = pr.persist()
+        handles += pr
+      }
     }
-    (pr.select(col("id").as("v"), col("pr")), g)
+    (pr.select(col("id").as("v"), col("pr")), handles.toSeq)
   }
 
   /** Personalized PageRank — proximity to a SEED SET, the similarity-
@@ -605,21 +656,21 @@ object GraphOps {
   private[operators] def pprDistributed(s: SparkSession, e: DataFrame,
       nEdges: Long): DataFrame = {
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
-      val (pr, g) = pprRounds(e)
+      val (pr, handles) = pprRounds(e)
       val out = pr.localCheckpoint(true) // eager: safe to release below
-      g.unpersist(false)
+      handles.foreach(_.unpersist(false))
       out
     }
   }
 
-  /** The un-materialized 3-round PPR tree — same persisted
-    * u-partitioned graph frame + exchange-free per-round join shape
-    * as `pagerankRounds` (round 15), with the seed-gated init/base.
-    * Split out for PlanShapeSpec; caller owns materialization, cache
-    * release, and the static-width scope.
+  /** The un-materialized PPR iteration tree — same persisted
+    * u-partitioned graph frame + exchange-free per-round join shape +
+    * `iterPersistEvery` depth bound as `pagerankRounds`, with the
+    * seed-gated init/base. Split out for PlanShapeSpec; caller owns
+    * materialization, cache release, and the static-width scope.
     */
-  private[operators] def pprRounds(e: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private[operators] def pprRounds(e: DataFrame, rounds: Int = 3)
+      : (DataFrame, Seq[DataFrame]) = {
     val edges = e.select(col("sa").as("u"), col("sb").as("v"))
       .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -631,10 +682,11 @@ object GraphOps {
       .collect().map(_.getLong(0)).toSeq
     val init = prScale / seeds.length
     val sbase = (15L * init) / 100L
+    val handles = scala.collection.mutable.ArrayBuffer[DataFrame](g)
     var pr = g.select(col("u").as("id")).distinct()
       .withColumn("pr", when(col("id").isin(seeds: _*), lit(init))
         .otherwise(lit(0L)))
-    for (_ <- 1 to 3) {
+    for (r <- 1 to rounds) {
       pr = g.join(pr, col("u") === col("id"))
         .select(col("v"), expr("pr DIV deg").as("c"))
         .groupBy(col("v"))
@@ -642,8 +694,12 @@ object GraphOps {
         .select(col("v").as("id"),
           (when(col("v").isin(seeds: _*), lit(sbase)).otherwise(lit(0L))
             + col("m")).as("pr"))
+      if (r % iterPersistEvery == 0 && r < rounds) {
+        pr = pr.persist()
+        handles += pr
+      }
     }
-    (pr.select(col("id").as("v"), col("pr")), g)
+    (pr.select(col("id").as("v"), col("pr")), handles.toSeq)
   }
 
   /** Connected components of the affinity graph — the same hop+jump
@@ -682,11 +738,15 @@ object GraphOps {
     *
     * Scale shape: each round is ONE degree aggregation + TWO
     * semi-joins on the surviving vertex set, all keyed on vertex ids
-    * over an edge list that only SHRINKS; lineage truncates per round
-    * so the plan stays O(1) deep (the pagerank discipline). The
-    * budget-gated local twin peels on the driver when the edge list is
-    * broadcast-sized — bit-identical by construction (integer degrees,
-    * no ordering sensitivity), pinned by GraphOpsSpec.
+    * over an edge list that only SHRINKS; unlike the rank/label loops
+    * (which carry a V-row frame and persist every `iterPersistEvery`
+    * rounds), the carried frame here is the E-row survivor edge list
+    * whose count the early-stop must observe anyway, so each round
+    * checkpoints it — the count materializes it for free and the plan
+    * stays O(1) deep. The budget-gated local twin peels on the driver
+    * when the edge list is broadcast-sized — bit-identical by
+    * construction (integer degrees, no ordering sensitivity), pinned
+    * by GraphOpsSpec.
     */
   private val coreRounds = 10
 
@@ -808,14 +868,17 @@ object GraphOps {
     * an oracle), and unlike connected components it splits a bridged
     * graph into its dense regions instead of flooding to one label.
     *
-    * Scale shape: each round is ONE shuffle keyed on vertex id (join
-    * neighbors to previous labels) + ONE (vertex, label) count + a
-    * per-vertex top-1 window — all linear in edges; lineage truncates
-    * per round (the pagerank discipline), so the plan depth stays O(1)
-    * and the frame carried between rounds is one row per vertex.
-    * Budget-gated local twin solves on the driver under the broadcast
-    * edge budget, bit-identical by construction (integer counts, total
-    * tie order), pinned by GraphOpsSpec.
+    * Scale shape (round 15, see `labelpropRounds`): the directed edge
+    * list is persisted hash-partitioned on the neighbor key, so each
+    * round's neighbor-label join plans exchange-free and the round
+    * pays only its two combinable vote aggregations ((u,label) count,
+    * then per-vertex top-1 as min(struct(-count, label))) — all linear
+    * in edges; plan depth is bounded by a persist boundary every
+    * `iterPersistEvery` rounds, and the frame carried between rounds
+    * is one row per vertex. Budget-gated local twin solves on the
+    * driver under the broadcast edge budget, bit-identical by
+    * construction (integer counts, total tie order), pinned by
+    * GraphOpsSpec.
     */
   private val lpaRounds = 4
 
@@ -880,13 +943,13 @@ object GraphOps {
   private[operators] def labelpropDistributed(s: SparkSession, e: DataFrame,
       nEdges: Long): DataFrame =
     graft.Tables.withStaticWidth(s, 2L * nEdges, perPart = 32768L) {
-      val (lab, dir) = labelpropRounds(e)
+      val (lab, handles) = labelpropRounds(e)
       val out = lab.localCheckpoint(true) // eager: safe to release below
-      dir.unpersist(false)
+      handles.foreach(_.unpersist(false))
       out
     }
 
-  /** The un-materialized 4-round LPA tree — split out for
+  /** The un-materialized LPA iteration tree — split out for
     * PlanShapeSpec (caller owns materialization, cache release, and
     * the static-width scope). PERSIST (not checkpoint) the
     * v-partitioned edge list: an InMemoryRelation keeps its
@@ -894,11 +957,14 @@ object GraphOps {
     * against a lab frame that is itself hash-partitioned on the same
     * key plans WITHOUT re-exchanging the E-row edge side — a
     * checkpoint's RDD scan hides the partitioning and re-shuffled the
-    * edges every round. Lineage stays rooted at the pinned memoized
-    * edge frame, so a cache eviction recomputes instead of failing.
+    * edges every round. Plan depth is bounded the pagerank way: a
+    * persist boundary on the carried V-row label frame every
+    * `iterPersistEvery` rounds. Lineage stays rooted at the pinned
+    * memoized edge frame, so a cache eviction recomputes instead of
+    * failing.
     */
-  private[operators] def labelpropRounds(e: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private[operators] def labelpropRounds(e: DataFrame,
+      rounds: Int = lpaRounds): (DataFrame, Seq[DataFrame]) = {
       val dir = e.select(col("sa").as("u"), col("sb").as("v"))
         .unionByName(e.select(col("sb").as("u"), col("sa").as("v")))
         .repartition(col("v"))
@@ -931,11 +997,16 @@ object GraphOps {
       // (every vertex appears as a source in the directed list), and
       // the iteration chain's stage count — not data volume — is what
       // the forced sf1 slope prices on this graph.
+      val handles = scala.collection.mutable.ArrayBuffer[DataFrame](dir)
       var lab = top1(dir.select(col("u"), col("v").as("label")))
-      for (_ <- 2 to lpaRounds) {
+      for (r <- 2 to rounds) {
         lab = top1(dir.join(lab, "v").select(col("u"), col("label")))
+        if (r % iterPersistEvery == 0 && r < rounds) {
+          lab = lab.persist()
+          handles += lab
+        }
       }
-      (lab.select(col("v"), col("label").as("community")), dir)
+      (lab.select(col("v"), col("label").as("community")), handles.toSeq)
   }
 
   /** Degree distribution in exact log2 buckets (bit length — never a

@@ -122,6 +122,21 @@ object GateCheck {
     pairCheck("labelprop",
       () => graft.operators.GraphOps.labelprop(spark, sfDir))
 
+    // the multi-round regime (round 16): 10 pagerank rounds price the
+    // "one combinable shuffle per round" claim at a measured point the
+    // 3-round oracle rows cannot — the distributed row crosses the
+    // iterPersistEvery plan-depth boundary (persist, not checkpoint),
+    // so near-linear cost vs the 3-round row is the evidence that
+    // extra rounds at 100 TB cost exactly their per-round shuffle.
+    // Bit-equality against the 10-round CSR kernel rides along.
+    def pr10(distributed: Boolean): Map[Long, Long] =
+      graft.operators.GraphOps.pagerankN(spark, sfDir, 10, distributed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p10Local = timed("pagerank10r local")(pr10(false))
+    val p10Dist = timed("pagerank10r distributed")(pr10(true))
+    assert(p10Local == p10Dist, "10-round pagerank disagrees between gate sides")
+    println(s"[gatecheck] pagerank10r agree (bit-identical): n=${p10Local.size}")
+
     // BPE trainer: the one remaining budget gate without forced-path
     // pricing (graft.bpe.localWords; the dedup CC loop shares the
     // components rows' graft.cc.localEdges path above). The fixture

@@ -42,11 +42,20 @@ class BenchContractSpec extends AnyFunSuite {
     // total is over ALL queries, not just the reported subset
     val expectedTotal = results.map(_._2).sum
     assert(line.contains("\"value\":" + f"$expectedTotal%.3f"))
+    // min-of-reps total over ALL queries: value >> value_min from the
+    // driver's own file means a contended run, value ≈ value_min a
+    // real regression — the round-16 self-diagnosis contract
+    val expectedMinTotal = results.map(_._4).sum
+    assert(line.contains("\"value_min\":" + f"$expectedMinTotal%.3f"))
     // the slowest query is always present; the fastest is elided
     val slowest = results.maxBy(_._2)._1
     val fastest = results.minBy(_._2)._1
     assert(line.contains("\"" + slowest + "\":"))
-    assert(!line.contains("\"" + fastest + "\":") || allNames.size <= 30)
+    assert(!line.contains("\"" + fastest + "\":") || allNames.size <= 18)
+    // every reported query carries its min alongside its median
+    val slowestMin = results.maxBy(_._2)._4
+    assert(line.contains("\"mins\":{"))
+    assert(line.contains("\"" + slowest + "\":" + f"$slowestMin%.3f"))
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
