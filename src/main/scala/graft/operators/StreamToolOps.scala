@@ -347,6 +347,16 @@ object StreamToolOps {
       // semantics never reads
       ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
         ".trackTotalNumberOfRows", "false")
+      // Recorded decision on this row's 26.5 s sf1 sweep cost (round
+      // 16): KEPT at the shared default drain. The hypothesis that the
+      // cost is per-trigger instance constants was MEASURED false —
+      // halving the sf1 drain to 2 triggers via readEvents'
+      // drainTriggers knob moved the row 26.5 → 25.7 s (~3%), so the
+      // cost is RocksDB write-path work proportional to state volume
+      // (puts + changelog uploads), which is exactly the deployment
+      // trade this A/B row exists to price against the HDFS-heap row —
+      // cutting its data would cut the evidence. Same trigger schedule
+      // as q_stream_join keeps the A/B strictly like-for-like.
       streamJoinBuild(ss, d)
     }, "stream_join_rdb", "append")
 
@@ -354,13 +364,14 @@ object StreamToolOps {
   // replayWatermark): with multi-file layouts the triggers arrive
   // out of event-time order, and a small watermark silently dropped
   // cross-trigger join state (sf1 emitted 2.4× instead of 10×)
-  private def streamJoinBuild(ss: SparkSession, d: String): DataFrame = {
+  private def streamJoinBuild(ss: SparkSession, d: String,
+      drainTriggers: Int = 4): DataFrame = {
     val wm = EventStream.replayWatermark(ss, d)
-    val l = EventStream.readEvents(ss, d)
+    val l = EventStream.readEvents(ss, d, drainTriggers)
       .select(col("event_id").as("l_id"), col("user_id").as("l_uid"),
         col("ts").as("l_ts"))
       .withWatermark("l_ts", wm)
-    val r = EventStream.readEvents(ss, d)
+    val r = EventStream.readEvents(ss, d, drainTriggers)
       .select(col("event_id").as("r_id"), col("user_id").as("r_uid"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", wm)

@@ -834,14 +834,6 @@ object TextAnalysis {
     */
   private val bm25Terms = Seq("spark", "join", "hash")
 
-  /** One term's integer BM25 score over columns (tf_t, df_t, n_docs,
-    * avgdl, dl) — idf_micro rounds half-up via the doubled-divisor
-    * trick and is capped for int64 headroom (see bm25's Scaladoc); tf
-    * is capped where sat is already flat; sat's floor DIV loses < 1
-    * micro-unit — all engine-exact integers, mirrored in bm25Sql.
-    * Exposed private[ops] so WidthAuditSpec can evaluate it at
-    * overflow-regime literals the fixtures cannot reach.
-    */
   /** avgdl derivation over the global (len_total, n_docs) row: half-up
     * rounded mean document length via the doubled-divisor trick,
     * CAPPED at 10^4 so the per-row sat products keep their proven
@@ -853,6 +845,14 @@ object TextAnalysis {
   private[ops] val avgdlSql: String =
     "least((2 * len_total + n_docs) DIV (2 * n_docs), 10000)"
 
+  /** One term's integer BM25 score over columns (tf_t, df_t, n_docs,
+    * avgdl, dl) — idf_micro rounds half-up via the doubled-divisor
+    * trick and is capped for int64 headroom (see bm25's Scaladoc); tf
+    * is capped where sat is already flat; sat's floor DIV loses < 1
+    * micro-unit — all engine-exact integers, mirrored in bm25Sql.
+    * Exposed private[ops] so WidthAuditSpec can evaluate it at
+    * overflow-regime literals the fixtures cannot reach.
+    */
   private[ops] def bm25TermScoreSql(t: String): String =
     s"""CASE WHEN tf_$t > 0 THEN
       (least(

@@ -38,7 +38,16 @@ object EventStream {
     * via the session zone, UTC in all graft entry points — the same
     * reading DuckDB's `epoch_ns(ts)` gives the naive values).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** `drainTriggers` sets how many triggers a full drain of the table
+    * takes (file-budget per trigger = ceil(files / drainTriggers)); the
+    * default 4 keeps incremental semantics exercised on every layout.
+    * The drained RESULT is trigger-count-invariant for every consumer
+    * here (watermarks are replay-span-sized, so nothing evicts early),
+    * which is what lets a per-trigger-constant-dominated contrast row
+    * dial it down without changing what the query returns.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      drainTriggers: Int = 4): DataFrame = {
     // the table is either a single flat file (driver testdata) or a
     // Spark-written DIRECTORY of part files (GenScale sf replicas). A
     // file stream source lists a directory, so: stream the table dir
@@ -76,7 +85,8 @@ object EventStream {
     val nFiles =
       if (tablePath.isDirectory) Tables.parquetParts(tablePath).length
       else 1
-    val filesPerTrigger = math.max(1, math.ceil(nFiles / 4.0).toInt)
+    val filesPerTrigger =
+      math.max(1, math.ceil(nFiles.toDouble / drainTriggers).toInt)
     val reader = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString)

@@ -64,6 +64,13 @@ def main(sf_dir, out_dir):
             continue
         s = dict(sdf.dtypes.astype(str))
         o = dict(odf.dtypes.astype(str))
+        # a column on only one side is name drift between the engine and
+        # the oracle output — report it, don't silently skip it (the
+        # driver's compare would fail on it anyway; this keeps the audit
+        # a superset of what can go red)
+        for c in sorted(s.keys() ^ o.keys()):
+            errs.append((name, f"column {c!r} only on "
+                         f"{'spark' if c in s else 'oracle'} side"))
         for c in s:
             if c in o and s[c] != o[c]:
                 row = (name, c, s[c], o[c])

@@ -43,6 +43,22 @@ QUERIES = [
 ]
 
 NOTE = (
+    "Round-16 refresh: (1) recorded decision on the 26.5 s sf1 "
+    "q_stream_join_rocksdb contrast row: KEPT as-is. The per-trigger-"
+    "constant hypothesis was measured false (a 2-trigger drain via "
+    "EventStream.readEvents' drainTriggers knob moved the row only "
+    "26.5 -> 25.7 s), so the cost is RocksDB write-path work "
+    "proportional to state volume - the exact deployment trade the "
+    "A/B prices against the HDFS-heap q_stream_join row; cutting its "
+    "data would cut the evidence, and the shared trigger schedule "
+    "keeps the A/B like-for-like. (2) forced_paths gains "
+    "pagerank10r_local/_distributed: 10 forced rounds of the "
+    "exchange-free iteration, crossing the new iterPersistEvery=8 "
+    "plan-depth persist boundary (GraphOps.pagerankN; bit-equality "
+    "with the 10-round CSR kernel asserted in GateCheck) - near-linear "
+    "cost vs the 3-round pagerank_distributed row is the measured "
+    "multi-round point for the one-combinable-shuffle-per-round "
+    "claim. "
     "Round-15 refresh: the labelprop/pagerank/ppr distributed "
     "iterations restructured onto persisted key-partitioned graph "
     "frames with exchange-free per-round joins (PlanShapeSpec pins the "
