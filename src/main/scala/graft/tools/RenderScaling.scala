@@ -93,6 +93,13 @@ object RenderScaling {
     def kfmt(n: Long): String =
       if (n >= 1000) r1(n / 1000.0) + "k" else n.toString
     val (slowName, slowMed) = qs.maxBy(_._2)
+    // min-of-reps total (round 16): the committed snapshot's own
+    // contention diagnostic — absent on pre-round-16 artifacts
+    val floor = (artifact \ "value_min") match {
+      case JNothing => ""
+      case other => s" (rep-floor ${r2(num(other))} s — a total far " +
+        "above it reads as a contended run, not a regression)"
+    }
     val cdcScale = med("q_etl_scale_cdc")
     val loadScale = med("q_etl_scale_load")
     val nEvents = rowsOf("q_etl_scale_cdc")
@@ -123,7 +130,7 @@ object RenderScaling {
       s"| Initial load at data scale, ${kfmt(nUsers)} users into an empty tree | ${r2(loadScale)} s ≈ ${kfmt((nUsers / loadScale).toLong)} users/s (q_etl_scale_load median) | 37,678 users per production run (duration unrecorded) |",
       s"| Golden-fixture CDC cycle — reference scenario 01, fixture-bound constant cost, no throughput claim | ${r2(cdcFix)} s (q_etl_cdc_batch median) | — |",
       s"| Golden-fixture initial load — reference fixture tree, fixture-bound constant cost, no throughput claim | ${r2(loadFix)} s (q_etl_initial_load median) | — |",
-      s"| Full ${qs.size}-query suite | ${r2(total)} s total, ${failed.size} failed, slowest single query $slowName at ${r2(slowMed)} s | — |",
+      s"| Full ${qs.size}-query suite | ${r2(total)} s total$floor, ${failed.size} failed, slowest single query $slowName at ${r2(slowMed)} s | — |",
       "",
       volLine + graphLine).mkString("\n")
   }
