@@ -119,7 +119,8 @@ object Bench {
     // explicit artifact path (SPARK_GRAFT_BENCH_OUT): full per-query
     // JSON regardless of filtering — the sf1 sweep runs a filtered
     // headline slice at two SF dirs and assembles BENCH_sf1.json from
-    // these files; stdout's short line would truncate past 30 queries
+    // these files; stdout's short line would truncate past its top
+    // slice (18 queries since the round-16 mins map)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -184,6 +185,22 @@ object Bench {
   private def volatileArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     volatileNames(results).map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** The SHORT line's volatile rendering: a severely contended run can
+    * trip dozens of names, and an unbounded list would push the line
+    * past the driver's tail-capture window on exactly the run the
+    * round-16 diagnostic exists for — cap at `cap` names and carry the
+    * TRUE count in "volatile_n" (always emitted, so a capped list is
+    * visible as cap < volatile_n). "failed" stays untruncated — it is
+    * the alarm channel and a failure already means a red round.
+    */
+  private def volatileShort(results: Seq[(String, Double, Boolean, Double, Double)],
+      cap: Int = 12): String = {
+    val names = volatileNames(results)
+    "\"volatile\":" +
+      names.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"volatile_n\":" + names.size
+  }
+
   /** The complete per-query map — every registered query priced.
     * Written to BENCH_LAST.json (too long for reliable log-tail
     * capture at the current query count). "queries" carries medians;
@@ -230,6 +247,6 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMin = results.map(_._4).sum
     val head = results.sortBy(-_._2).take(top).sortBy(_._1)
-    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},${volatileShort(results)},"sf":"$sfDir"}"""
   }
 }

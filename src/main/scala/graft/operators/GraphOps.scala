@@ -486,6 +486,20 @@ object GraphOps {
     (vid, off, adj)
   }
 
+  /** Distribute a driver-solved (vertex, value) array back as a frame
+    * — the shared return path of every in-budget local kernel:
+    * partition count follows the row count at ~32k rows/partition,
+    * floor 1, capped at the session fan-out.
+    */
+  private def localPairsToDF(s: SparkSession, pairs: Array[(Long, Long)],
+      valueCol: String): DataFrame = {
+    import s.implicits._
+    s.sparkContext
+      .parallelize(pairs.toIndexedSeq,
+        math.max(1, math.min(fanout(s), pairs.length / 32768 + 1)))
+      .toDF("v", valueCol)
+  }
+
   def pagerank(s: SparkSession, d: String): DataFrame = {
     // memoized eager edge list: it feeds the degree count, the vertex
     // count, and all 3 iterations — recomputing the fact-table
@@ -502,13 +516,8 @@ object GraphOps {
     if (nEdges <= broadcastEdgeBudget(s)) {
       // in-budget: bounded collect (broadcast-build-side memory class),
       // bit-identical local iteration, one distributed frame back
-      val ranks = pagerankLocal(
-        e.collect().map(r => (r.getLong(0), r.getLong(1))))
-      import s.implicits._
-      return s.sparkContext
-        .parallelize(ranks.toIndexedSeq,
-          math.max(1, math.min(fanout(s), ranks.length / 32768 + 1)))
-        .toDF("v", "pr")
+      return localPairsToDF(s, pagerankLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1)))), "pr")
     }
     pagerankDistributed(s, e, nEdges)
   }
@@ -550,14 +559,8 @@ object GraphOps {
     import s.implicits._
     if (nEdges == 0L) return Seq.empty[(Long, Long)].toDF("v", "pr")
     if (distributed) pagerankDistributed(s, e, nEdges, rounds)
-    else {
-      val ranks = pagerankLocal(
-        e.collect().map(r => (r.getLong(0), r.getLong(1))), rounds)
-      s.sparkContext
-        .parallelize(ranks.toIndexedSeq,
-          math.max(1, math.min(fanout(s), ranks.length / 32768 + 1)))
-        .toDF("v", "pr")
-    }
+    else localPairsToDF(s, pagerankLocal(
+      e.collect().map(r => (r.getLong(0), r.getLong(1))), rounds), "pr")
   }
 
   /** Iteration rounds between plan-depth truncation points: every
@@ -637,13 +640,8 @@ object GraphOps {
       return Seq.empty[(Long, Long)].toDF("v", "pr")
     }
     if (nEdges <= broadcastEdgeBudget(s)) {
-      val ranks = pprLocal(
-        e.collect().map(r => (r.getLong(0), r.getLong(1))))
-      import s.implicits._
-      return s.sparkContext
-        .parallelize(ranks.toIndexedSeq,
-          math.max(1, math.min(fanout(s), ranks.length / 32768 + 1)))
-        .toDF("v", "pr")
+      return localPairsToDF(s, pprLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1)))), "pr")
     }
     pprDistributed(s, e, nEdges)
   }
@@ -813,12 +811,8 @@ object GraphOps {
     if (nEdges == 0L)
       return Seq.empty[(Long, Long)].toDF("v", "core_deg")
     if (nEdges <= broadcastEdgeBudget(s)) {
-      val core = kcoreLocal(
-        e.collect().map(r => (r.getLong(0), r.getLong(1))))
-      return s.sparkContext
-        .parallelize(core.toIndexedSeq,
-          math.max(1, math.min(fanout(s), core.length / 32768 + 1)))
-        .toDF("v", "core_deg")
+      return localPairsToDF(s, kcoreLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1)))), "core_deg")
     }
     kcoreDistributed(s, e, nEdges)
   }
@@ -931,11 +925,8 @@ object GraphOps {
     if (nEdges == 0L)
       return Seq.empty[(Long, Long)].toDF("v", "community")
     if (nEdges <= broadcastEdgeBudget(s)) {
-      val out = lpaLocal(e.collect().map(r => (r.getLong(0), r.getLong(1))))
-      return s.sparkContext
-        .parallelize(out.toIndexedSeq,
-          math.max(1, math.min(fanout(s), out.length / 32768 + 1)))
-        .toDF("v", "community")
+      return localPairsToDF(s, lpaLocal(
+        e.collect().map(r => (r.getLong(0), r.getLong(1)))), "community")
     }
     labelpropDistributed(s, e, nEdges)
   }

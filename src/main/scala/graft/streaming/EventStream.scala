@@ -37,14 +37,19 @@ object EventStream {
     * normalizes to a µs TimestampType `ts` (NTZ pinned to an instant
     * via the session zone, UTC in all graft entry points — the same
     * reading DuckDB's `epoch_ns(ts)` gives the naive values).
-    */
-  /** `drainTriggers` sets how many triggers a full drain of the table
+    *
+    * `drainTriggers` sets how many triggers a full drain of the table
     * takes (file-budget per trigger = ceil(files / drainTriggers)); the
     * default 4 keeps incremental semantics exercised on every layout.
-    * The drained RESULT is trigger-count-invariant for every consumer
-    * here (watermarks are replay-span-sized, so nothing evicts early),
-    * which is what lets a per-trigger-constant-dominated contrast row
-    * dial it down without changing what the query returns.
+    * For APPEND-mode drains the drained result is trigger-count-
+    * invariant (watermarks are replay-span-sized, so nothing evicts
+    * early — each row's emission happens exactly once regardless of
+    * batching), which is what lets a constant-dominated contrast row
+    * dial it down without changing what the query returns. NOT true in
+    * complete mode: a complete drain re-emits the whole result table
+    * every trigger (the q_stream_session dagger note in SCALING.md),
+    * so its sink cardinality scales WITH trigger count — don't retune
+    * this knob under a complete-mode consumer.
     */
   def readEvents(spark: SparkSession, dir: String,
       drainTriggers: Int = 4): DataFrame = {

@@ -105,17 +105,23 @@ object GateCheck {
     // bit-equality, and price both — these rows were the round-12/13
     // gap in the forced-path table (their distributed twins were
     // spec-pinned at fixture scale but never sf1-priced)
+    // time local, time distributed, assert bit-equal, print n — the
+    // one gate protocol for every (vertex, value) pair of paths
+    def pairCheck2(tag: String, local: () => Map[Long, Long],
+        dist: () => Map[Long, Long]): Unit = {
+      val l = timed(s"$tag local")(local())
+      val d = timed(s"$tag distributed")(dist())
+      assert(l == d, s"$tag disagrees between gate sides")
+      println(s"[gatecheck] $tag agree (bit-identical): n=${l.size}")
+    }
     def pairCheck(tag: String,
         run: () => org.apache.spark.sql.DataFrame): Unit = {
       def asMap() = run().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val local = timed(s"$tag local")(
-        withConf("graft.graph.broadcastEdges", Long.MaxValue.toString)(
-          asMap()))
-      val dist = timed(s"$tag distributed")(
-        withConf("graft.graph.broadcastEdges", "0")(asMap()))
-      assert(local == dist, s"$tag disagrees between gate sides")
-      println(s"[gatecheck] $tag agree (bit-identical): n=${local.size}")
+      pairCheck2(tag,
+        () => withConf("graft.graph.broadcastEdges",
+          Long.MaxValue.toString)(asMap()),
+        () => withConf("graft.graph.broadcastEdges", "0")(asMap()))
     }
     pairCheck("ppr", () => graft.operators.GraphOps.ppr(spark, sfDir))
     pairCheck("kcore", () => graft.operators.GraphOps.kcore(spark, sfDir))
@@ -128,14 +134,12 @@ object GateCheck {
     // iterPersistEvery plan-depth boundary (persist, not checkpoint),
     // so near-linear cost vs the 3-round row is the evidence that
     // extra rounds at 100 TB cost exactly their per-round shuffle.
-    // Bit-equality against the 10-round CSR kernel rides along.
+    // Bit-equality against the 10-round CSR kernel rides along; the
+    // sides are forced by parameter, not conf, so no withConf here.
     def pr10(distributed: Boolean): Map[Long, Long] =
       graft.operators.GraphOps.pagerankN(spark, sfDir, 10, distributed)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val p10Local = timed("pagerank10r local")(pr10(false))
-    val p10Dist = timed("pagerank10r distributed")(pr10(true))
-    assert(p10Local == p10Dist, "10-round pagerank disagrees between gate sides")
-    println(s"[gatecheck] pagerank10r agree (bit-identical): n=${p10Local.size}")
+    pairCheck2("pagerank10r", () => pr10(false), () => pr10(true))
 
     // BPE trainer: the one remaining budget gate without forced-path
     // pricing (graft.bpe.localWords; the dedup CC loop shares the

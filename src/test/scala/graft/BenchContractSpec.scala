@@ -59,6 +59,21 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
+  test("short line caps the volatile list but always carries the true count") {
+    // a severely contended run trips dozens of volatile names; the
+    // short line must stay inside the tail window on exactly that run
+    val results = allNames.zipWithIndex.map { case (n, i) =>
+      (n, 10.0 + i, true, 1.0, 12.0 + i) // every query volatile
+    }
+    val line = Bench.renderShortJson(results, "sf")
+    assert(line.contains("\"volatile_n\":" + allNames.size))
+    // 12 names in the array, not 237
+    val arr = "\"volatile\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(line).getOrElse(fail("no volatile array")).group(1)
+    assert(arr.split(",").length == 12, arr)
+    assert(line.length < 2000, s"contended-run line too long: ${line.length}")
+  }
+
   test("short line never truncates the failed list") {
     val results = allNames.zipWithIndex.map { case (n, i) => (n, i.toDouble, false, i.toDouble, i.toDouble) }
     val line = Bench.renderShortJson(results, "sf")
@@ -122,6 +137,28 @@ class BenchContractSpec extends AnyFunSuite {
       "artifact volatile list disagrees with its own spread data")
     assert(volatileList.isEmpty,
       s"median>>min — recurring storage/GC artifact in: ${volatileList.mkString(", ")}")
+  }
+
+  test("latest bench artifact carries the rep-floor diagnostic (value_min)") {
+    // round 16: the committed snapshot must stay self-diagnosing —
+    // value_min is the min-of-reps total whose gap to value separates
+    // a contended run from a regression; a promoted artifact without
+    // it (stale Bench build) silently loses the diagnostic
+    import org.json4s._
+    val artifact = latestArtifact
+    val value = artifact \ "value" match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case other => fail(s"artifact value is not a number: $other")
+    }
+    val vmin = artifact \ "value_min" match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JNothing => fail("artifact lacks value_min — re-bench at HEAD and promote")
+      case other => fail(s"artifact value_min is not a number: $other")
+    }
+    assert(vmin <= value + 1e-9,
+      s"value_min $vmin exceeds value $value — corrupt artifact")
   }
 
   test("latest bench artifact ran every query (failed list empty)") {

@@ -28,5 +28,14 @@ class GateRecordSpec extends AnyFunSuite {
     // dangerous/width-only summary
     assert("== \\d+ dangerous".r.findAllIn(log).size == 3,
       "GATE_LAST.log lacks the three per-SF dtype audit summaries")
+    // staleness tie-in: the record must cover the CURRENT registry —
+    // without this, a round that adds queries but skips the gate stays
+    // green against the previous round's committed log, which is
+    // exactly the skipped-gate case this spec exists to redden
+    val n = SparkEntry.queries.size
+    assert("across (\\d+) oracled queries".r.findAllMatchIn(log)
+        .forall(_.group(1).toInt == n),
+      s"GATE_LAST.log covers a different query count than the current " +
+        s"registry ($n) — re-run bash tools/gate.sh at HEAD")
   }
 }

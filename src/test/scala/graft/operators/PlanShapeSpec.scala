@@ -118,6 +118,7 @@ class PlanShapeSpec extends AnyFunSuite {
     noBroadcast {
       val rounds = 10
       val k = GraphOps.iterPersistEvery
+      assert(rounds > k, "test must cross the persist boundary")
       val (lab, handles) = GraphOps.labelpropRounds(edges, rounds)
       try {
         assert(handles.size == 2, s"expected 1 boundary, got ${handles.size - 1}")
@@ -137,6 +138,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // distributed rounds (one persist boundary) vs 10 local CSR rounds
     noBroadcast {
       val e = edges
+      assert(10 > GraphOps.iterPersistEvery,
+        "test must cross the persist boundary it is named for")
       val local = GraphOps.pagerankLocal(
         e.collect().map(r => (r.getLong(0), r.getLong(1))), 10).toMap
       val (pr, handles) = GraphOps.pagerankRounds(e, 10)
