@@ -154,11 +154,25 @@ object Directory {
     * restarts, unlike a clock), with a random suffix so two concurrent
     * writers cannot collide on the data dir — the pointer swap then
     * linearizes the publish. Superseded version dirs are pruned after
-    * the swap so disk usage stays bounded at one live snapshot (plus
-    * any version a concurrent reader pinned via CURRENT before the
-    * swap, which the next save prunes).
+    * the swap so disk usage stays bounded at `retain` + 1 snapshots.
+    *
+    * RETENTION / TIME TRAVEL (round 16): `retain` is how many
+    * SUPERSEDED published versions survive a save (default 1 — the
+    * prior behavior: the previous snapshot stays readable for any
+    * reader that pinned it via CURRENT before the swap). Each publish
+    * drops an empty marker under `_published/` AFTER the swap — an
+    * atomic create per writer, no read-modify-write, so concurrent
+    * publishers cannot lose each other's history — and `versions`/
+    * `loadVersion` read the store at any retained commit (audit,
+    * replay-from, A/B against yesterday's snapshot: the table-format
+    * time-travel capability, bounded by `retain` exactly like a
+    * format's VACUUM horizon). A crash between swap and marker leaves
+    * CURRENT unmarked; `versions` unions the pointer so the live
+    * snapshot is always listed. A crash between parquet write and swap
+    * leaves an orphan dir that is never listed (no marker, not
+    * CURRENT) and is swept by the next save's prune.
     */
-  def save(snapshot: Dataset[Entry], dir: String): Unit = {
+  def save(snapshot: Dataset[Entry], dir: String, retain: Int = 1): Unit = {
     java.nio.file.Files.createDirectories(new java.io.File(dir).toPath)
     val ptr = new java.io.File(s"$dir/CURRENT")
     val prev = if (ptr.exists())
@@ -173,7 +187,13 @@ object Directory {
     java.nio.file.Files.move(tmp.toPath, ptr.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // prune everything that is neither the new version, nor the one the
+    val marks = new java.io.File(s"$dir/_published")
+    java.nio.file.Files.createDirectories(marks.toPath)
+    try java.nio.file.Files.createFile(
+      new java.io.File(marks, version).toPath)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+    // prune everything that is neither the new version, nor the
+    // `retain` newest superseded published versions, nor the one the
     // pointer named when we started (a reader may still hold it open),
     // nor whatever CURRENT names right now (a concurrent writer may
     // have swapped after us — its published version must survive).
@@ -182,11 +202,48 @@ object Directory {
     // misuse window but a true multi-writer deployment needs a CAS
     // commit (a transactional table format).
     val published = java.nio.file.Files.readString(ptr.toPath).trim
-    val keep = Set(Some(version), Some(published), prev).flatten
+    val retained = versions(dir).filterNot(_ == published)
+      .take(math.max(0, retain))
+    val keep = Set(Some(version), Some(published), prev).flatten ++ retained
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
         !keep.contains(f.getName))
-      .foreach(deleteRecursively)
+      .foreach { f =>
+        deleteRecursively(f)
+        new java.io.File(marks, f.getName).delete()
+      }
+  }
+
+  /** Published versions whose data is still on disk, newest commit
+    * first: the `_published` markers intersected with existing dirs,
+    * unioned with whatever CURRENT names (covers the crash window
+    * between swap and marker, and stores written before markers
+    * existed). The head is the live snapshot.
+    */
+  def versions(dir: String): Seq[String] = {
+    def commitN(v: String): Long =
+      "^v(\\d+)".r.findFirstMatchIn(v).map(_.group(1).toLong).getOrElse(0L)
+    val ptr = new java.io.File(s"$dir/CURRENT")
+    val current = if (ptr.exists())
+      Some(java.nio.file.Files.readString(ptr.toPath).trim) else None
+    val marked = Option(new java.io.File(s"$dir/_published").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq
+    (marked ++ current).distinct
+      .filter(v => new java.io.File(s"$dir/$v").isDirectory)
+      .sortBy(-commitN(_))
+  }
+
+  /** Time-travel read: the snapshot as of a retained published version
+    * (a name from `versions`). Same reader isolation as `load` — the
+    * version dir is immutable once published and survives at least
+    * until `retain` newer saves have landed.
+    */
+  def loadVersion(spark: SparkSession, dir: String,
+      version: String): Dataset[Entry] = {
+    require(versions(dir).contains(version),
+      s"$version is not a retained published version of $dir — " +
+        s"available: ${versions(dir).mkString(", ")}")
+    fromParquet(spark, s"$dir/$version")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

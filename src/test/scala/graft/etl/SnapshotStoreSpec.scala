@@ -21,6 +21,59 @@ class SnapshotStoreSpec extends AnyFunSuite {
       snap.filter(_.dn.contains("ph08")).count())
   }
 
+  test("retention keeps exactly `retain` superseded versions readable, prunes past them") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def snap(n: Int) = (1 to n)
+      .map(i => Directory.Entry(s"cn=u$i,dc=t", Map("cn" -> Seq(s"u$i"))))
+      .toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    (1 to 4).foreach(n => Directory.save(snap(n), dir, retain = 2))
+    val vs = Directory.versions(dir)
+    // live v4 + the 2 retained superseded (v3, v2); v1 pruned
+    assert(vs.size == 3, vs.mkString(", "))
+    assert(vs.head.startsWith("v4") && vs(1).startsWith("v3") &&
+      vs(2).startsWith("v2"), vs.mkString(", "))
+    // time travel: each retained version reads ITS snapshot, bit-exact
+    assert(Directory.loadVersion(spark, dir, vs(2)).count() == 2)
+    assert(Directory.loadVersion(spark, dir, vs(1)).count() == 3)
+    // the live read is unaffected
+    assert(Directory.load(spark, dir).count() == 4)
+    // a pruned or unknown version fails self-describingly
+    val err = intercept[IllegalArgumentException](
+      Directory.loadVersion(spark, dir, "v1-deadbeef"))
+    assert(err.getMessage.contains("not a retained published version"))
+  }
+
+  test("default retention preserves the pre-round-16 behavior (one superseded version)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def snap(n: Int) = (1 to n)
+      .map(i => Directory.Entry(s"cn=u$i,dc=t", Map("cn" -> Seq(s"u$i"))))
+      .toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt0").toString
+    (1 to 3).foreach(n => Directory.save(snap(n), dir))
+    val vs = Directory.versions(dir)
+    assert(vs.size == 2, vs.mkString(", ")) // v3 live + v2 reader-pinnable
+    assert(vs.head.startsWith("v3") && vs(1).startsWith("v2"))
+  }
+
+  test("versions lists a pre-marker store (no _published dir) via its pointer") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val snap = Seq(Directory.Entry("cn=a,dc=t", Map("cn" -> Seq("a")))).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttold").toString
+    Directory.save(snap, dir)
+    // simulate a store written before the marker log existed
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec); f.delete()
+    }
+    rmRec(new java.io.File(s"$dir/_published"))
+    val vs = Directory.versions(dir)
+    assert(vs.size == 1 && vs.head.startsWith("v1"), vs.mkString(", "))
+    assert(Directory.loadVersion(spark, dir, vs.head).count() == 1)
+  }
+
   test("compaction bounds file count and preserves contents exactly") {
     val spark = TestSpark.spark
     import spark.implicits._
