@@ -34,6 +34,7 @@ object SparkEntry {
       (ops.Multimodal.queries, ops.Multimodal.oracles),
       (ops.Curation.queries, ops.Curation.oracles),
       (ops.Sketches.queries, ops.Sketches.oracles),
+      (ops.Maintenance.queries, ops.Maintenance.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -120,10 +120,46 @@ object ScaleJoins {
       .select("a_key", "b_key", "dist").distinct()
   }
 
+  private val Buckets = 8
+
+  /** Sort-merge-bucket join: both sides are written `bucketBy` the
+    * join key into the same bucket count (with `sortBy` inside each
+    * bucket), so the join consumes bucket i against bucket i directly
+    * — a SortMergeJoin with ZERO exchanges on either input, pinned by
+    * SmbJoinSpec. This is THE layout for a fact↔fact join that recurs
+    * at 100 TB: the shuffle is paid once at write time and amortized
+    * over every subsequent join/aggregation on the bucket key, and
+    * unlike a broadcast it has no small-side requirement. The `merge`
+    * hint keeps the demo on the sort-merge path (the toy-sized dim
+    * would otherwise broadcast); the write itself is part of the
+    * operator — bucketing is a table property, so the tables land in
+    * the session catalog with external paths under the tmp dir.
+    */
+  def smbJoin(s: SparkSession, d: String): DataFrame = {
+    val base = graft.tools.JsonlTools.dumpDir(d, "smb")
+    def bucketed(name: String, df: DataFrame, key: String): DataFrame = {
+      val tbl = s"graft_smb_$name"
+      df.write.mode("overwrite")
+        .option("path", s"$base/$name")
+        .bucketBy(Buckets, key).sortBy(key)
+        .saveAsTable(tbl)
+      s.table(tbl)
+    }
+    val l = bucketed("lineitem",
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+    val o = bucketed("orders",
+      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_j9_salted_join" -> (saltedJoin _),
     "q_j10_bloom_semi" -> (bloomSemi _),
     "q_j11_fuzzy" -> (fuzzyJoin _),
+    "q_j13_smb_join" -> (smbJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,5 +180,11 @@ object ScaleJoins {
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // the bucketed layout must be answer-identical to the plain join
+    "q_j13_smb_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -544,6 +544,8 @@ object StreamToolOps {
     "q_src_jsonl_gz" -> (graft.tools.JsonlTools.roundTripGz _),
     "q_src_orc" -> (graft.tools.OrcTools.roundTrip _),
     "q_src_schema_evo" -> (graft.tools.SchemaEvolution.roundTrip _),
+    "q_src_partitioned" -> (graft.tools.ParquetLayout.partitionedRead _),
+    "q_stream_part_sink" -> (graft.tools.ParquetLayout.streamPartitionedSink _),
     "q_stream_jsonl_gz" -> (streamJsonlIngestGz _),
   )
 
@@ -585,6 +587,21 @@ object StreamToolOps {
         |    AS n_evolved,
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    // the partitioned-layout read answers from the partition-pruned
+    // copy; the oracle asks the unpartitioned originals (the month
+    // string survives the value→path→value round trip exactly)
+    "q_src_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+        |GROUP BY 1""".stripMargin,
+    // the streaming file sink's output must equal a batch one-date
+    // slice of the original events (manifest + partition round trip)
+    "q_stream_part_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        |GROUP BY 1""".stripMargin,
     "q_stream_tumbling" -> Windows.oracles("q_w_tumbling"),
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
