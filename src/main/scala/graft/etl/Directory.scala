@@ -246,7 +246,38 @@ object Directory {
     fromParquet(spark, s"$dir/$version")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Change-data-feed between two retained published versions: one
+    * row per entry that was inserted, deleted, or updated going
+    * `fromV` → `toV`, with both attribute bags attached. This is what
+    * the bounded time travel is FOR operationally — a downstream
+    * consumer refreshes from the last version it saw without replaying
+    * the CDC event log, and the cost is one full-outer join keyed on
+    * `dn` (the store's natural key, co-partitioned under the bucketed
+    * layout) over two immutable snapshot versions — never a scan of
+    * history. Attribute equality compares key-sorted map entries
+    * (Spark cannot equality-test MapType directly); value-list order
+    * inside an attribute is semantic in the snapshot contract, so it
+    * stays positional.
+    */
+  def changes(spark: SparkSession, dir: String,
+      fromV: String, toV: String): DataFrame = {
+    val a = loadVersion(spark, dir, fromV).toDF()
+      .select(col("dn").as("dn_from"), col("attrs").as("attrs_from"))
+    val b = loadVersion(spark, dir, toV).toDF()
+      .select(col("dn").as("dn_to"), col("attrs").as("attrs_to"))
+    def canon(c: Column): Column = array_sort(map_entries(c))
+    a.join(b, col("dn_from") === col("dn_to"), "full_outer")
+      .withColumn("change_type",
+        when(col("dn_from").isNull, lit("insert"))
+          .when(col("dn_to").isNull, lit("delete"))
+          .when(canon(col("attrs_from")) =!= canon(col("attrs_to")),
+            lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("dn_to"), col("dn_from")).as("dn"),
+        col("change_type"), col("attrs_from"), col("attrs_to"))
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }

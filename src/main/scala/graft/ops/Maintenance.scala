@@ -38,8 +38,11 @@ object Maintenance {
   private[ops] def inventory(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(pmod(col("l_orderkey"), lit(InvFiles)).as("file_id"))
-      .agg((sum(col("l_quantity").cast("long")) * 19 + count(lit(1)) * 37)
-        .as("size_bytes"))
+      // floor() before the long cast: a bare double→long cast truncates
+      // in Spark but rounds in DuckDB, so a fractional quantity in a
+      // future fixture would silently shift bin assignments
+      .agg((sum(floor(col("l_quantity")).cast("long")) * 19
+        + count(lit(1)) * 37).as("size_bytes"))
 
   /** Bin-fill compaction plan: files under the target size are laid
     * end-to-end in stable file_id order and cut into target-sized
@@ -113,19 +116,6 @@ object Maintenance {
   def skippingAudit(s: SparkSession, d: String): DataFrame = {
     val lo = lit(SkipLo).cast("timestamp")
     val hi = lit(SkipHi).cast("timestamp")
-    def audit(layout: String, chunk: Column): DataFrame = {
-      val skippable = col("mx") < lo || col("mn") >= hi
-      lineitem(s, d)
-        .groupBy(chunk.as("chunk"))
-        .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
-          count(lit(1)).as("n_rows"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(skippable, lit(1L)).otherwise(lit(0L))).as("n_skipped"),
-          sum(when(skippable, col("n_rows")).otherwise(lit(0L)))
-            .as("rows_skipped"))
-        .select(lit(layout).as("layout"), col("n_chunks"),
-          col("n_skipped"), col("rows_skipped"))
-    }
     // z-cell: 12-bit day since 1992-01-01 interleaved with 12 orderkey
     // bits (the q_o9_zorder Morton form), chunked by the top 6 Morton
     // bits — a z-ordered write's file boundaries ARE coarse z-ranges
@@ -136,9 +126,26 @@ object Maintenance {
       shiftleft(shiftright(day, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(okey, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
-    audit("clustered", year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
-      .unionByName(audit("zordered", shiftright(morton, 18)))
-      .unionByName(audit("hashed", pmod(col("l_orderkey"), lit(64))))
+    def cell(layout: String, chunk: Column): Column =
+      struct(lit(layout).as("layout"), chunk.cast("long").as("chunk"))
+    val skippable = col("mx") < lo || col("mn") >= hi
+    // ONE scan: each row fans out to its three (layout, chunk) cells
+    // and the per-cell min/max/count combines map-side, so the shuffle
+    // carries cells (≤ chunks × 3 partials per task), never rows — the
+    // shape that keeps the audit one pass over a 100 TB table
+    lineitem(s, d)
+      .select(col("l_shipdate"), explode(array(
+        cell("clustered", year(col("l_shipdate")) * 12 + month(col("l_shipdate"))),
+        cell("zordered", shiftright(morton, 18)),
+        cell("hashed", pmod(col("l_orderkey"), lit(64))))).as("lc"))
+      .groupBy(col("lc.layout").as("layout"), col("lc.chunk").as("chunk"))
+      .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
+        count(lit(1)).as("n_rows"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(skippable, lit(1L)).otherwise(lit(0L))).as("n_skipped"),
+        sum(when(skippable, col("n_rows")).otherwise(lit(0L)))
+          .as("rows_skipped"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -151,7 +158,7 @@ object Maintenance {
     "q_maint_compaction" ->
       """WITH inv AS (
         |  SELECT l_orderkey % 499 AS file_id,
-        |    SUM(CAST(l_quantity AS BIGINT)) * 19 + COUNT(*) * 37 AS size_bytes
+        |    SUM(CAST(FLOOR(l_quantity) AS BIGINT)) * 19 + COUNT(*) * 37 AS size_bytes
         |  FROM lineitem GROUP BY 1
         |), sized AS (
         |  SELECT file_id, size_bytes,

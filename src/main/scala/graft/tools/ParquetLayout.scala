@@ -12,8 +12,8 @@ import graft.Tables._
   * scanning a decade of footers. The oracle is the same aggregate over
   * the unpartitioned originals, so the layout round trip (including
   * the partition column's value→path→value encoding) is hash-verified;
-  * PlanQualitySpec pins that the filtered read plans exactly one
-  * partition.
+  * LayoutSpec pins that the month predicate becomes a partition filter
+  * with an empty per-row data-filter list.
   *
   * Scale notes: one output file per (shuffle task × live partition) is
   * the classic small-file explosion — the repartition on the partition
@@ -42,11 +42,6 @@ object ParquetLayout {
         sum(dec(col("o_totalprice"))).cast("double").as("sum_total"))
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(); ()
-  }
-
   /** Streaming ingestion INTO the partitioned layout: the events
     * stream lands as date-partitioned parquet through Structured
     * Streaming's file sink, whose `_spark_metadata` manifest commits
@@ -67,9 +62,11 @@ object ParquetLayout {
     // needs a fresh sink+checkpoint pair (at deployment these persist
     // — that is the point — so the delete is fixture hygiene, not
     // part of the operator)
-    rmTree(new java.io.File(out)); rmTree(new java.io.File(ck))
+    graft.etl.Directory.deleteRecursively(new java.io.File(out))
+    graft.etl.Directory.deleteRecursively(new java.io.File(ck))
+    // a cloned session isolates readEvents' layout-dependent conf (the
+    // NANOS fixture era sets nanosAsLong session-wide) from the caller
     val child = s.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.EventStream.readEvents(child, d)
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .writeStream.format("parquet")

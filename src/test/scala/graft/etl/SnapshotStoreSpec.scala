@@ -58,6 +58,31 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(vs.head.startsWith("v3") && vs(1).startsWith("v2"))
   }
 
+  test("change feed classifies insert/update/delete between versions exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val v1 = Seq(
+      Directory.Entry("cn=keep,dc=t", Map("cn" -> Seq("keep"))),
+      Directory.Entry("cn=upd,dc=t", Map("cn" -> Seq("upd"), "mail" -> Seq("a@x"))),
+      Directory.Entry("cn=del,dc=t", Map("cn" -> Seq("del")))).toDS()
+    val v2 = Seq(
+      Directory.Entry("cn=keep,dc=t", Map("cn" -> Seq("keep"))),
+      Directory.Entry("cn=upd,dc=t", Map("mail" -> Seq("b@x"), "cn" -> Seq("upd"))),
+      Directory.Entry("cn=new,dc=t", Map("cn" -> Seq("new")))).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    Directory.save(v1, dir, retain = 2)
+    Directory.save(v2, dir, retain = 2)
+    val vs = Directory.versions(dir)
+    val feed = Directory.changes(spark, dir, vs(1), vs.head).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // keep is unchanged (map key order must not count as a change),
+    // upd's mail flipped, del vanished, new appeared — nothing else
+    assert(feed == Map("cn=upd,dc=t" -> "update", "cn=del,dc=t" -> "delete",
+      "cn=new,dc=t" -> "insert"), feed)
+    // self-diff is empty
+    assert(Directory.changes(spark, dir, vs.head, vs.head).isEmpty)
+  }
+
   test("versions lists a pre-marker store (no _published dir) via its pointer") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -66,7 +91,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     Directory.save(snap, dir)
     // simulate a store written before the marker log existed
     def rmRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec); f.delete()
+      Directory.deleteRecursively(f)
     }
     rmRec(new java.io.File(s"$dir/_published"))
     val vs = Directory.versions(dir)

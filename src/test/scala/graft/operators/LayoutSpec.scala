@@ -55,9 +55,11 @@ class LayoutSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters") && p.contains("1996-03"),
       s"month predicate did not become a partition filter:\n$p")
+    // pure directory-level pruning: nothing left to evaluate per row
+    assert(p.contains("DataFilters: []"),
+      s"month predicate leaked into the per-row data filters:\n$p")
     // the layout on disk is one directory per month, so pruning has
-    // something to prune: the month directories exist and the scan's
-    // data filters list is empty (nothing left to evaluate per row)
+    // something to prune: the month directories exist
     val months = Option(new java.io.File(
         graft.tools.ParquetLayout.layoutDir(dir)).listFiles())
       .getOrElse(Array.empty).filter(_.getName.startsWith("o_month="))

@@ -40,8 +40,8 @@ QUERIES = [
     "q_text_vocab_oov", "q_text_repetition", "q_tpch_q18", "q_tpch_q21",
     "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q8", "q_tpch_q9", "q_w_concurrency",
-    "q_j13_smb_join", "q_src_partitioned", "q_maint_compaction",
-    "q_maint_mv_merge", "q_maint_skipping",
+    "q_j13_smb_join", "q_src_partitioned", "q_stream_part_sink",
+    "q_maint_compaction", "q_maint_mv_merge", "q_maint_skipping",
 ]
 
 NOTE = (
@@ -50,7 +50,9 @@ NOTE = (
     "join: write-time bucketBy on both sides, zero exchanges below "
     "the join; the write is part of the op so the row prices "
     "write+join), q_src_partitioned (partitionBy-month sink + "
-    "partition-pruned read), q_maint_compaction (metadata-scale "
+    "partition-pruned read), q_stream_part_sink (streaming "
+    "date-partitioned file sink, exactly-once manifest), "
+    "q_maint_compaction (metadata-scale "
     "bin-fill planner), q_maint_mv_merge (delta-slice partial-"
     "aggregate merge), q_maint_skipping (3-layout zone-map audit). "
     "Round-16 refresh: (1) recorded decision on the 26.5 s sf1 "
