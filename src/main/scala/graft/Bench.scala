@@ -182,6 +182,26 @@ object Bench {
   def volatileRatio(name: String): Double =
     if (name.startsWith("q_g")) 1.5 else 2.0
 
+  /** The INFORMATIONAL spread tier (round 17): rows whose max-of-reps
+    * sits ≥ 2.5× above their own min with a material gap. This is the
+    * shape `volatileNames` deliberately does NOT flag (median ≈ min
+    * with an outlying max is scheduler noise, not a recurring
+    * artifact — the r7 rationale above), but round 16 shipped rows
+    * with 4–7× max/min spread (q_text_bpe_step [0.44, 3.24]) recorded
+    * as fully non-volatile, which overstates how settled their medians
+    * are. Two tiers keep both properties: `volatile` stays the red
+    * gate (a poisoned MEDIAN corrupts every table derived from it),
+    * `slow_tail` is self-diagnosis in the artifact — a reader of a
+    * slope table can see which medians ride on a noisy rep set.
+    */
+  def slowTailNames(results: Seq[(String, Double, Boolean, Double, Double)]): Seq[String] =
+    results.collect {
+      case (k, _, _, lo, hi) if hi > lo * 2.5 && hi - lo > 1.0 => k
+    }
+
+  private def slowTailArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
+    slowTailNames(results).map("\"" + _ + "\"").mkString("[", ",", "]")
+
   private def volatileArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     volatileNames(results).map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -222,7 +242,7 @@ object Bench {
     // value_min mirrors the short line's headline diagnostic (the
     // per-query floors are already in "spread"; this is their total)
     val totalMin = results.map(_._4).sum
-    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"rows":$rowsObj,"failed":${failedArr(results)},"volatile":${volatileArr(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(results)},"spread":${spreadObj(results)},"rows":$rowsObj,"failed":${failedArr(results)},"volatile":${volatileArr(results)},"slow_tail":${slowTailArr(results)},"sf":"$sfDir"}"""
   }
 
   /** The driver-contract stdout line: ONE JSON object, bounded-length.
@@ -247,6 +267,6 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMin = results.map(_._4).sum
     val head = results.sortBy(-_._2).take(top).sortBy(_._1)
-    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},${volatileShort(results)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},${volatileShort(results)},"slow_tail_n":${slowTailNames(results).size},"sf":"$sfDir"}"""
   }
 }

@@ -252,9 +252,12 @@ object Directory {
     * the bounded time travel is FOR operationally — a downstream
     * consumer refreshes from the last version it saw without replaying
     * the CDC event log, and the cost is one full-outer join keyed on
-    * `dn` (the store's natural key, co-partitioned under the bucketed
-    * layout) over two immutable snapshot versions — never a scan of
-    * history. Attribute equality compares key-sorted map entries
+    * `dn` (the store's natural key) over two immutable snapshot
+    * versions — never a scan of history. Both sides shuffle on dn:
+    * `loadVersion` reads plain versioned parquet, which carries no
+    * bucketing metadata (route the snapshots through `saveBucketed`'s
+    * table path when a zero-exchange CDF matters at scale).
+    * Attribute equality compares key-sorted map entries
     * (Spark cannot equality-test MapType directly); value-list order
     * inside an attribute is semantic in the snapshot contract, so it
     * stays positional.
@@ -270,7 +273,11 @@ object Directory {
       .withColumn("change_type",
         when(col("dn_from").isNull, lit("insert"))
           .when(col("dn_to").isNull, lit("delete"))
-          .when(canon(col("attrs_from")) =!= canon(col("attrs_to")),
+          // null-safe inequality: Entry's contract forbids a null
+          // attrs bag, but the SCHEMA permits one, and a null-
+          // propagating =!= would classify a null-vs-map mismatch as
+          // "unchanged" (all when() branches null) and silently drop it
+          .when(!(canon(col("attrs_from")) <=> canon(col("attrs_to"))),
             lit("update")))
       .filter(col("change_type").isNotNull)
       .select(coalesce(col("dn_to"), col("dn_from")).as("dn"),

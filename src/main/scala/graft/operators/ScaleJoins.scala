@@ -137,8 +137,14 @@ object ScaleJoins {
     */
   def smbJoin(s: SparkSession, d: String): DataFrame = {
     val base = graft.tools.JsonlTools.dumpDir(d, "smb")
+    // catalog table names carry the SAME pid+dataset namespace as the
+    // external paths: `newSession` clones share one catalog, so a
+    // fixed name benched against two datasets in one JVM would point
+    // the second run at the first run's path (stale bucketed data)
+    val ns = new java.io.File(base).getName
+      .stripPrefix("graft_jsonl_").replaceAll("[^A-Za-z0-9_]", "_")
     def bucketed(name: String, df: DataFrame, key: String): DataFrame = {
-      val tbl = s"graft_smb_$name"
+      val tbl = s"graft_smb_${ns}_$name"
       df.write.mode("overwrite")
         .option("path", s"$base/$name")
         .bucketBy(Buckets, key).sortBy(key)

@@ -437,9 +437,20 @@ object StreamToolOps {
     // session merge drops below-watermark input EVEN in complete mode
     // (unlike plain aggregations), so the replay needs the full
     // disorder-bound watermark — a 0-second watermark halved the sf1
-    // session count when triggers arrived out of event-time order
+    // session count when triggers arrived out of event-time order.
+    //
+    // drainTriggers=2 (round-17 decision, SCALING.md drift log): a
+    // complete drain re-emits the WHOLE accumulated session table
+    // every trigger, so the row's sweep cost scales with trigger
+    // count while its final table — and therefore the shared batch
+    // oracle — is trigger-count-invariant (the memory sink truncates
+    // per trigger; the last emission IS the result). Two triggers is
+    // the minimum that still exercises cross-trigger state merge; it
+    // halves the write amplification this CONTRAST row deliberately
+    // prices without changing what it demonstrates (the per-trigger
+    // re-emission slope vs `streamSessionAppend`'s emit-once shape).
     drain(s, ss =>
-      EventStream.readEvents(ss, d)
+      EventStream.readEvents(ss, d, drainTriggers = 2)
         .withWatermark("ts", EventStream.replayWatermark(ss, d))
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events")),

@@ -45,11 +45,16 @@ object EventStream {
     * invariant (watermarks are replay-span-sized, so nothing evicts
     * early — each row's emission happens exactly once regardless of
     * batching), which is what lets a constant-dominated contrast row
-    * dial it down without changing what the query returns. NOT true in
-    * complete mode: a complete drain re-emits the whole result table
-    * every trigger (the q_stream_session dagger note in SCALING.md),
-    * so its sink cardinality scales WITH trigger count — don't retune
-    * this knob under a complete-mode consumer.
+    * dial it down without changing what the query returns. In
+    * complete mode the DRAINED RESULT is also trigger-count-invariant
+    * (the memory sink truncates per trigger; the final emission is the
+    * full state), but the sweep COST is not: a complete drain re-emits
+    * the whole result table every trigger (the q_stream_session dagger
+    * note in SCALING.md), so its cumulative sink volume scales WITH
+    * trigger count. Complete-mode consumers that dial this down are
+    * trading re-emission pricing for sweep time — keep at least 2 so
+    * cross-trigger state merge is still exercised (q_stream_session
+    * does exactly this, round-17 decision).
     */
   def readEvents(spark: SparkSession, dir: String,
       drainTriggers: Int = 4): DataFrame = {

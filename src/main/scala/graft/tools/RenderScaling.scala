@@ -110,11 +110,19 @@ object RenderScaling {
       graft.operators.EtlOps.scaleLoadBootstrapRows
     val cdcFix = med("q_etl_cdc_batch")
     val loadFix = med("q_etl_initial_load")
+    val slowTailQ = (artifact \ "slow_tail") match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
     val volLine =
-      if (volatileQ.isEmpty)
+      (if (volatileQ.isEmpty)
         "Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: none."
       else
-        s"Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: ${volatileQ.sorted.mkString(", ")}."
+        s"Volatile spread bands (median > ratio-gated min with a > 1 s gap) in\nthis artifact: ${volatileQ.sorted.mkString(", ")}.") +
+      // informational tier (round 17): max ≥ 2.5× min — medians that
+      // ride on a noisy rep set without being poisoned by it
+      (if (slowTailQ.isEmpty) ""
+       else s"\nSlow-tail rows (max > 2.5× min, > 1 s gap — noisy reps, settled\nmedians): ${slowTailQ.sorted.mkString(", ")}.")
     val graph = Seq("q_g1_triangles", "q_g2_pagerank", "q_g3_components",
       "q_g4_degrees").filter(qs.contains)
     val graphLine =
@@ -144,9 +152,18 @@ object RenderScaling {
     val sf01 = numMap(artifact \ "sf01")
     val sf1 = numMap(artifact \ "sf1")
     val slope = numMap(artifact \ "slope")
+    // round-17 artifacts carry per-row mins (the contention
+    // adjudication channel); render the min-based slope next to the
+    // median one so a contended sweep is visible in the doc itself
+    val slopeMin = (artifact \ "slope_min") match {
+      case JNothing => Map.empty[String, Double]
+      case other => numMap(other)
+    }
+    val minHdr = if (slopeMin.isEmpty) "" else " slope@min (contention check) |"
     val rows = slope.toSeq.sortBy { case (n, s) => (s, n) }.map { case (n, s) =>
       val mark = if (n == "q_stream_session") "†" else ""
-      s"| $n$mark | ${r2(sf01(n))} | ${r2(sf1(n))} | ${r1(s)}× |"
+      val minCell = slopeMin.get(n).map(m => s" ${r1(m)}× |").getOrElse("")
+      s"| $n$mark | ${r2(sf01(n))} | ${r2(sf1(n))} | ${r1(s)}× |$minCell"
     }.mkString("\n")
     val note =
       if (slope.contains("q_stream_session"))
@@ -167,8 +184,9 @@ object RenderScaling {
           "every\nbudget gate forced, same rep protocol):\n\n" +
           "| path | sf0.1 s | sf1 s | slope |\n|---|---|---|---|\n" + frows
     }
-    "| query | sf0.1 s | sf1 s | slope (linear = 10×) |\n|---|---|---|---|\n" +
-      rows + note + fpBlock
+    "| query | sf0.1 s | sf1 s | slope (linear = 10×) |" + minHdr +
+      "\n|---|---|---|---|" + (if (slopeMin.isEmpty) "" else "---|") +
+      "\n" + rows + note + fpBlock
   }
 
   private def marker(tag: String): (String, String) = (

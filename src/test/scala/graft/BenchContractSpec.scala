@@ -170,6 +170,46 @@ class BenchContractSpec extends AnyFunSuite {
     assert(failed.isEmpty, s"bench artifact lists failed queries: $failed")
   }
 
+  test("slowTailNames flags wide max/min spread the red gate ignores") {
+    // the round-16 miss: rows with 4-7x max/min spread (median near
+    // min, so NOT volatile) shipped recorded as fully settled; the
+    // informational tier surfaces them without making noise a red bar
+    val rs = Seq(
+      ("q_bpe_shape", 0.60, true, 0.44, 3.24),  // r16 q_text_bpe_step
+      ("q_tight", 1.00, true, 0.95, 1.10),      // quiet row — clean
+      ("q_small_gap", 0.30, true, 0.10, 0.40),  // 4x ratio, gap < 1 s
+      ("q_churn", 9.67, true, 3.10, 10.11))     // volatile AND tailed
+    assert(Bench.slowTailNames(rs) == Seq("q_bpe_shape", "q_churn"))
+    // tiers overlap on churn but only the median-poisoned row is red
+    assert(Bench.volatileNames(rs) == Seq("q_churn"))
+  }
+
+  test("latest bench artifact's slow_tail list agrees with its spread") {
+    // informational tier (round 17): present on round-17+ artifacts;
+    // recomputed from the spread map so the field cannot go stale.
+    // Unlike "volatile", a non-empty list is NOT a red build — it
+    // marks medians riding on a noisy rep set, not poisoned medians.
+    import org.json4s._
+    val artifact = latestArtifact
+    (artifact \ "slow_tail") match {
+      case JNothing => cancel("BENCH_DOC.json predates the round-17 " +
+        "slow_tail field — the next QUIET promoted bench carries it " +
+        "(runMain graft.Bench, then runMain graft.tools.RenderScaling); " +
+        "a contended run must not be promoted just to add the field")
+      case _ =>
+        val listed = strArray(artifact, "slow_tail")
+        val recomputed = (artifact \ "spread") match {
+          case JObject(fs) => fs.collect {
+            case (n, JArray(List(lo: JDouble, hi: JDouble)))
+              if hi.num > lo.num * 2.5 && hi.num - lo.num > 1.0 => n
+          }
+          case _ => fail("artifact has no spread map")
+        }
+        assert(listed.sorted == recomputed.sorted,
+          "artifact slow_tail list disagrees with its own spread data")
+    }
+  }
+
   test("volatileNames flags median>>min, not plain scheduler noise") {
     // churn shape: median 9.67 over a 3.10 min — flagged
     // noise shape: median 0.55 with max outlier 1.75 — not flagged

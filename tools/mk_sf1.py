@@ -45,6 +45,22 @@ QUERIES = [
 ]
 
 NOTE = (
+    "Round-17 refresh: (1) per-row MIN alongside every median "
+    "(sf01_min/sf1_min/slope_min, min-of-reps like BENCH_r16's mins "
+    "map) so a contended sweep is adjudicable from this artifact "
+    "alone - the round-16 end-of-round auto-re-sweep committed "
+    "q_stream_session at 52.2 s (slope 24.18) with no in-artifact "
+    "evidence it was contention; median >> min rows now self-report "
+    "(slow_tail per SF). (2) mk_sf1.py now ends by invoking "
+    "graft.tools.RenderScaling, so the artifact and SCALING.md's "
+    "generated tables can never desync again, including under an "
+    "automated re-sweep. (3) q_stream_session's replay drains in 2 "
+    "triggers (was 4): the complete-mode final table - and the shared "
+    "batch oracle - is trigger-count-invariant, but each trigger "
+    "re-emits the whole accumulated session table, so the old count "
+    "paid ~2x the write amplification the contrast row needs to "
+    "demonstrate; the row still prices complete-mode re-emission "
+    "against q_stream_session_append's emit-once shape. "
     "Round-16 second refresh: adds the table-maintenance / physical-"
     "layout family to the slice - q_j13_smb_join (sort-merge-bucket "
     "join: write-time bucketBy on both sides, zero exchanges below "
@@ -176,7 +192,14 @@ def main():
     g01 = run_gatecheck(SF01)
     g1 = run_gatecheck(SF1)
     sf01, sf1 = a01["queries"], a1["queries"]
+    # per-row min-of-reps (the plan's floor) from the full artifact's
+    # spread map - the same self-diagnosis BENCH_r16 added for sf0.1:
+    # a contended sweep shows median >> min on unchanged plans, a real
+    # regression moves both together. Adjudicable from this file alone.
+    m01 = {k: v[0] for k, v in a01["spread"].items()}
+    m1 = {k: v[0] for k, v in a1["spread"].items()}
     slope = {k: round(sf1[k] / sf01[k], 2) for k in sorted(sf01)}
+    slope_min = {k: round(m1[k] / m01[k], 2) for k in sorted(m01)}
     fp01 = {k: v for k, v in g01.items() if k != "sf"}
     fp1 = {k: v for k, v in g1.items() if k != "sf"}
     fslope = {k: round(fp1[k] / fp01[k], 2) for k in sorted(fp01)}
@@ -186,17 +209,31 @@ def main():
         "note": NOTE,
         "sf01": sf01,
         "sf1": sf1,
+        "sf01_min": m01,
+        "sf1_min": m1,
         "slope": slope,
+        "slope_min": slope_min,
+        "slow_tail": {"sf01": a01.get("slow_tail", []),
+                      "sf1": a1.get("slow_tail", [])},
         "forced_paths": {"sf01": fp01, "sf1": fp1, "slope": fslope},
         "max_slope": max(slope.values()),
+        "max_slope_min": max(slope_min.values()),
         "max_forced_slope": max(fslope.values()),
         "all_under_12x": all(v < 12 for v in slope.values()),
+        "all_under_12x_min": all(v < 12 for v in slope_min.values()),
     }
     with open("BENCH_sf1.json", "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
-    print("[mk_sf1] wrote BENCH_sf1.json; now run: "
-          "sbt 'runMain graft.tools.RenderScaling'")
+    # artifact -> doc atomically: the round-16 end-of-round auto-sweep
+    # overwrote BENCH_sf1.json without re-rendering and shipped a red
+    # ScalingDocSpec; rendering HERE makes desync structurally
+    # impossible for every future producer of this artifact
+    print("[mk_sf1] wrote BENCH_sf1.json; rendering SCALING.md ...",
+          flush=True)
+    subprocess.run(["sbt", "-batch", "runMain graft.tools.RenderScaling"],
+                   check=True)
+    print("[mk_sf1] BENCH_sf1.json + SCALING.md consistent")
 
 
 if __name__ == "__main__":
