@@ -150,6 +150,18 @@ object EtlOps {
     * full-outer join, not the snapshot writes.
     */
   def etlCdf(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedCdfStore(s, d)
+    val vs = Directory.versions(dir) // newest first
+    Directory.changes(s, dir, vs(1), vs.head)
+      .select(col("dn"), col("change_type"))
+      .orderBy("dn")
+  }
+
+  /** Stage (once per JVM, dataset, source fingerprint) the two-version
+    * snapshot store the CDF queries read; returns the store dir. The
+    * version predicates are the contract both oracles re-derive.
+    */
+  private def stagedCdfStore(s: SparkSession, d: String): String = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_cdfstore_" + ProcessHandle.current().pid() + "_" +
@@ -180,10 +192,61 @@ object EtlOps {
         fp
       }
     })
+    dir
+  }
+
+  /** Incremental materialized-view maintenance WITH RETRACTIONS: keep
+    * a per-segment entry-count MV current across snapshot versions by
+    * applying the CDF — inserts credit the new segment, deletes debit
+    * the old one, updates do both — instead of rescanning the table.
+    * `Maintenance.mvMerge` is the append-only sibling (partial-agg
+    * merge of immutable delta slices); this is the shape for stores
+    * that UPDATE in place, which append-only merge cannot express.
+    * Cost at 100 TB: the MV (one row per group) unions with a
+    * delta-sized ±1 frame and re-aggregates — one shuffle keyed on the
+    * MV key, data volume |MV| + |changes|, never |table|. The oracle
+    * recomputes the aggregate directly from the target version, so the
+    * incremental path must land on the exact rescan answer; groups
+    * whose count reaches zero must VANISH (retraction correctness —
+    * pinned with a hand-built store in SnapshotStoreSpec, since the
+    * synthetic versions never empty a segment).
+    */
+  def etlCdfApply(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedCdfStore(s, d)
     val vs = Directory.versions(dir) // newest first
-    Directory.changes(s, dir, vs(1), vs.head)
-      .select(col("dn"), col("change_type"))
-      .orderBy("dn")
+    val seg = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("segment"), 1)
+    val base = Directory.loadVersion(s, dir, vs(1)).toDF()
+      .groupBy(seg(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("delta"))
+    applyCountCdf(base, Directory.changes(s, dir, vs(1), vs.head), seg)
+      .withColumnRenamed("seg", "segment")
+      .orderBy("segment")
+  }
+
+  /** The reusable retraction kernel: fold a CDF into a (key, count)
+    * aggregate. `base` must carry columns (seg, delta); the group key
+    * is derived from either attrs bag by `keyOf`. The ± contributions
+    * come from ONE row-local explode (fan-out ≤ 2) over a SINGLE scan
+    * of the CDF — the first formulation filtered the CDF twice (minus
+    * and plus branches), and Spark re-executed the feed's full-outer
+    * join once per consumer, doubling the dominant cost.
+    */
+  private[graft] def applyCountCdf(base: DataFrame, cdf: DataFrame,
+      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    def c(attrs: String, d: Long) =
+      struct(keyOf(col(attrs)).as("seg"), lit(d).as("delta"))
+    val deltas = cdf.select(explode(
+        when(col("change_type") === "insert", array(c("attrs_to", 1L)))
+          .when(col("change_type") === "delete", array(c("attrs_from", -1L)))
+          .otherwise(array(c("attrs_from", -1L), c("attrs_to", 1L))))
+        .as("x"))
+      .select(col("x.seg").as("seg"), col("x.delta").as("delta"))
+    base.unionByName(deltas)
+      .groupBy("seg")
+      .agg(sum(col("delta")).as("n_entries"))
+      .filter(col("n_entries") > 0)
   }
 
   /** Synthetic user table derived from the sf-scaled customer table so
@@ -387,6 +450,7 @@ object EtlOps {
     "q_etl_scale_load" -> (etlScaleLoad _),
     "q_etl_scale_cdc" -> (etlScaleCdc _),
     "q_etl_cdf" -> (etlCdf _),
+    "q_etl_cdf_apply" -> (etlCdfApply _),
     "q_j7_ph15_sweep" -> (deletePh15Sweep _),
     "q_j8_email_heal" -> (ph15EmailHeal _),
   )
@@ -437,6 +501,15 @@ object EtlOps {
         |  FROM v1 FULL OUTER JOIN v2 ON v1.dn = v2.dn)
         |SELECT dn, change_type FROM j
         |WHERE change_type IS NOT NULL ORDER BY dn""".stripMargin,
+    // MV-apply must land on the direct rescan of the TARGET version:
+    // the oracle never sees the base MV or the CDF, only the answer
+    // the incremental path is contractually bound to reproduce
+    "q_etl_cdf_apply" ->
+      """SELECT CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '+'
+        |            ELSE c_mktsegment END AS segment,
+        |       COUNT(*)::BIGINT AS n_entries
+        |FROM customer WHERE c_custkey % 10 <> 7
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_j7_ph15_sweep" ->
       """SELECT * FROM (VALUES
         |  ('caesar1', 1, 0),

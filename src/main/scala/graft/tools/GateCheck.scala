@@ -26,6 +26,11 @@ object GateCheck {
     // the per-path medians feed the BENCH_sf1 forced-path slopes, so
     // they must be measured the way Bench measures.
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-path min-of-reps next to every median (round 17, mirroring
+    // the sweep rows): a contended gatecheck shows median >> min on
+    // unchanged plans, so the forced-path table is adjudicable from
+    // the artifact alone like everything else BENCH_sf1 carries
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed[T](tag: String)(f: => T): T = {
       var r: T = f // warm-up (untimed)
       val ts = (1 to 3).map { _ =>
@@ -37,6 +42,7 @@ object GateCheck {
       }
       val med = graft.Bench.median(ts)
       medians(tag) = med
+      mins(tag) = ts.min
       println(f"[gatecheck] $tag: $med%.2f s (median of ${ts.map(t => f"$t%.2f").mkString(",")})")
       r
     }
@@ -159,11 +165,16 @@ object GateCheck {
     assert(bpeLocal == bpeDist, "bpe merge tables disagree between gate sides")
     println(s"[gatecheck] bpe agree (identical merges): n=${bpeLocal.size}")
 
-    // one machine-readable line for the BENCH_sf1 slope bookkeeping
-    println("GATECHECK_JSON {" + medians.map { case (k, v) =>
-      "\"" + k.replace(' ', '_') + "\":" +
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    }.mkString(",") + s""","sf":"$sfDir"}""")
+    // one machine-readable line for the BENCH_sf1 slope bookkeeping;
+    // "_mins" is nested so mk_sf1's k != "sf" top-level filter only
+    // needs to exclude one more reserved key
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) =>
+        "\"" + k.replace(' ', '_') + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString(",")
+    println("GATECHECK_JSON {" + jmap(medians) +
+      ",\"_mins\":{" + jmap(mins) + "}" + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

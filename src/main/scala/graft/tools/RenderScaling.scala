@@ -176,13 +176,21 @@ object RenderScaling {
         val f01 = numMap(fp \ "sf01")
         val f1 = numMap(fp \ "sf1")
         val fs = numMap(fp \ "slope")
+        val fsMin = (fp \ "slope_min") match {
+          case JNothing => Map.empty[String, Double]
+          case other => numMap(other)
+        }
+        val fMinHdr = if (fsMin.isEmpty) "" else " slope@min |"
         val frows = fs.toSeq.sortBy { case (n, s) => (s, n) }
           .map { case (n, s) =>
-            s"| ${n.replace('_', ' ')} | ${r2(f01(n))} | ${r2(f1(n))} | ${r1(s)}× |"
+            val minCell = fsMin.get(n).map(m => s" ${r1(m)}× |").getOrElse("")
+            s"| ${n.replace('_', ' ')} | ${r2(f01(n))} | ${r2(f1(n))} | ${r1(s)}× |$minCell"
           }.mkString("\n")
         "\n\nForced-path medians (`graft.tools.GateCheck`, both sides of " +
           "every\nbudget gate forced, same rep protocol):\n\n" +
-          "| path | sf0.1 s | sf1 s | slope |\n|---|---|---|---|\n" + frows
+          "| path | sf0.1 s | sf1 s | slope |" + fMinHdr +
+          "\n|---|---|---|---|" + (if (fsMin.isEmpty) "" else "---|") +
+          "\n" + frows
     }
     "| query | sf0.1 s | sf1 s | slope (linear = 10×) |" + minHdr +
       "\n|---|---|---|---|" + (if (slopeMin.isEmpty) "" else "---|") +

@@ -83,6 +83,38 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(Directory.changes(spark, dir, vs.head, vs.head).isEmpty)
   }
 
+  test("CDF-apply retracts a group to zero and drops it from the MV") {
+    // the registered q_etl_cdf_apply never empties a segment (the
+    // synthetic versions keep every market segment populated), so the
+    // retraction edge — a group whose count reaches 0 must VANISH,
+    // not linger at 0 or go negative — is pinned here on a hand-built
+    // store: group "b" loses its only member, "a" loses one of two and
+    // gains nothing, "c" is born
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def e(cn: String, g: String) =
+      Directory.Entry(s"cn=$cn,dc=t", Map("g" -> Seq(g)))
+    val v1 = Seq(e("a1", "a"), e("a2", "a"), e("b1", "b")).toDS()
+    val v2 = Seq(e("a1", "a"), e("c1", "c")).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfmv").toString
+    Directory.save(v1, dir, retain = 2)
+    Directory.save(v2, dir, retain = 2)
+    val vs = Directory.versions(dir)
+    val key = (attrs: org.apache.spark.sql.Column) => element_at(attrs("g"), 1)
+    val base = Directory.loadVersion(spark, dir, vs(1)).toDF()
+      .groupBy(key(col("attrs")).as("seg")).agg(count(lit(1)).as("delta"))
+    val got = graft.operators.EtlOps.applyCountCdf(base,
+        Directory.changes(spark, dir, vs(1), vs.head), key)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "c" -> 1L), got)
+    // and the incremental answer IS the direct rescan of v2
+    val rescan = Directory.loadVersion(spark, dir, vs.head).toDF()
+      .groupBy(key(col("attrs")).as("seg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == rescan)
+  }
+
   test("versions lists a pre-marker store (no _published dir) via its pointer") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -22,7 +22,8 @@ QUERIES = [
     "q_cur_upsample", "q_dedup_canonical", "q_dedup_crossmodal",
     "q_dedup_groups", "q_dedup_matrix", "q_dedup_semantic",
     "q_dedup_substring", "q_dedup_content_chunks",
-    "q_dq_observe", "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
+    "q_dq_observe", "q_etl_cdf", "q_etl_cdf_apply",
+    "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
     "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop", "q_g7_ppr",
     "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
     "q_knn_hardneg", "q_knn_ivf", "q_knn_ivfpq", "q_knn_pca",
@@ -45,6 +46,13 @@ QUERIES = [
 ]
 
 NOTE = (
+    "Round-17 second refresh: the slice gains the snapshot-CDF family "
+    "- q_etl_cdf (two-version change-data-feed, one dn-keyed "
+    "full-outer join) and q_etl_cdf_apply (incremental MV maintenance "
+    "with retractions: |MV| + |changes| work, never a table rescan) - "
+    "and forced_paths gains per-path mins (GateCheck _mins), "
+    "completing the min-next-to-every-median property across the "
+    "whole artifact. "
     "Round-17 refresh: (1) per-row MIN alongside every median "
     "(sf01_min/sf1_min/slope_min, min-of-reps like BENCH_r16's mins "
     "map) so a contended sweep is adjudicable from this artifact "
@@ -200,9 +208,14 @@ def main():
     m1 = {k: v[0] for k, v in a1["spread"].items()}
     slope = {k: round(sf1[k] / sf01[k], 2) for k in sorted(sf01)}
     slope_min = {k: round(m1[k] / m01[k], 2) for k in sorted(m01)}
-    fp01 = {k: v for k, v in g01.items() if k != "sf"}
-    fp1 = {k: v for k, v in g1.items() if k != "sf"}
+    fp01 = {k: v for k, v in g01.items() if k not in ("sf", "_mins")}
+    fp1 = {k: v for k, v in g1.items() if k not in ("sf", "_mins")}
     fslope = {k: round(fp1[k] / fp01[k], 2) for k in sorted(fp01)}
+    # forced-path mins (round 17: GateCheck emits them nested so this
+    # stays backward-compatible with a pre-round-17 GateCheck build)
+    fm01, fm1 = g01.get("_mins", {}), g1.get("_mins", {})
+    fslope_min = {k: round(fm1[k] / fm01[k], 2)
+                  for k in sorted(fm01) if k in fm1}
     out = {
         "metric": "scaling_slope_sf0.1_to_sf1",
         "unit": "sec",
@@ -215,7 +228,9 @@ def main():
         "slope_min": slope_min,
         "slow_tail": {"sf01": a01.get("slow_tail", []),
                       "sf1": a1.get("slow_tail", [])},
-        "forced_paths": {"sf01": fp01, "sf1": fp1, "slope": fslope},
+        "forced_paths": {"sf01": fp01, "sf1": fp1, "slope": fslope,
+                         "sf01_min": fm01, "sf1_min": fm1,
+                         "slope_min": fslope_min},
         "max_slope": max(slope.values()),
         "max_slope_min": max(slope_min.values()),
         "max_forced_slope": max(fslope.values()),
