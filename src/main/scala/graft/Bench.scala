@@ -145,6 +145,17 @@ object Bench {
   private def r3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** The numeric value the artifact serializes (ms rounding). The
+    * volatile/slow-tail classifiers evaluate ROUNDED values so the
+    * artifact gates (BenchContractSpec recomputes both lists from the
+    * artifact's r3-rounded queries/spread maps) see exactly the
+    * numbers the producer classified — a raw-value classification
+    * could disagree with the recompute on a row within ~0.0005 s of a
+    * threshold, flipping a legitimately promoted artifact red purely
+    * from rounding.
+    */
+  private def r3d(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+
   private def queriesObj(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -175,8 +186,9 @@ object Bench {
     */
   def volatileNames(results: Seq[(String, Double, Boolean, Double, Double)]): Seq[String] =
     results.collect {
-      case (k, med, _, lo, _)
-        if med > lo * volatileRatio(k) && med - lo > 1.0 => k
+      case (k, med0, _, lo0, _)
+        if { val (med, lo) = (r3d(med0), r3d(lo0))
+          med > lo * volatileRatio(k) && med - lo > 1.0 } => k
     }
 
   def volatileRatio(name: String): Double =
@@ -196,7 +208,9 @@ object Bench {
     */
   def slowTailNames(results: Seq[(String, Double, Boolean, Double, Double)]): Seq[String] =
     results.collect {
-      case (k, _, _, lo, hi) if hi > lo * 2.5 && hi - lo > 1.0 => k
+      case (k, _, _, lo0, hi0)
+        if { val (lo, hi) = (r3d(lo0), r3d(hi0))
+          hi > lo * 2.5 && hi - lo > 1.0 } => k
     }
 
   private def slowTailArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =

@@ -255,19 +255,38 @@ object Directory {
     * `dn` (the store's natural key) over two immutable snapshot
     * versions — never a scan of history. Both sides shuffle on dn:
     * `loadVersion` reads plain versioned parquet, which carries no
-    * bucketing metadata (route the snapshots through `saveBucketed`'s
-    * table path when a zero-exchange CDF matters at scale).
+    * bucketing metadata (`changesBucketed` below is the zero-exchange
+    * path over `saveBucketed` versions when the CDF recurs at scale).
     * Attribute equality compares key-sorted map entries
     * (Spark cannot equality-test MapType directly); value-list order
     * inside an attribute is semantic in the snapshot contract, so it
     * stays positional.
     */
   def changes(spark: SparkSession, dir: String,
-      fromV: String, toV: String): DataFrame = {
-    val a = loadVersion(spark, dir, fromV).toDF()
-      .select(col("dn").as("dn_from"), col("attrs").as("attrs_from"))
-    val b = loadVersion(spark, dir, toV).toDF()
-      .select(col("dn").as("dn_to"), col("attrs").as("attrs_to"))
+      fromV: String, toV: String): DataFrame =
+    changesBetween(loadVersion(spark, dir, fromV).toDF(),
+      loadVersion(spark, dir, toV).toDF())
+
+  /** Zero-exchange CDF over BUCKETED snapshot versions: both tables
+    * were written `saveBucketed` (dn-bucketed + dn-sorted, same bucket
+    * count), so the full-outer join consumes bucket i against bucket i
+    * directly — no Exchange on either side (the aliasing projections
+    * preserve the bucket partitioning; BucketedCdfSpec pins the plan
+    * structurally). At 100 TB the CDF's only cost was the dn shuffle of
+    * two full snapshot versions; routing the versions through the
+    * bucketed store makes the feed a co-located merge, the same
+    * write-once/join-forever trade as the SMB join. GateCheck prices
+    * plain vs bucketed at both sweep SFs (forced_paths `cdf_*` rows).
+    */
+  def changesBucketed(spark: SparkSession, fromTable: String,
+      toTable: String): DataFrame =
+    changesBetween(spark.table(fromTable), spark.table(toTable))
+
+  /** The CDF core: classify between any two (dn, attrs) frames. */
+  private[graft] def changesBetween(from: DataFrame, to: DataFrame)
+      : DataFrame = {
+    val a = from.select(col("dn").as("dn_from"), col("attrs").as("attrs_from"))
+    val b = to.select(col("dn").as("dn_to"), col("attrs").as("attrs_to"))
     def canon(c: Column): Column = array_sort(map_entries(c))
     a.join(b, col("dn_from") === col("dn_to"), "full_outer")
       .withColumn("change_type",

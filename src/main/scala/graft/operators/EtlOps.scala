@@ -170,29 +170,75 @@ object EtlOps {
           .take(12)).getPath
     val fp = graft.Tables.fingerprint(d, "customer")
     cdfMemo.compute(dir, (_, prev) => {
-      if (prev == fp) prev
+      // a matching fingerprint only proves WE staged this store in this
+      // JVM — not that it still exists: /tmp reapers can clean the dir
+      // mid-session, after which every rep would throw in
+      // Directory.versions instead of re-staging. Verify the store's
+      // pointer file is still on disk before trusting the memo.
+      if (prev == fp && new java.io.File(dir, "CURRENT").exists()) prev
       else {
         Directory.deleteRecursively(new java.io.File(dir))
-        val cust = graft.Tables.customer(s, d)
-        def version(dropMod: Int, mutate: Boolean) = {
-          val seg =
-            if (mutate)
-              when(col("c_custkey") % 5 === 0,
-                concat(col("c_mktsegment"), lit("+")))
-                .otherwise(col("c_mktsegment"))
-            else col("c_mktsegment")
-          cust.filter(col("c_custkey") % 10 =!= dropMod)
-            .select(
-              concat(lit("c="), col("c_custkey").cast("string")).as("dn"),
-              map(lit("segment"), array(seg)).as("attrs"))
-            .as[Directory.Entry]
-        }
-        Directory.save(version(3, mutate = false), dir, retain = 2)
-        Directory.save(version(7, mutate = true), dir, retain = 2)
+        Directory.save(cdfVersion(s, d, 3, mutate = false), dir, retain = 2)
+        Directory.save(cdfVersion(s, d, 7, mutate = true), dir, retain = 2)
         fp
       }
     })
     dir
+  }
+
+  /** One synthetic snapshot version for the CDF family: customer rows
+    * minus custkey%10==dropMod, segment rewritten where %5==0 when
+    * `mutate`. `weight` (the custkey, version-stable) is the SUM
+    * measure for the retraction kernel — an update moves the entry's
+    * weight between segments, exercising both the debit and the credit.
+    */
+  private def cdfVersion(s: SparkSession, d: String, dropMod: Int,
+      mutate: Boolean): org.apache.spark.sql.Dataset[Directory.Entry] = {
+    import s.implicits._
+    val seg =
+      if (mutate)
+        when(col("c_custkey") % 5 === 0,
+          concat(col("c_mktsegment"), lit("+")))
+          .otherwise(col("c_mktsegment"))
+      else col("c_mktsegment")
+    graft.Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 =!= dropMod)
+      .select(
+        concat(lit("c="), col("c_custkey").cast("string")).as("dn"),
+        map(lit("segment"), array(seg),
+          lit("weight"), array(col("c_custkey").cast("string"))).as("attrs"))
+      .as[Directory.Entry]
+  }
+
+  // staged BUCKETED versions for the zero-exchange CDF path: catalog
+  // table names, memoized like cdfMemo (re-staged when the source
+  // fingerprint changes or the tables fell out of the catalog)
+  private val cdfBucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the same two synthetic versions as dn-bucketed catalog
+    * tables (the `Directory.saveBucketed` layout); returns
+    * (fromTable, toTable) for `Directory.changesBucketed`. Table names
+    * carry a pid+dataset namespace like the SMB join's — a fixed name
+    * benched against two datasets in one JVM would alias stale data.
+    */
+  private[graft] def stagedCdfBucketedTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val ns = ProcessHandle.current().pid() + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val (t1, t2) = (s"graft_cdf_${ns}_v1", s"graft_cdf_${ns}_v2")
+    val fp = graft.Tables.fingerprint(d, "customer")
+    cdfBucketMemo.compute(ns, (_, prev) => {
+      if (prev == fp && s.catalog.tableExists(t1) && s.catalog.tableExists(t2))
+        prev
+      else {
+        Directory.saveBucketed(cdfVersion(s, d, 3, mutate = false), t1)
+        Directory.saveBucketed(cdfVersion(s, d, 7, mutate = true), t2)
+        fp
+      }
+    })
+    (t1, t2)
   }
 
   /** Incremental materialized-view maintenance WITH RETRACTIONS: keep
@@ -247,6 +293,96 @@ object EtlOps {
       .groupBy("seg")
       .agg(sum(col("delta")).as("n_entries"))
       .filter(col("n_entries") > 0)
+  }
+
+  /** The retraction kernel generalized to SUM: fold a CDF into a
+    * (key, count, sum-of-measure) aggregate. Same single-scan ±fan-out
+    * shape as `applyCountCdf`; the measure rides the same explode with
+    * a signed contribution. The COUNT COLUMN IS LOAD-BEARING for sum:
+    * a group must vanish exactly when its last row does (cnt reaches
+    * 0), never when its sum happens to reach 0 with live rows — so the
+    * MV stores (cnt, sum) pairs, the standard incremental-view-
+    * maintenance bookkeeping. MIN/MAX deliberately have NO incremental
+    * twin here: retracting the group's extremum leaves the runner-up
+    * unknowable from (MV, CDF) alone — two stores with identical MV
+    * state and identical CDFs can require different new maxima
+    * (SnapshotStoreSpec constructs the counterexample) — so max
+    * refresh under deletion is a rescan (`Maintenance.mvMerge` merges
+    * max append-only, where the algebra IS closed).
+    */
+  private[graft] def applySumCdf(base: DataFrame, cdf: DataFrame,
+      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      measureOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    def c(attrs: String, sign: Long) =
+      struct(keyOf(col(attrs)).as("seg"), lit(sign).as("dc"),
+        (lit(sign) * measureOf(col(attrs))).as("dm"))
+    val deltas = cdf.select(explode(
+        when(col("change_type") === "insert", array(c("attrs_to", 1L)))
+          .when(col("change_type") === "delete", array(c("attrs_from", -1L)))
+          .otherwise(array(c("attrs_from", -1L), c("attrs_to", 1L))))
+        .as("x"))
+      .select(col("x.seg").as("seg"), col("x.dc").as("cnt"),
+        col("x.dm").as("msum"))
+    base.unionByName(deltas)
+      .groupBy("seg")
+      .agg(sum(col("cnt")).as("cnt"), sum(col("msum")).as("msum"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** SUM-MV maintenance over the CDF: per-segment (entry count, total
+    * weight) kept current incrementally; oracle = direct rescan of the
+    * target version, so the ± fold must land on the exact answer.
+    */
+  def etlCdfApplySum(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedCdfStore(s, d)
+    val vs = Directory.versions(dir) // newest first
+    val seg = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("segment"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("weight"), 1).cast("long")
+    val base = Directory.loadVersion(s, dir, vs(1)).toDF()
+      .groupBy(seg(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
+    applySumCdf(base, Directory.changes(s, dir, vs(1), vs.head), seg, w)
+      .select(col("seg").as("segment"), col("cnt").as("n_entries"),
+        col("msum").as("sum_weight"))
+      .orderBy("segment")
+  }
+
+  /** Oracle-gated snapshot-store compaction (`Directory.compact`): each
+    * execution stages a FRAGMENTED commit (the polling-CDC shape — file
+    * count follows write parallelism, 64 tasks for a table that needs
+    * 1–15 files) and compacts it, returning (file count, row count,
+    * content checksum). The file count is derivable by the oracle
+    * (⌈rows/target⌉), and the checksum pins content invariance — the
+    * whole point of an OPTIMIZE pass is that readers cannot tell it
+    * happened except by file count. Re-staged every execution: the op
+    * IS the rewrite, so a memo would leave nothing to measure.
+    */
+  def etlCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_compactstore_" + ProcessHandle.current().pid() + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(12)).getPath
+    Directory.deleteRecursively(new java.io.File(dir))
+    val entries = graft.Tables.customer(s, d)
+      .select(
+        concat(lit("c="), col("c_custkey").cast("string")).as("dn"),
+        map(lit("segment"), array(col("c_mktsegment"))).as("attrs"))
+      .repartition(64)
+      .as[Directory.Entry]
+    Directory.save(entries, dir)
+    Directory.compact(s, dir, targetRows = 1000L)
+    val v = Directory.versions(dir).head
+    val nFiles = Option(new java.io.File(s"$dir/$v").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet")).toLong
+    Directory.load(s, dir).toDF()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(substring(col("dn"), 3, 18).cast("long")).as("sum_key"))
+      .select(lit(nFiles).as("n_files"), col("n_rows"), col("sum_key"))
   }
 
   /** Synthetic user table derived from the sf-scaled customer table so
@@ -451,6 +587,8 @@ object EtlOps {
     "q_etl_scale_cdc" -> (etlScaleCdc _),
     "q_etl_cdf" -> (etlCdf _),
     "q_etl_cdf_apply" -> (etlCdfApply _),
+    "q_etl_cdf_apply_sum" -> (etlCdfApplySum _),
+    "q_etl_compact" -> (etlCompact _),
     "q_j7_ph15_sweep" -> (deletePh15Sweep _),
     "q_j8_email_heal" -> (ph15EmailHeal _),
   )
@@ -510,6 +648,22 @@ object EtlOps {
         |       COUNT(*)::BIGINT AS n_entries
         |FROM customer WHERE c_custkey % 10 <> 7
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+    // the SUM twin: same rescan-of-target-version contract, with the
+    // per-segment weight total alongside the count
+    "q_etl_cdf_apply_sum" ->
+      """SELECT CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '+'
+        |            ELSE c_mktsegment END AS segment,
+        |       COUNT(*)::BIGINT AS n_entries,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_weight
+        |FROM customer WHERE c_custkey % 10 <> 7
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    // compaction is content-invariant (count + key checksum reproduce
+    // straight from the source) and its file count is ⌈rows/target⌉
+    "q_etl_compact" ->
+      """SELECT CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer""".stripMargin,
     "q_j7_ph15_sweep" ->
       """SELECT * FROM (VALUES
         |  ('caesar1', 1, 0),

@@ -159,7 +159,14 @@ object StreamToolOps {
     // changed, and adds no memo entry if the staging throws.
     val fp = eventsFingerprint(d)
     sliceMemo.compute(path, (_, prev) => {
-      if (prev == fp) prev
+      // same hardening as EtlOps.cdfMemo: the fingerprint proves we
+      // staged the zone, not that a /tmp reaper hasn't since removed
+      // it — verify at least one staged slice is still on disk before
+      // trusting the memo, else re-stage
+      val intact = Option(new java.io.File(path).listFiles())
+        .exists(_.exists(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")))
+      if (prev == fp && intact) prev
       else {
         graft.Tables.events(s, d).select(col("user_id"), col("ts"))
           .repartitionByRange(4, col("ts"))

@@ -165,6 +165,34 @@ object GateCheck {
     assert(bpeLocal == bpeDist, "bpe merge tables disagree between gate sides")
     println(s"[gatecheck] bpe agree (identical merges): n=${bpeLocal.size}")
 
+    // snapshot CDF: plain versioned parquet (both sides shuffle on dn)
+    // vs dn-bucketed tables (zero-exchange merge — BucketedCdfSpec pins
+    // the plan). Not a budget gate but the same A/B discipline: the
+    // bucketed path is the one that matters when the CDF recurs at
+    // 100 TB, so both layouts are priced here with classification
+    // equality asserted. Staging (snapshot saves / bucketed writes) is
+    // memoized per JVM, so the warm-up pays it and the timed reps price
+    // the feed itself.
+    def cdfRows(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.select("dn", "change_type").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val cdfPlain = timed("cdf plain") {
+      cdfRows(graft.operators.EtlOps.etlCdf(spark, sfDir))
+    }
+    val (cdfT1, cdfT2) =
+      graft.operators.EtlOps.stagedCdfBucketedTables(spark, sfDir)
+    // same terminal shape as etlCdf (projection + dn sort) so the A/B
+    // isolates the layout, not the query tail
+    val cdfBucketed = timed("cdf bucketed") {
+      cdfRows(graft.etl.Directory.changesBucketed(spark, cdfT1, cdfT2)
+        .select(org.apache.spark.sql.functions.col("dn"),
+          org.apache.spark.sql.functions.col("change_type"))
+        .orderBy("dn"))
+    }
+    assert(cdfPlain == cdfBucketed,
+      "CDF classification disagrees between plain and bucketed layouts")
+    println(s"[gatecheck] cdf layouts agree: n=${cdfPlain.size}")
+
     // one machine-readable line for the BENCH_sf1 slope bookkeeping;
     // "_mins" is nested so mk_sf1's k != "sf" top-level filter only
     // needs to exclude one more reserved key

@@ -30,6 +30,17 @@ import org.json4s.jackson.JsonMethods
   * whose numbers were not promoted). ScalingDocSpec runs the committed
   * comparison in `sbt test`, so a stale doc is a red build exactly
   * like a stale fixture (FixtureDriftSpec).
+  *
+  * `--render-only` re-renders SCALING.md from the COMMITTED
+  * BENCH_DOC.json + BENCH_sf1.json without ever promoting: the sf1
+  * sweep (tools/mk_sf1.py) rewrites BENCH_sf1.json and needs the doc
+  * re-spliced to match, but a default (promoting) render there would
+  * silently copy any untracked BENCH_LAST.json lying in the repo root
+  * over the snapshot of record — a contended full-fleet run promoted
+  * as a SIDE EFFECT of an unrelated sweep, exactly the hazard the
+  * promote/check split exists to prevent. Promotion stays an explicit,
+  * deliberate act (the no-flag invocation after a quiet full-fleet
+  * bench).
   */
 object RenderScaling {
   private def r2(v: Double): String =
@@ -283,6 +294,23 @@ object RenderScaling {
         sys.exit(1)
       }
       println("SCALING.md matches BENCH_DOC.json + BENCH_sf1.json")
+    } else if (args.contains("--render-only")) {
+      // re-render from COMMITTED artifacts only; BENCH_DOC.json is
+      // never written, so a stale/contended BENCH_LAST.json in the
+      // repo root cannot be promoted as a side effect
+      val out = render(doc,
+        JsonMethods.parse(read("BENCH_DOC.json")),
+        JsonMethods.parse(read("BENCH_sf1.json")))
+      java.nio.file.Files.write(root.resolve("SCALING.md"),
+        out.getBytes("UTF-8"))
+      if (exists("BENCH_LAST.json") &&
+          read("BENCH_LAST.json") != read("BENCH_DOC.json"))
+        System.err.println("note: runtime BENCH_LAST.json differs from " +
+          "BENCH_DOC.json and was NOT promoted (render-only); promote " +
+          "a quiet full-fleet run explicitly with: " +
+          "sbt \"runMain graft.tools.RenderScaling\"")
+      println("SCALING.md regenerated from BENCH_DOC.json + " +
+        "BENCH_sf1.json (no promotion)")
     } else {
       promoteAndRender(root)
       println("BENCH_LAST.json promoted to BENCH_DOC.json; SCALING.md " +

@@ -115,6 +115,79 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got == rescan)
   }
 
+  test("SUM CDF-apply: groups vanish on count zero, never on sum zero") {
+    // the count column is load-bearing for the SUM kernel: group "z"
+    // keeps live rows whose weights cancel to 0 — it must STAY (sum 0
+    // is an answer, not an absence) — while group "b" loses its last
+    // row and must vanish; "a" takes an in-place weight update
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def e(cn: String, g: String, w: Long) =
+      Directory.Entry(s"cn=$cn,dc=t",
+        Map("g" -> Seq(g), "w" -> Seq(w.toString)))
+    val v1 = Seq(e("a1", "a", 10), e("b1", "b", 7),
+      e("z1", "z", 5), e("z2", "z", 3)).toDS()
+    val v2 = Seq(e("a1", "a", 12), e("z1", "z", 5), e("z2", "z", -5)).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfsum").toString
+    Directory.save(v1, dir, retain = 2)
+    Directory.save(v2, dir, retain = 2)
+    val vs = Directory.versions(dir)
+    val key = (attrs: org.apache.spark.sql.Column) => element_at(attrs("g"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("w"), 1).cast("long")
+    val base = Directory.loadVersion(spark, dir, vs(1)).toDF()
+      .groupBy(key(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
+    val got = graft.operators.EtlOps.applySumCdf(base,
+        Directory.changes(spark, dir, vs(1), vs.head), key, w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1L, 12L), ("z", 2L, 0L)), got)
+    // and the incremental answer IS the direct rescan of v2
+    val rescan = Directory.loadVersion(spark, dir, vs.head).toDF()
+      .groupBy(key(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == rescan)
+  }
+
+  test("MAX retraction is unrecoverable from (MV, CDF) alone — rescan fallback is forced") {
+    // the decision pin: applySumCdf deliberately has no MIN/MAX twin.
+    // Witness: two stores whose group-g MV state (max = 5) and whose
+    // CDFs (delete the max-carrying entry, same dn, same attrs) are
+    // IDENTICAL, yet whose correct new maxima differ — so no function
+    // of (MV, CDF) can maintain max under deletion; only a rescan can.
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def e(cn: String, w: Long) =
+      Directory.Entry(s"cn=$cn,dc=t", Map("g" -> Seq("g"), "w" -> Seq(w.toString)))
+    def mkStore(runnerUp: Long): (String, Seq[String]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-cdfmax$runnerUp").toString
+      Directory.save(Seq(e("x", 5), e("other", runnerUp)).toDS(), dir, retain = 2)
+      Directory.save(Seq(e("other", runnerUp)).toDS(), dir, retain = 2)
+      (dir, Directory.versions(dir))
+    }
+    val (dirA, vsA) = mkStore(runnerUp = 3)
+    val (dirB, vsB) = mkStore(runnerUp = 4)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("w"), 1).cast("long")
+    def mvMax(dir: String, v: String): Long =
+      Directory.loadVersion(spark, dir, v).toDF()
+        .agg(max(w(col("attrs")))).collect().head.getLong(0)
+    def cdfRows(dir: String, vs: Seq[String]): Set[(String, String, Long)] =
+      Directory.changes(spark, dir, vs(1), vs.head)
+        .select(col("dn"), col("change_type"), w(col("attrs_from")))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    // identical inputs to any would-be incremental max maintainer ...
+    assert(mvMax(dirA, vsA(1)) == mvMax(dirB, vsB(1)))
+    assert(cdfRows(dirA, vsA) == cdfRows(dirB, vsB))
+    // ... but different correct outputs: the rescan answers diverge
+    assert(mvMax(dirA, vsA.head) == 3L && mvMax(dirB, vsB.head) == 4L)
+  }
+
   test("versions lists a pre-marker store (no _published dir) via its pointer") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -206,16 +206,32 @@ def main():
     # regression moves both together. Adjudicable from this file alone.
     m01 = {k: v[0] for k, v in a01["spread"].items()}
     m1 = {k: v[0] for k, v in a1["spread"].items()}
-    slope = {k: round(sf1[k] / sf01[k], 2) for k in sorted(sf01)}
-    slope_min = {k: round(m1[k] / m01[k], 2) for k in sorted(m01)}
+
+    # ratio maps with a zero-denominator guard: per-row values come
+    # from the artifact's r3-rounded maps, so a sub-0.5 ms rep
+    # serializes as 0.000 and a bare division would abort the whole
+    # ~15-minute double sweep at the very end; skip + log instead
+    def slopes(num, den, tag):
+        out, dropped = {}, []
+        for k in sorted(den):
+            if k in num and den[k] > 0:
+                out[k] = round(num[k] / den[k], 2)
+            else:
+                dropped.append(k)
+        if dropped:
+            print(f"[mk_sf1] {tag}: dropped zero/missing-denominator "
+                  f"rows: {dropped}", flush=True)
+        return out
+
+    slope = slopes(sf1, sf01, "slope")
+    slope_min = slopes(m1, m01, "slope_min")
     fp01 = {k: v for k, v in g01.items() if k not in ("sf", "_mins")}
     fp1 = {k: v for k, v in g1.items() if k not in ("sf", "_mins")}
-    fslope = {k: round(fp1[k] / fp01[k], 2) for k in sorted(fp01)}
+    fslope = slopes(fp1, fp01, "forced slope")
     # forced-path mins (round 17: GateCheck emits them nested so this
     # stays backward-compatible with a pre-round-17 GateCheck build)
     fm01, fm1 = g01.get("_mins", {}), g1.get("_mins", {})
-    fslope_min = {k: round(fm1[k] / fm01[k], 2)
-                  for k in sorted(fm01) if k in fm1}
+    fslope_min = slopes(fm1, fm01, "forced slope_min")
     out = {
         "metric": "scaling_slope_sf0.1_to_sf1",
         "unit": "sec",
@@ -243,10 +259,16 @@ def main():
     # artifact -> doc atomically: the round-16 end-of-round auto-sweep
     # overwrote BENCH_sf1.json without re-rendering and shipped a red
     # ScalingDocSpec; rendering HERE makes desync structurally
-    # impossible for every future producer of this artifact
+    # impossible for every future producer of this artifact.
+    # --render-only: the sweep must NOT promote — a default render
+    # would copy any untracked BENCH_LAST.json (possibly a stale or
+    # contended full-fleet run) over the committed BENCH_DOC.json as a
+    # side effect; promotion stays an explicit act after a quiet
+    # full-fleet bench.
     print("[mk_sf1] wrote BENCH_sf1.json; rendering SCALING.md ...",
           flush=True)
-    subprocess.run(["sbt", "-batch", "runMain graft.tools.RenderScaling"],
+    subprocess.run(["sbt", "-batch",
+                    "runMain graft.tools.RenderScaling --render-only"],
                    check=True)
     print("[mk_sf1] BENCH_sf1.json + SCALING.md consistent")
 
