@@ -257,6 +257,26 @@ object RenderScaling {
       out.getBytes("UTF-8"))
   }
 
+  /** The render-only transaction, rooted for the spec like
+    * `promoteAndRender`: re-render SCALING.md from the COMMITTED
+    * artifacts only — BENCH_DOC.json is never written, so a stale or
+    * contended BENCH_LAST.json in the tree cannot become the snapshot
+    * of record as a side effect (the mk_sf1.py hazard). Returns true
+    * when an unpromoted BENCH_LAST.json differs from the snapshot, so
+    * the caller can surface the fact.
+    */
+  def renderOnly(root: java.nio.file.Path): Boolean = {
+    def read(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(root.resolve(p)), "UTF-8")
+    val out = render(read("SCALING.md"),
+      JsonMethods.parse(read("BENCH_DOC.json")),
+      JsonMethods.parse(read("BENCH_sf1.json")))
+    java.nio.file.Files.write(root.resolve("SCALING.md"),
+      out.getBytes("UTF-8"))
+    java.nio.file.Files.exists(root.resolve("BENCH_LAST.json")) &&
+      read("BENCH_LAST.json") != read("BENCH_DOC.json")
+  }
+
   def main(args: Array[String]): Unit = {
     val root = java.nio.file.Paths.get(".")
     def read(p: String): String =
@@ -295,16 +315,7 @@ object RenderScaling {
       }
       println("SCALING.md matches BENCH_DOC.json + BENCH_sf1.json")
     } else if (args.contains("--render-only")) {
-      // re-render from COMMITTED artifacts only; BENCH_DOC.json is
-      // never written, so a stale/contended BENCH_LAST.json in the
-      // repo root cannot be promoted as a side effect
-      val out = render(doc,
-        JsonMethods.parse(read("BENCH_DOC.json")),
-        JsonMethods.parse(read("BENCH_sf1.json")))
-      java.nio.file.Files.write(root.resolve("SCALING.md"),
-        out.getBytes("UTF-8"))
-      if (exists("BENCH_LAST.json") &&
-          read("BENCH_LAST.json") != read("BENCH_DOC.json"))
+      if (renderOnly(root))
         System.err.println("note: runtime BENCH_LAST.json differs from " +
           "BENCH_DOC.json and was NOT promoted (render-only); promote " +
           "a quiet full-fleet run explicitly with: " +

@@ -56,6 +56,30 @@ class RenderPromoteSpec extends AnyFunSuite {
     }
   }
 
+  test("render-only re-renders from the snapshot and NEVER promotes a lying-around BENCH_LAST.json") {
+    // the mk_sf1.py hazard: the sf1 sweep re-renders the doc for ITS
+    // artifact, but a default (promoting) render there would copy any
+    // untracked runtime file — possibly a stale or contended full-fleet
+    // run — over the committed snapshot of record as a side effect
+    val fresh = goodBench.replace("\"q_etl_scale_cdc\": 2.0",
+      "\"q_etl_scale_cdc\": 4.0")
+    val d = scratch(Some(fresh))
+    val differed = graft.tools.RenderScaling.renderOnly(d)
+    assert(differed, "the unpromoted-runtime-artifact signal must fire")
+    assert(Files.readString(d.resolve("BENCH_DOC.json")) == goodBench,
+      "render-only must never write the snapshot of record")
+    assert(Files.readString(d.resolve("BENCH_LAST.json")) == fresh)
+    val rendered = Files.readString(d.resolve("SCALING.md"))
+    // numbers come from the COMMITTED snapshot, not the runtime file
+    assert(rendered.contains("50.0k events/s"), rendered) // 100000 / 2.0 s
+    assert(!rendered.contains("25.0k events/s"),
+      "render-only spliced numbers from the unpromoted runtime artifact")
+    // and with no runtime file at all it renders quietly
+    val d2 = scratch(None)
+    assert(!graft.tools.RenderScaling.renderOnly(d2))
+    assert(Files.readString(d2.resolve("SCALING.md")).contains("50.0k events/s"))
+  }
+
   test("a valid BENCH_LAST.json promotes and renders; absent one, the snapshot re-renders") {
     val fresh = goodBench.replace("\"q_etl_scale_cdc\": 2.0",
       "\"q_etl_scale_cdc\": 4.0")

@@ -23,6 +23,7 @@ QUERIES = [
     "q_dedup_groups", "q_dedup_matrix", "q_dedup_semantic",
     "q_dedup_substring", "q_dedup_content_chunks",
     "q_dq_observe", "q_etl_cdf", "q_etl_cdf_apply",
+    "q_etl_cdf_apply_sum", "q_etl_compact",
     "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
     "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop", "q_g7_ppr",
     "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
@@ -46,6 +47,15 @@ QUERIES = [
 ]
 
 NOTE = (
+    "Round-18 refresh: forced_paths gains cdf_plain/cdf_bucketed (the "
+    "zero-exchange bucketed CDF A/B - classification equality asserted "
+    "by GateCheck, plan pinned by BucketedCdfSpec) and carries per-path "
+    "mins for every row. The slice gains q_etl_cdf_apply_sum (the "
+    "retraction kernel's SUM twin) and q_etl_compact (oracle-gated "
+    "snapshot-store compaction) from the sweep after the round-18 "
+    "artifact. The render step is now --render-only: the sweep "
+    "re-renders SCALING.md for ITS artifact without promoting whatever "
+    "BENCH_LAST.json happens to be in the tree. "
     "Round-17 second refresh: the slice gains the snapshot-CDF family "
     "- q_etl_cdf (two-version change-data-feed, one dn-keyed "
     "full-outer join) and q_etl_cdf_apply (incremental MV maintenance "
