@@ -152,9 +152,13 @@ object Bench {
     * numbers the producer classified — a raw-value classification
     * could disagree with the recompute on a row within ~0.0005 s of a
     * threshold, flipping a legitimately promoted artifact red purely
-    * from rounding.
+    * from rounding. Derived by PARSING the serialized form, not by a
+    * parallel rint: %.3f rounds HALF_UP while rint rounds half-even,
+    * so a value landing exactly on a .0005 boundary could still
+    * classify differently from the artifact's recompute — the exact
+    * producer/consumer skew this helper exists to eliminate.
     */
-  private def r3d(v: Double): Double = math.rint(v * 1000.0) / 1000.0
+  private def r3d(v: Double): Double = r3(v).toDouble
 
   private def queriesObj(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
@@ -219,6 +223,23 @@ object Bench {
   private def volatileArr(results: Seq[(String, Double, Boolean, Double, Double)]): String =
     volatileNames(results).map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** The SHORT line's slow-tail rendering (round 19): the round-18
+    * driver artifact said `slow_tail_n: 2` but never NAMED the rows —
+    * the full list shipped only in BENCH_LAST.json, which the driver's
+    * tail capture does not read, so the driver-side signal was
+    * write-only telemetry and the adjudication had to guess the pair
+    * from spreads. Same cap-plus-true-count protocol as `volatile`:
+    * the informational tier trips more often than the red one, so the
+    * cap is smaller to protect the tail-window budget.
+    */
+  private def slowTailShort(results: Seq[(String, Double, Boolean, Double, Double)],
+      cap: Int = 8): String = {
+    val names = slowTailNames(results)
+    "\"slow_tail\":" +
+      names.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      ",\"slow_tail_n\":" + names.size
+  }
+
   /** The SHORT line's volatile rendering: a severely contended run can
     * trip dozens of names, and an unbounded list would push the line
     * past the driver's tail-capture window on exactly the run the
@@ -281,6 +302,6 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMin = results.map(_._4).sum
     val head = results.sortBy(-_._2).take(top).sortBy(_._1)
-    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},${volatileShort(results)},"slow_tail_n":${slowTailNames(results).size},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":${queriesObj(head)},"mins":${minsObj(head)},"n_all":${results.size},"failed":${failedArr(results)},${volatileShort(results)},${slowTailShort(results)},"sf":"$sfDir"}"""
   }
 }

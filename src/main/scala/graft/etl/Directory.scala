@@ -330,10 +330,16 @@ object Directory {
     val snap = load(spark, dir)
     val files = math.max(1L,
       (snap.count() + targetRows - 1) / targetRows).toInt
-    // hash-repartition on the row key: bounded, evenly-spread files
+    // ROUND-ROBIN repartition, deliberately not keyed: a dn-hash
+    // repartition can leave a hash-empty partition, which writes no
+    // parquet file — the published file count would then undercut
+    // ⌈rows/target⌉ nondeterministically (the q_etl_compact oracle
+    // derives exactly that number). Round-robin distributes rows
+    // evenly by construction, so with rows >= files every partition is
+    // non-empty and the written count is structurally ⌈rows/target⌉.
     // (coalesce would keep whatever skew the write parallelism left)
     import spark.implicits._
-    save(snap.repartition(files, col("dn")).as[Entry], dir)
+    save(snap.repartition(files).as[Entry], dir)
     files
   }
 

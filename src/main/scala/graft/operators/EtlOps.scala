@@ -172,23 +172,25 @@ object EtlOps {
     */
   private def stagedCdfStore(s: SparkSession, d: String): String = {
     import s.implicits._
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_cdfstore_" + ProcessHandle.current().pid() + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          .take(12)).getPath
+    val dir = tmpPath("graft_cdfstore_", d)
     val fp = graft.Tables.fingerprint(d, "customer")
     cdfMemo.compute(dir, (_, prev) => {
       // a matching fingerprint only proves WE staged this store in this
       // JVM — not that it still exists: /tmp reapers can clean the dir
       // mid-session, after which every rep would throw in
-      // Directory.versions instead of re-staging. Verify the store's
-      // pointer file is still on disk before trusting the memo.
-      if (prev == fp && new java.io.File(dir, "CURRENT").exists()) prev
+      // Directory.versions instead of re-staging. Checking only the
+      // pointer file was not enough (round 19): a reaper that removed
+      // the version DATA dirs but left CURRENT — or swept one of the
+      // two retained versions — still passed, and every rep then threw
+      // in loadVersion. `Directory.versions` lists only versions whose
+      // data dir is actually on disk, so >= 2 retained versions plus a
+      // live pointer is the full precondition the CDF queries consume.
+      if (prev == fp && new java.io.File(dir, "CURRENT").exists()
+          && Directory.versions(dir).size >= 2) prev
       else {
         Directory.deleteRecursively(new java.io.File(dir))
-        Directory.save(cdfVersion(s, d, 3, mutate = false), dir, retain = 2)
-        Directory.save(cdfVersion(s, d, 7, mutate = true), dir, retain = 2)
+        Directory.save(cdfVersion(s, d, 3, gen = 1), dir, retain = 2)
+        Directory.save(cdfVersion(s, d, 7, gen = 2), dir, retain = 2)
         fp
       }
     })
@@ -196,20 +198,24 @@ object EtlOps {
   }
 
   /** One synthetic snapshot version for the CDF family: customer rows
-    * minus custkey%10==dropMod, segment rewritten where %5==0 when
-    * `mutate`. `weight` (the custkey, version-stable) is the SUM
-    * measure for the retraction kernel — an update moves the entry's
-    * weight between segments, exercising both the debit and the credit.
+    * minus custkey%10==dropMod, with the segment attribute mutated by
+    * GENERATION — gen 1 is the raw segment, gen 2 appends "+" where
+    * %5==0, gen 3 additionally appends "~" where %3==0 (so v2→v3 has
+    * fresh updates beyond v1→v2's, giving the streaming MV loop a
+    * second non-trivial commit). `weight` (the custkey,
+    * version-stable) is the SUM measure for the retraction kernel — an
+    * update moves the entry's weight between segments, exercising both
+    * the debit and the credit. Every predicate here is re-derived by
+    * the DuckDB oracles; the two protocols must not drift.
     */
   private def cdfVersion(s: SparkSession, d: String, dropMod: Int,
-      mutate: Boolean): org.apache.spark.sql.Dataset[Directory.Entry] = {
+      gen: Int): org.apache.spark.sql.Dataset[Directory.Entry] = {
     import s.implicits._
-    val seg =
-      if (mutate)
-        when(col("c_custkey") % 5 === 0,
-          concat(col("c_mktsegment"), lit("+")))
-          .otherwise(col("c_mktsegment"))
-      else col("c_mktsegment")
+    def suffix(active: Boolean, mod: Int, tag: String) =
+      if (active) when(col("c_custkey") % mod === 0, lit(tag)).otherwise(lit(""))
+      else lit("")
+    val seg = concat(col("c_mktsegment"),
+      suffix(gen >= 2, 5, "+"), suffix(gen >= 3, 3, "~"))
     graft.Tables.customer(s, d)
       .filter(col("c_custkey") % 10 =!= dropMod)
       .select(
@@ -242,8 +248,8 @@ object EtlOps {
       if (prev == fp && s.catalog.tableExists(t1) && s.catalog.tableExists(t2))
         prev
       else {
-        Directory.saveBucketed(cdfVersion(s, d, 3, mutate = false), t1)
-        Directory.saveBucketed(cdfVersion(s, d, 7, mutate = true), t2)
+        Directory.saveBucketed(cdfVersion(s, d, 3, gen = 1), t1)
+        Directory.saveBucketed(cdfVersion(s, d, 7, gen = 2), t2)
         fp
       }
     })
@@ -323,9 +329,20 @@ object EtlOps {
       keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       measureOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
+    // fail-fast measure: an absent or non-numeric measure attribute
+    // (element_at/cast yielding null) would make sum SKIP the
+    // contribution while cnt still counts the row — a silent divergence
+    // from the rescan oracle. Raising on the offending dn turns the
+    // contract violation into an error at the row that breaks it.
+    def m(attrs: String) = {
+      val v = measureOf(col(attrs))
+      when(v.isNotNull, v).otherwise(raise_error(concat(
+        lit(s"applySumCdf: null/non-numeric measure in $attrs for dn="),
+        col("dn"))))
+    }
     def c(attrs: String, sign: Long) =
       struct(keyOf(col(attrs)).as("seg"), lit(sign).as("dc"),
-        (lit(sign) * measureOf(col(attrs))).as("dm"))
+        (lit(sign) * m(attrs)).as("dm"))
     val deltas = cdf.select(explode(
         when(col("change_type") === "insert", array(c("attrs_to", 1L)))
           .when(col("change_type") === "delete", array(c("attrs_from", -1L)))
@@ -359,6 +376,75 @@ object EtlOps {
       .orderBy("segment")
   }
 
+  /** The bucketed-store CDF under the same oracle as `q_etl_cdf`
+    * (round 19): `Directory.changesBucketed` over the dn-bucketed
+    * catalog twins of the same two synthetic versions. BucketedCdfSpec
+    * pins the PLAN (SortMergeJoin, zero exchanges, both scans
+    * bucketed) and GateCheck asserts classification equality while
+    * pricing both layouts — this row closes the remaining gap: every
+    * other operator twin in the engine (rocksdb/HDFS, salted/plain)
+    * carries its own green CORRECTNESS row, so the zero-exchange CDF
+    * gets one too, against the identical rescan-derived oracle.
+    */
+  def etlCdfBucketed(s: SparkSession, d: String): DataFrame = {
+    val (t1, t2) = stagedCdfBucketedTables(s, d)
+    Directory.changesBucketed(s, t1, t2)
+      .select(col("dn"), col("change_type"))
+      .orderBy("dn")
+  }
+
+  /** MAX-MV refresh across a CDF — the RESCAN FALLBACK the SUM
+    * kernel's scaladoc commits to, as a decision kernel: MAX is closed
+    * under append (inserts merge with one `max`) but NOT under
+    * retraction (SnapshotStoreSpec constructs two stores with
+    * identical (MV, CDF) and different correct new maxima), so the
+    * kernel inspects the feed — insert-only folds incrementally at
+    * |MV| + |changes| cost, any delete or update forces `rescan()`.
+    * The inspection itself is one pass over the delta-sized CDF (at a
+    * table-format deployment the commit's operation metadata answers
+    * it for free); the decision, not the arithmetic, is what this
+    * kernel contributes over a bare rescan.
+    */
+  private[graft] def refreshMaxMv(base: DataFrame, cdf: DataFrame,
+      rescan: () => DataFrame,
+      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      measureOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val hasRetraction =
+      !cdf.filter(col("change_type") =!= "insert").isEmpty
+    if (hasRetraction) rescan()
+    else base.unionByName(
+        cdf.select(keyOf(col("attrs_to")).as("seg"),
+          measureOf(col("attrs_to")).as("mmax")))
+      .groupBy("seg")
+      .agg(max(col("mmax")).as("mmax"))
+  }
+
+  /** MAX-MV maintenance over the CDF: per-segment max weight. The
+    * staged feed carries deletes and updates, so this row exercises —
+    * and oracle-gates — the forced-rescan branch; the insert-only
+    * merge branch is pinned by SnapshotStoreSpec. Completes the
+    * kernel trio (count / sum incremental, max decided).
+    */
+  def etlCdfApplyMax(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedCdfStore(s, d)
+    val vs = Directory.versions(dir) // newest first
+    val seg = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("segment"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("weight"), 1).cast("long")
+    val base = Directory.loadVersion(s, dir, vs(1)).toDF()
+      .groupBy(seg(col("attrs")).as("seg"))
+      .agg(max(w(col("attrs"))).as("mmax"))
+    refreshMaxMv(base, Directory.changes(s, dir, vs(1), vs.head),
+      () => Directory.loadVersion(s, dir, vs.head).toDF()
+        .groupBy(seg(col("attrs")).as("seg"))
+        .agg(max(w(col("attrs"))).as("mmax")),
+      seg, w)
+      .select(col("seg").as("segment"), col("mmax").as("max_weight"))
+      .orderBy("segment")
+  }
+
   /** Oracle-gated snapshot-store compaction (`Directory.compact`): each
     * execution stages a FRAGMENTED commit (the polling-CDC shape — file
     * count follows write parallelism, 24 tasks for a table that needs
@@ -372,31 +458,172 @@ object EtlOps {
     * (Profile: 11 jobs summing ~0.7 s under a 2–3× wall) — at 100 TB
     * those task commits land on a manifest-committing table format and
     * the data writes parallelize; the fixture prices the protocol.
+    * Staged at width 8 (round 19, was 24): a row whose wall is ~70 %
+    * untracked driver-side commit ops kept tripping spread heuristics
+    * ([1.84, 4.03] in the r18 sweep) — 8 fragments still forces a real
+    * compaction at every SF while cutting the per-execution commit-op
+    * noise the protocol does not need.
+    *
+    * `n_rows_prev` (round 19) pins the maintenance-vs-history
+    * interaction: compaction publishes a NEW version behind the
+    * pointer swap, so time travel to the pre-compaction version must
+    * keep working afterward (the retain contract) — the column counts
+    * that version POST-compaction, and the oracle expects the same
+    * row count (the fragmented commit and the compacted one hold
+    * identical content).
     */
   def etlCompact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_compactstore_" + ProcessHandle.current().pid() + "_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          .take(12)).getPath
+    val dir = tmpPath("graft_compactstore_", d)
     Directory.deleteRecursively(new java.io.File(dir))
     val entries = graft.Tables.customer(s, d)
       .select(
         concat(lit("c="), col("c_custkey").cast("string")).as("dn"),
         map(lit("segment"), array(col("c_mktsegment"))).as("attrs"))
-      .repartition(24)
+      .repartition(8)
       .as[Directory.Entry]
     Directory.save(entries, dir)
     Directory.compact(s, dir, targetRows = 4000L)
-    val v = Directory.versions(dir).head
-    val nFiles = Option(new java.io.File(s"$dir/$v").listFiles())
+    val vs = Directory.versions(dir)
+    val nFiles = Option(new java.io.File(s"$dir/${vs.head}").listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet")).toLong
+    // time travel across the compaction: vs(1) is the fragmented
+    // pre-compaction commit, still retained behind the new pointer
+    val prevRows = Directory.loadVersion(s, dir, vs(1)).toDF()
+      .agg(count(lit(1)).as("n_rows_prev"))
     Directory.load(s, dir).toDF()
       .agg(count(lit(1)).as("n_rows"),
         sum(substring(col("dn"), 3, 18).cast("long")).as("sum_key"))
-      .select(lit(nFiles).as("n_files"), col("n_rows"), col("sum_key"))
+      .crossJoin(prevRows) // 1-row × 1-row broadcast merge
+      .select(lit(nFiles).as("n_files"), col("n_rows"), col("sum_key"),
+        col("n_rows_prev"))
   }
+
+  // streaming-MV staging memo: 3-version store + CDF landing zone,
+  // keyed zone dir → source fingerprint (the cdfMemo protocol,
+  // including the reaper-intact re-checks)
+  private val mvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage (once per JVM, dataset, source fingerprint) the continuous-
+    * maintenance fixture: a 3-version snapshot store (gen-1/2/3
+    * synthetic versions — each commit inserts, deletes, AND updates)
+    * and a CDF landing zone holding one parquet file per commit
+    * transition (v1→v2, v2→v3), mtime-stamped in commit order so the
+    * file-stream source replays the feed exactly as a table format's
+    * change stream would deliver it. Returns (storeDir, zoneDir).
+    */
+  private def stagedMvZone(s: SparkSession, d: String): (String, String) = {
+    val dir = tmpPath("graft_mvstore_", d)
+    val zone = tmpPath("graft_mvcdf_", d)
+    val fp = graft.Tables.fingerprint(d, "customer")
+    mvMemo.compute(zone, (_, prev) => {
+      val intact = new java.io.File(dir, "CURRENT").exists() &&
+        Directory.versions(dir).size >= 3 &&
+        Option(new java.io.File(zone).listFiles()).exists(_.count(f =>
+          f.getName.startsWith("cdf-") && f.getName.endsWith(".parquet")) == 2)
+      if (prev == fp && intact) prev
+      else {
+        Directory.deleteRecursively(new java.io.File(dir))
+        Directory.deleteRecursively(new java.io.File(zone))
+        java.nio.file.Files.createDirectories(
+          new java.io.File(zone).toPath)
+        Directory.save(cdfVersion(s, d, 3, gen = 1), dir, retain = 2)
+        Directory.save(cdfVersion(s, d, 7, gen = 2), dir, retain = 2)
+        Directory.save(cdfVersion(s, d, 1, gen = 3), dir, retain = 2)
+        val vs = Directory.versions(dir).reverse // oldest first
+        vs.zip(vs.tail).zipWithIndex.foreach { case ((from, to), i) =>
+          val stage = new java.io.File(zone + s".stage$i")
+          Directory.changes(s, dir, from, to)
+            .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+          val part = Option(stage.listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-")
+              && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part written under $stage"))
+          val dest = new java.io.File(zone, f"cdf-$i%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Directory.deleteRecursively(stage)
+          // fixed ascending mtimes in commit order (the
+          // streamSessionAppend protocol): the file-stream lister
+          // orders arrival by modification time, and commit order is
+          // the one order under which the ± fold is the change feed
+          require(dest.setLastModified(1000000000000L + i * 2000L),
+            s"setLastModified failed on $dest — commit-order replay " +
+              "cannot be guaranteed on this filesystem")
+        }
+        fp
+      }
+    })
+    (dir, zone)
+  }
+
+  /** CONTINUOUS MV maintenance — the streaming twin of
+    * `q_etl_cdf_apply_sum`, and the convergence point of the CDF/MV
+    * work: a `foreachBatch` loop holds the (cnt, sum) MV current
+    * across snapshot versions as their change feeds arrive, exactly
+    * the shape of the reference's polling CDC loop (etl.py:393–423 —
+    * wake, read what changed, fold it in, repeat). Each micro-batch
+    * folds its CDF slice through `applySumCdf` and republishes the MV
+    * as an eagerly-checkpointed frame (lineage truncated, so the
+    * chain's depth stays O(1) across commits — the unbounded-stream
+    * requirement; a real deployment would write it back to a store
+    * version instead). Correctness does not depend on trigger
+    * boundaries: the ± fold is LINEAR in the CDF rows — contributions
+    * sum, and a group at cnt 0 always has msum 0 (every retracted
+    * row's credit was previously applied), so dropping it loses
+    * nothing a later insert can't rebuild — hence any batching of the
+    * feed lands on the same MV (SnapshotStoreSpec pins a split-replay
+    * against the one-shot fold). The oracle is the same contract as
+    * the batch twin: a direct rescan of the FINAL version, which the
+    * incremental loop must reproduce exactly after draining every
+    * commit.
+    */
+  def streamMv(s: SparkSession, d: String): DataFrame = {
+    val (dir, zone) = stagedMvZone(s, d)
+    val v1 = Directory.versions(dir).last // oldest retained
+    val seg = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("segment"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("weight"), 1).cast("long")
+    // cloned session: stateless scan, but the MV re-aggregation runs
+    // per micro-batch, so size its shuffle to the data not the box
+    // (the drain() rationale in StreamToolOps)
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    // the consumer's starting point: the MV as of the oldest retained
+    // version — what a downstream refresher has on hand when it
+    // attaches to the feed
+    @volatile var mv = Directory.loadVersion(child, dir, v1).toDF()
+      .groupBy(seg(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
+      .localCheckpoint(true)
+    val schema = child.read.parquet(zone).schema
+    val q = child.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one commit's feed per trigger
+      .parquet(zone)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        mv = applySumCdf(mv, batch.toDF(), seg, w).localCheckpoint(true)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    mv.select(col("seg").as("segment"), col("cnt").as("n_entries"),
+      col("msum").as("sum_weight"))
+      .orderBy("segment")
+  }
+
+  /** Per-(pid, dataset) tmp path for staged fixture stores — shared by
+    * every staging memo so two datasets benched in one JVM can never
+    * alias each other's zones.
+    */
+  private def tmpPath(prefix: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + ProcessHandle.current().pid() + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(12)).getPath
 
   /** Synthetic user table derived from the sf-scaled customer table so
     * the MERGE/CDC engines can be benchmarked at data scale (the
@@ -599,9 +826,12 @@ object EtlOps {
     "q_etl_scale_load" -> (etlScaleLoad _),
     "q_etl_scale_cdc" -> (etlScaleCdc _),
     "q_etl_cdf" -> (etlCdf _),
+    "q_etl_cdf_bucketed" -> (etlCdfBucketed _),
     "q_etl_cdf_apply" -> (etlCdfApply _),
     "q_etl_cdf_apply_sum" -> (etlCdfApplySum _),
+    "q_etl_cdf_apply_max" -> (etlCdfApplyMax _),
     "q_etl_compact" -> (etlCompact _),
+    "q_stream_mv" -> (streamMv _),
     "q_j7_ph15_sweep" -> (deletePh15Sweep _),
     "q_j8_email_heal" -> (ph15EmailHeal _),
   )
@@ -652,6 +882,27 @@ object EtlOps {
         |  FROM v1 FULL OUTER JOIN v2 ON v1.dn = v2.dn)
         |SELECT dn, change_type FROM j
         |WHERE change_type IS NOT NULL ORDER BY dn""".stripMargin,
+    // the zero-exchange bucketed layout may not change a single CDF
+    // row — it shares the plain path's oracle verbatim (the
+    // rocksdb/HDFS twin protocol)
+    "q_etl_cdf_bucketed" ->
+      """WITH v1 AS (
+        |  SELECT 'c=' || CAST(c_custkey AS VARCHAR) AS dn,
+        |         c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 10 <> 3),
+        |v2 AS (
+        |  SELECT 'c=' || CAST(c_custkey AS VARCHAR) AS dn,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '+'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer WHERE c_custkey % 10 <> 7),
+        |j AS (
+        |  SELECT COALESCE(v2.dn, v1.dn) AS dn,
+        |         CASE WHEN v1.dn IS NULL THEN 'insert'
+        |              WHEN v2.dn IS NULL THEN 'delete'
+        |              WHEN v1.seg <> v2.seg THEN 'update' END AS change_type
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.dn = v2.dn)
+        |SELECT dn, change_type FROM j
+        |WHERE change_type IS NOT NULL ORDER BY dn""".stripMargin,
     // MV-apply must land on the direct rescan of the TARGET version:
     // the oracle never sees the base MV or the CDF, only the answer
     // the incremental path is contractually bound to reproduce
@@ -670,12 +921,36 @@ object EtlOps {
         |       CAST(SUM(c_custkey) AS BIGINT) AS sum_weight
         |FROM customer WHERE c_custkey % 10 <> 7
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+    // MAX refresh under deletion is a forced rescan (the kernel's
+    // decision branch): the oracle is the same rescan-of-target
+    // contract as the COUNT/SUM twins, with max instead
+    "q_etl_cdf_apply_max" ->
+      """SELECT CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment || '+'
+        |            ELSE c_mktsegment END AS segment,
+        |       CAST(MAX(c_custkey) AS BIGINT) AS max_weight
+        |FROM customer WHERE c_custkey % 10 <> 7
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    // the drained streaming fold must land on the rescan of the FINAL
+    // version (gen-3 segment algebra, %10==1 withheld) — same contract
+    // as the batch SUM twin, across two commits instead of one
+    "q_stream_mv" ->
+      """SELECT seg AS segment, COUNT(*)::BIGINT AS n_entries,
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_weight
+        |FROM (SELECT c_mktsegment ||
+        |        (CASE WHEN c_custkey % 5 = 0 THEN '+' ELSE '' END) ||
+        |        (CASE WHEN c_custkey % 3 = 0 THEN '~' ELSE '' END) AS seg,
+        |        c_custkey
+        |      FROM customer WHERE c_custkey % 10 <> 1) x
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     // compaction is content-invariant (count + key checksum reproduce
-    // straight from the source) and its file count is ⌈rows/target⌉
+    // straight from the source), its file count is ⌈rows/target⌉, and
+    // the pre-compaction version must still time-travel afterward
+    // (n_rows_prev: the retain contract across an OPTIMIZE pass)
     "q_etl_compact" ->
       """SELECT CAST(CEIL(COUNT(*) / 4000.0) AS BIGINT) AS n_files,
         |       COUNT(*) AS n_rows,
-        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |       CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+        |       COUNT(*) AS n_rows_prev
         |FROM customer""".stripMargin,
     "q_j7_ph15_sweep" ->
       """SELECT * FROM (VALUES

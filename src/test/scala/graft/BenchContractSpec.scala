@@ -74,6 +74,32 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.length < 2000, s"contended-run line too long: ${line.length}")
   }
 
+  test("short line NAMES the slow-tail rows, capped, with the true count") {
+    // round 18's driver artifact carried slow_tail_n:2 with no names —
+    // the adjudication protocol needs the rows, not the count, and the
+    // full list lives in a file the driver's tail capture never reads
+    val tailed = allNames.take(3)
+    val results = allNames.zipWithIndex.map { case (n, i) =>
+      if (tailed.contains(n)) (n, 2.0, true, 1.5, 6.0) // hi/lo 4x, gap > 1s
+      else (n, 2.0 + i * 0.001, true, 1.9, 2.1)
+    }
+    val line = Bench.renderShortJson(results, "sf")
+    val arr = "\"slow_tail\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(line).getOrElse(fail("no slow_tail array")).group(1)
+    assert(arr.split(",").map(_.replace("\"", "")).toSet == tailed.toSet, arr)
+    assert(line.contains("\"slow_tail_n\":3"))
+    // a fleet-wide tail trips the cap but the count stays truthful
+    val allTailed = allNames.zipWithIndex.map { case (n, i) =>
+      (n, 2.0 + i * 0.001, true, 1.0, 12.0)
+    }
+    val line2 = Bench.renderShortJson(allTailed, "sf")
+    val arr2 = "\"slow_tail\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(line2).getOrElse(fail("no slow_tail array")).group(1)
+    assert(arr2.split(",").length == 8, arr2)
+    assert(line2.contains("\"slow_tail_n\":" + allNames.size))
+    assert(line2.length < 2200, s"tailed-run line too long: ${line2.length}")
+  }
+
   test("short line never truncates the failed list") {
     val results = allNames.zipWithIndex.map { case (n, i) => (n, i.toDouble, false, i.toDouble, i.toDouble) }
     val line = Bench.renderShortJson(results, "sf")

@@ -27,7 +27,12 @@ class BucketedCdfSpec extends AnyFunSuite {
         if (i % 5 == 0) "flip" else if (i % 2 == 0) "even" else "odd")) ++
       (201 to 250).map(i => e(s"u$i", "new"))
 
+    // nanoTime-namespaced catalog tables + a temp plain store: both
+    // are per-run artifacts that would otherwise accumulate across
+    // test runs in spark-warehouse — drop/delete them in the finally
     val ns = "graft_cdfspec_" + System.nanoTime()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfb").toString
+    try {
     Directory.saveBucketed(v1.toDS(), s"${ns}_v1")
     Directory.saveBucketed(v2.toDS(), s"${ns}_v2")
     val feed = Directory.changesBucketed(spark, s"${ns}_v1", s"${ns}_v2")
@@ -54,7 +59,6 @@ class BucketedCdfSpec extends AnyFunSuite {
       s"a CDF input planned as a non-bucketed scan:\n$p")
 
     // answer equality vs the plain-store feed over the same versions
-    val dir = java.nio.file.Files.createTempDirectory("graft-cdfb").toString
     Directory.save(v1.toDS(), dir, retain = 2)
     Directory.save(v2.toDS(), dir, retain = 2)
     val vs = Directory.versions(dir)
@@ -67,6 +71,10 @@ class BucketedCdfSpec extends AnyFunSuite {
     assert(got.count(_._2 == "insert") == 50)
     assert(got.count(_._2 == "delete") == 28)   // 7,14,...,196
     assert(got.count(_._2 == "update") == 35)   // %5==0 minus the 5 %35==0
-
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${ns}_v1")
+      spark.sql(s"DROP TABLE IF EXISTS ${ns}_v2")
+      Directory.deleteRecursively(new java.io.File(dir))
+    }
   }
 }

@@ -188,6 +188,129 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(mvMax(dirA, vsA.head) == 3L && mvMax(dirB, vsB.head) == 4L)
   }
 
+  test("SUM CDF-apply fails fast on a null/non-numeric measure") {
+    // a missing or non-numeric measure attribute must raise at the
+    // offending row, not silently skip its sum contribution while cnt
+    // still counts it (the divergence-from-oracle ADVICE r18 flagged)
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val v1 = Seq(Directory.Entry("cn=a1,dc=t",
+      Map("g" -> Seq("a"), "w" -> Seq("10")))).toDS()
+    val v2 = Seq(
+      Directory.Entry("cn=a1,dc=t", Map("g" -> Seq("a"), "w" -> Seq("12"))),
+      Directory.Entry("cn=bad,dc=t", Map("g" -> Seq("a")))).toDS() // no "w"
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdfnul").toString
+    Directory.save(v1, dir, retain = 2)
+    Directory.save(v2, dir, retain = 2)
+    val vs = Directory.versions(dir)
+    val key = (attrs: org.apache.spark.sql.Column) => element_at(attrs("g"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("w"), 1).cast("long")
+    val base = Directory.loadVersion(spark, dir, vs(1)).toDF()
+      .groupBy(key(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
+    val err = intercept[Exception] {
+      graft.operators.EtlOps.applySumCdf(base,
+        Directory.changes(spark, dir, vs(1), vs.head), key, w).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("cn=bad,dc=t")),
+      s"expected the offending dn in the error chain: ${messages(err)}")
+  }
+
+  test("SUM CDF fold is linear: a split replay lands on the one-shot answer") {
+    // the streaming loop's contract (q_stream_mv): each micro-batch
+    // folds a slice of the feed, so correctness must not depend on
+    // trigger boundaries — ± contributions sum, and a group dropped at
+    // cnt 0 carries msum 0, so later slices rebuild it losslessly
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def e(cn: String, g: String, w: Long) =
+      Directory.Entry(s"cn=$cn,dc=t",
+        Map("g" -> Seq(g), "w" -> Seq(w.toString)))
+    val v1 = Seq(e("a1", "a", 10), e("a2", "a", 4), e("b1", "b", 7)).toDS()
+    val v2 = Seq(e("a2", "a", 5), e("b1", "b", 7), e("c1", "c", 2)).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdflin").toString
+    Directory.save(v1, dir, retain = 2)
+    Directory.save(v2, dir, retain = 2)
+    val vs = Directory.versions(dir)
+    val key = (attrs: org.apache.spark.sql.Column) => element_at(attrs("g"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("w"), 1).cast("long")
+    val base = Directory.loadVersion(spark, dir, vs(1)).toDF()
+      .groupBy(key(col("attrs")).as("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
+    val cdf = Directory.changes(spark, dir, vs(1), vs.head)
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = rows(
+      graft.operators.EtlOps.applySumCdf(base, cdf, key, w))
+    // every 2-way split of the feed, folded slice by slice
+    val n = cdf.count().toInt
+    (0 to n).foreach { k =>
+      val marked = cdf.orderBy("dn").limit(k)
+      val first = cdf.join(marked.select("dn"), Seq("dn"), "left_semi")
+      val second = cdf.join(marked.select("dn"), Seq("dn"), "left_anti")
+      val afterFirst =
+        graft.operators.EtlOps.applySumCdf(base, first, key, w)
+      val split = rows(
+        graft.operators.EtlOps.applySumCdf(afterFirst, second, key, w))
+      assert(split == oneShot, s"split at $k diverged: $split vs $oneShot")
+    }
+  }
+
+  test("MAX refresh kernel: insert-only merges incrementally, retraction forces rescan") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def e(cn: String, g: String, w: Long) =
+      Directory.Entry(s"cn=$cn,dc=t",
+        Map("g" -> Seq(g), "w" -> Seq(w.toString)))
+    val key = (attrs: org.apache.spark.sql.Column) => element_at(attrs("g"), 1)
+    val w = (attrs: org.apache.spark.sql.Column) =>
+      element_at(attrs("w"), 1).cast("long")
+    def mv(ds: org.apache.spark.sql.Dataset[Directory.Entry]) = ds.toDF()
+      .groupBy(key(col("attrs")).as("seg"))
+      .agg(max(w(col("attrs"))).as("mmax"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // insert-only commit: the incremental branch must run (rescan
+    // thunk poisoned) and still land on the rescan answer
+    val i1 = Seq(e("a1", "a", 10), e("b1", "b", 7)).toDS()
+    val i2 = Seq(e("a1", "a", 10), e("b1", "b", 7),
+      e("a9", "a", 99), e("c1", "c", 3)).toDS()
+    val dirI = java.nio.file.Files.createTempDirectory("graft-maxins").toString
+    Directory.save(i1, dirI, retain = 2)
+    Directory.save(i2, dirI, retain = 2)
+    val vsI = Directory.versions(dirI)
+    val gotI = rows(graft.operators.EtlOps.refreshMaxMv(
+      mv(Directory.loadVersion(spark, dirI, vsI(1))),
+      Directory.changes(spark, dirI, vsI(1), vsI.head),
+      () => fail("insert-only feed must NOT rescan"), key, w))
+    assert(gotI == rows(mv(Directory.loadVersion(spark, dirI, vsI.head))))
+
+    // a commit with a delete: the rescan branch must run
+    val d2 = Seq(e("b1", "b", 7)).toDS()
+    val dirD = java.nio.file.Files.createTempDirectory("graft-maxdel").toString
+    Directory.save(i1, dirD, retain = 2)
+    Directory.save(d2, dirD, retain = 2)
+    val vsD = Directory.versions(dirD)
+    var rescanned = false
+    val gotD = rows(graft.operators.EtlOps.refreshMaxMv(
+      mv(Directory.loadVersion(spark, dirD, vsD(1))),
+      Directory.changes(spark, dirD, vsD(1), vsD.head),
+      () => { rescanned = true
+        mv(Directory.loadVersion(spark, dirD, vsD.head)) }, key, w))
+    assert(rescanned, "retraction feed must take the rescan branch")
+    assert(gotD == Set(("b", 7L)))
+  }
+
   test("versions lists a pre-marker store (no _published dir) via its pointer") {
     val spark = TestSpark.spark
     import spark.implicits._

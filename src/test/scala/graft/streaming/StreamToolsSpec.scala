@@ -161,6 +161,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(raw == 240L && batch.map(_.getLong(2)).sum == 120L)
   }
 
+  test("continuous MV maintenance drains to the final version's rescan") {
+    // q_stream_mv end-to-end at sf0.001: the foreachBatch loop folds
+    // two commits' CDF slices through the SUM retraction kernel; the
+    // drained MV must equal an INDEPENDENT recompute straight from the
+    // source table (the oracle contract: rescan of the final gen-3
+    // version, %10==1 withheld)
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.EtlOps.streamMv(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 =!= 1)
+      .select(concat(col("c_mktsegment"),
+          when(col("c_custkey") % 5 === 0, "+").otherwise(""),
+          when(col("c_custkey") % 3 === 0, "~").otherwise("")).as("segment"),
+        col("c_custkey").cast("long").as("w"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty, s"got=$got")
+  }
+
   test("poll loop drains backlog without sleeping, then reproduces ldap01") {
     val spark = TestSpark.spark
     val pre = Directory.parseDump(spark, TestSpark.golden("ldapII.txt"))

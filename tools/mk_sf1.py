@@ -22,8 +22,9 @@ QUERIES = [
     "q_cur_upsample", "q_dedup_canonical", "q_dedup_crossmodal",
     "q_dedup_groups", "q_dedup_matrix", "q_dedup_semantic",
     "q_dedup_substring", "q_dedup_content_chunks",
-    "q_dq_observe", "q_etl_cdf", "q_etl_cdf_apply",
-    "q_etl_cdf_apply_sum", "q_etl_compact",
+    "q_dq_observe", "q_etl_cdf", "q_etl_cdf_bucketed", "q_etl_cdf_apply",
+    "q_etl_cdf_apply_sum", "q_etl_cdf_apply_max", "q_etl_compact",
+    "q_stream_mv",
     "q_etl_scale_cdc", "q_g1_triangles", "q_g2_pagerank",
     "q_g3_components", "q_g4_degrees", "q_g5_kcore", "q_g6_labelprop", "q_g7_ppr",
     "q_j12_asof_exec", "q_j7_asof", "q_knn_batch",
@@ -47,6 +48,17 @@ QUERIES = [
 ]
 
 NOTE = (
+    "Round-19 refresh: the slice completes the CDF/MV family's sf1 "
+    "story - q_etl_cdf_apply_sum and q_etl_compact get their first "
+    "recorded slopes (added to the slice in round 18 after that "
+    "round's sweep), and the round-19 rows ride along: "
+    "q_etl_cdf_bucketed (the zero-exchange feed, now with its own "
+    "CORRECTNESS row), q_etl_cdf_apply_max (the MAX refresh decision "
+    "kernel's forced-rescan branch), and q_stream_mv (continuous "
+    "foreachBatch MV maintenance over a 3-version commit log). "
+    "q_etl_compact stages 8 fragments (was 24) and pins the retain "
+    "contract with n_rows_prev; Directory.compact now repartitions "
+    "round-robin so the file count is structurally ceil(rows/target). "
     "Round-18 refresh: forced_paths gains cdf_plain/cdf_bucketed (the "
     "zero-exchange bucketed CDF A/B - classification equality asserted "
     "by GateCheck, plan pinned by BucketedCdfSpec) and carries per-path "
