@@ -42,6 +42,9 @@ class FleetPlanAuditSpec extends AnyFunSuite {
     "q_cur_upsample" -> 1,      // 1-row max-source-mass frame for rate derivation
     "q_dedup_semantic" -> 2,    // k-row centroid set + 1-row threshold frame
     "q_dq_freshness" -> 1,      // 1-row corpus max-timestamp frame
+    "q_etl_compact" -> 1,       // 1-row × 1-row merge of the compacted
+                                // aggregate with the pre-compaction
+                                // version count (the retain-contract pin)
     // q_g4_degrees: 0 since round 12 — the mean-threshold scalar join
     // lives inside the memoized edge-list build (GraphOps.affinityEdges),
     // not in the per-query plan
