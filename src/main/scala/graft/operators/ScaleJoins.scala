@@ -57,7 +57,18 @@ object ScaleJoins {
     val keys = orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bf = keys.stat.bloomFilter("o_orderkey", 1L << 20, 0.03)
+    // Size the filter from the TRUE key count (guide §3.2:
+    // "expectedNumItems should be >= the true count"), not a fixed
+    // 2^20: the old constant built a ~0.9 MB sketch for ~30 k keys at
+    // sf0.1 — a megabyte literal serialized into every task closure
+    // and folded through codegen (measured ~0.8 s driver gap on this
+    // row) — and UNDER-sizes past ~sf3, degrading the fpp exactly when
+    // scale makes false positives expensive. The count is one extra
+    // pass over the already-filtered small side, which §3.2 names as
+    // the accepted price of bloom pre-filtering (the small side is
+    // scanned twice either way: once to build, once to join).
+    val nKeys = keys.count()
+    val bf = keys.stat.bloomFilter("o_orderkey", math.max(nKeys, 1024L), 0.03)
     val bytes = { val o = new ByteArrayOutputStream(); bf.writeTo(o); o.toByteArray }
     val might = GraftBridge.column(new BloomFilterMightContain(
       GraftBridge.expression(lit(bytes)),

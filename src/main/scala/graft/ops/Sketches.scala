@@ -66,16 +66,27 @@ object Sketches {
       .select(explode(Dedup.tokens(col("text"))).as("term"))
     def cell(j: Int) = expr(
       s"CAST(conv(substring(md5(concat('${j}_', term)), 1, 4), 16, 10) AS BIGINT) % $cmsWidth")
-    // one aggregation per sketch row — a unioned grid filtered per
-    // join would re-plan every row's aggregation at each of the 4
-    // joins (16 passes over the occurrence stream instead of 4)
-    val top = occ.groupBy("term").agg(count(lit(1)).as("exact_n"))
+    // Aggregate to the VOCABULARY first (guide §2.3 — aggregate before
+    // you shuffle, and before you hash): every downstream consumer
+    // needs only (term, n). The previous shape ran tokenize + explode
+    // + per-OCCURRENCE md5 once for the top-20 and once per sketch row
+    // — 5 full passes over the occurrence stream, 47 CPU-seconds at
+    // sf0.1 (the fleet's most CPU-expensive query). Summing n per cell
+    // over distinct terms is identical arithmetic to counting
+    // occurrences per cell (Σ_term∈cell n_term ≡ |occurrences∈cell|),
+    // so the sketch is bit-identical; the md5 grid now runs over the
+    // vocab (|V| rows), not the corpus (|occ| rows), and the single
+    // occurrence-level aggregation below each sketch row is one shared
+    // exchange (ReuseExchange dedups the identical subtree). At 100 TB
+    // this is the difference between 5 corpus passes and 1.
+    val termCounts = occ.groupBy("term").agg(count(lit(1)).as("exact_n"))
+    val top = termCounts
       .orderBy(col("exact_n").desc, col("term")).limit(20)
     val withCells = top.select(col("term") +: col("exact_n") +:
       (0 until cmsDepth).map(j => cell(j).as(s"cell$j")): _*)
     val est = (0 until cmsDepth).foldLeft(withCells) { (df, j) =>
-      df.join(broadcast(occ.groupBy(cell(j).as(s"cell$j"))
-          .agg(count(lit(1)).as(s"est$j"))),
+      df.join(broadcast(termCounts.groupBy(cell(j).as(s"cell$j"))
+          .agg(sum(col("exact_n")).as(s"est$j"))),
         Seq(s"cell$j"))
     }
     est.select(col("term"), col("exact_n"),
