@@ -58,30 +58,47 @@ object MinHashExpr {
     (0 until 16).map(i => (0x9E3779B97F4A7C15L * (2 * i + 1)) & Long.MaxValue)
       .toArray
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** One MD5 instance per thread: `getInstance` does a provider lookup
+    * and allocates per call, and the kernel ran it once per ROW — with
+    * the digest buffer reused via `digest(out, 0, 16)` the whole token
+    * loop is now allocation-free except the token's UTF-8 byte copy.
+    * (r19 trace: the LSH family spent ~40 % of its CPU in GC; this
+    * kernel was the allocator.)
+    */
+  private val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Duplicate tokens are hashed rather than deduped: min is
+    * idempotent, so a repeated token changes nothing — the old
+    * per-row HashSet[String] (plus a String decode per token) existed
+    * only to SAVE the duplicate's md5, and cost more in allocation/GC
+    * than the md5 it saved. Bit-identical to the array_distinct
+    * formulation by construction (MinHashExprSpec pins it).
+    */
   def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val seen = new java.util.HashSet[String](n * 2)
     val mins = Array.fill(seeds.length)(Long.MaxValue)
-    val mdd = java.security.MessageDigest.getInstance("MD5")
+    val mdd = localMd.get()
+    val out = new Array[Byte](16)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val w = arr.getUTF8String(i).toString
-        if (seen.add(w)) { // distinct tokens (matches array_distinct)
-          val d = mdd.digest(w.getBytes("UTF-8"))
-          // first 15 hex chars == big-endian first 8 bytes >>> 4
-          var be = 0L
-          var k = 0
-          while (k < 8) { be = (be << 8) | (d(k) & 0xffL); k += 1 }
-          val h = be >>> 4
-          var j = 0
-          while (j < seeds.length) {
-            val v = h ^ seeds(j)
-            if (v < mins(j)) mins(j) = v
-            j += 1
-          }
-          mdd.reset()
+        mdd.reset()
+        mdd.update(arr.getUTF8String(i).getBytes)
+        mdd.digest(out, 0, 16)
+        // first 15 hex chars == big-endian first 8 bytes >>> 4
+        var be = 0L
+        var k = 0
+        while (k < 8) { be = (be << 8) | (out(k) & 0xffL); k += 1 }
+        val h = be >>> 4
+        var j = 0
+        while (j < seeds.length) {
+          val v = h ^ seeds(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
         }
       }
       i += 1
