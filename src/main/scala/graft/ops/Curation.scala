@@ -34,8 +34,19 @@ object Curation {
       .repartition(fanout(s), col("doc_id"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
+    // bigram identity as the native 64-bit window hash (the substring-
+    // overlap kernel at w=2), not the concatenated string: the string
+    // form built + deduped a bigram STRING per token position (r19
+    // trace: 16.3 s CPU / 4.2 s GC at sf0.1) and then shuffled those
+    // strings; the hash streams the same window bytes through FNV-1a
+    // with zero per-window allocation, and the groupBy/join key drops
+    // to 8 bytes (guide §2.3 — shuffle keys, not payloads). Same
+    // hash⟺text equivalence the substring op already relies on (the
+    // oracle's bigram strings never reach the output — only
+    // (doc_id, n_bp) is compared).
     val sh = base.select(col("doc_id"),
-      explode(Dedup.ngrams(col("t"), 2)).as("sh"))
+      explode(graft.functions.TokenWindowExpr.windowHashes(col("t"), 2))
+        .as("sh"))
     // the df threshold is RELATIVE (≥5% of docs) so the operator means
     // the same thing at every corpus size — an absolute count silently
     // degrades to all-match (or no-match) as the corpus scales. The
