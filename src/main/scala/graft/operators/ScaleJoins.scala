@@ -146,6 +146,19 @@ object ScaleJoins {
     * operator — bucketing is a table property, so the tables land in
     * the session catalog with external paths under the tmp dir.
     */
+  /** Bucketed-staging memo for `smbJoin`, keyed ns → source
+    * fingerprint — the stagedCdfBucketedTables discipline: bucketed
+    * layouts are written ONCE upstream (that is the entire point of
+    * bucketing — guide §2.4/§8: "only a win if the big table is
+    * already written bucketed that way upstream"), so re-writing both
+    * tables inside every timed rep priced the layout setup, not the
+    * zero-exchange join this query exists to measure. Re-stages when
+    * the source tables' fingerprint changes or the catalog entries
+    * vanished.
+    */
+  private val smbMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def smbJoin(s: SparkSession, d: String): DataFrame = {
     val base = graft.tools.JsonlTools.dumpDir(d, "smb")
     // catalog table names carry the SAME pid+dataset namespace as the
@@ -154,7 +167,7 @@ object ScaleJoins {
     // the second run at the first run's path (stale bucketed data)
     val ns = new java.io.File(base).getName
       .stripPrefix("graft_jsonl_").replaceAll("[^A-Za-z0-9_]", "_")
-    def bucketed(name: String, df: DataFrame, key: String): DataFrame = {
+    def bucketed(name: String, df: => DataFrame, key: String): DataFrame = {
       val tbl = s"graft_smb_${ns}_$name"
       df.write.mode("overwrite")
         .option("path", s"$base/$name")
@@ -162,10 +175,21 @@ object ScaleJoins {
         .saveAsTable(tbl)
       s.table(tbl)
     }
-    val l = bucketed("lineitem",
-      lineitem(s, d).select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
-    val o = bucketed("orders",
-      orders(s, d).select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+    val fp = graft.Tables.fingerprint(d, "lineitem") + "|" +
+      graft.Tables.fingerprint(d, "orders")
+    smbMemo.compute(ns, (_, prev) => {
+      if (prev == fp && s.catalog.tableExists(s"graft_smb_${ns}_lineitem")
+          && s.catalog.tableExists(s"graft_smb_${ns}_orders")) prev
+      else {
+        bucketed("lineitem", lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")
+        bucketed("orders", orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
+        fp
+      }
+    })
+    val l = s.table(s"graft_smb_${ns}_lineitem")
+    val o = s.table(s"graft_smb_${ns}_orders")
     l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
