@@ -46,26 +46,39 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 object SimHashExpr {
   private val bits = 16
 
+  /** Per-thread MD5 + reused digest buffer — same allocation diet as
+    * MinHashExpr (r19): `getInstance` per row and a byte[16] per token
+    * were pure GC debt. UNLIKE MinHash, the `seen` set here is
+    * SEMANTIC (votes count distinct tokens — a duplicate would vote
+    * twice and flip boundary bits), so it stays; it just keys on the
+    * UTF8String (bytes-equality, no String decode per token).
+    */
+  private val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Static kernel shared by interpreted eval and generated code. */
   def kernel(arr: ArrayData): Long = {
     val n = arr.numElements()
-    val seen = new java.util.HashSet[String](n * 2)
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
     val votes = new Array[Int](bits)
-    val mdd = java.security.MessageDigest.getInstance("MD5")
+    val mdd = localMd.get()
+    val dig = new Array[Byte](16)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val w = arr.getUTF8String(i).toString
+        val w = arr.getUTF8String(i)
         if (seen.add(w)) { // distinct tokens only (matches the oracle)
-          val d = mdd.digest(w.getBytes("UTF-8"))
+          mdd.reset()
+          mdd.update(w.getBytes)
+          mdd.digest(dig, 0, 16)
           // first 4 hex chars == first 2 bytes, big-endian
-          val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+          val h = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
           var b = 0
           while (b < bits) {
             votes(b) += (if (((h >> b) & 1) == 1) 1 else -1)
             b += 1
           }
-          mdd.reset()
         }
       }
       i += 1

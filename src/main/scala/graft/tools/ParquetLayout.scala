@@ -69,6 +69,14 @@ object ParquetLayout {
     val child = s.newSession()
     val q = graft.streaming.EventStream.readEvents(child, d)
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      // cluster each micro-batch by the partition column before the
+      // sink (the batch twin's repartition discipline, guide §6):
+      // without it every (scan task × live date) pair emits its own
+      // file — measured 4 triggers × ~8 splits × ~31 dates ≈ hundreds
+      // of small files at GenScale sf1 — while clustered, each date
+      // lands on one task per trigger and files/trigger = live dates.
+      // A stateless per-batch exchange is the documented price.
+      .repartition(col("event_date"))
       .writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", ck)
