@@ -52,6 +52,14 @@ object SimHashExpr {
     * SEMANTIC (votes count distinct tokens — a duplicate would vote
     * twice and flip boundary bits), so it stays; it just keys on the
     * UTF8String (bytes-equality, no String decode per token).
+    *
+    * ASSUMPTION (round 20, ADVICE): byte equality assumes valid UTF-8
+    * tokens. Two distinct INVALID byte sequences that decode to the
+    * same String (replacement chars) were deduped under the old
+    * String-keyed set and now vote separately — a divergence from the
+    * md5-of-decoded-string oracle path only for malformed input, which
+    * the fixtures (and any text tokenizer upstream) never produce. A
+    * future binary-token caller must decode first.
     */
   private val localMd =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>

@@ -599,16 +599,25 @@ object EtlOps {
       .agg(count(lit(1)).as("cnt"), sum(w(col("attrs"))).as("msum"))
       .localCheckpoint(true)
     val schema = child.read.parquet(zone).schema
+    // ephemeral checkpoint on the RAM-backed scratch (StreamScratch):
+    // fresh per drain, deleted after stop — same rule as drain()
+    val ck = graft.StreamScratch.checkpointDir(
+      s"stream_mv_${System.nanoTime()}")
     val q = child.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one commit's feed per trigger
       .parquet(zone)
       .writeStream
+      .option("checkpointLocation", ck)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
         mv = applySumCdf(mv, batch.toDF(), seg, w).localCheckpoint(true)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      finally graft.StreamScratch.cleanup(ck)
+    }
     mv.select(col("seg").as("segment"), col("cnt").as("n_entries"),
       col("msum").as("sum_weight"))
       .orderBy("segment")

@@ -177,9 +177,20 @@ object ScaleJoins {
     }
     val fp = graft.Tables.fingerprint(d, "lineitem") + "|" +
       graft.Tables.fingerprint(d, "orders")
+    // on-disk intactness probe (round 20, ADVICE): tableExists only
+    // checks the in-memory catalog, which shares the memo's JVM
+    // lifetime — a /tmp reaper removing $base mid-session would leave a
+    // warm memo pointing at a missing external location (failing or
+    // empty joins instead of a re-stage). Require actual parquet part
+    // files under both table paths, the sliceMemo 'intact' pattern.
+    def tableIntact(name: String): Boolean =
+      Option(new java.io.File(base, name).listFiles())
+        .exists(_.exists(f => f.getName.endsWith(".parquet")
+          && !f.getName.startsWith(".")))
     smbMemo.compute(ns, (_, prev) => {
       if (prev == fp && s.catalog.tableExists(s"graft_smb_${ns}_lineitem")
-          && s.catalog.tableExists(s"graft_smb_${ns}_orders")) prev
+          && s.catalog.tableExists(s"graft_smb_${ns}_orders")
+          && tableIntact("lineitem") && tableIntact("orders")) prev
       else {
         bucketed("lineitem", lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity")), "l_orderkey")

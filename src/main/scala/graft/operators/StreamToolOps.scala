@@ -52,26 +52,50 @@ object StreamToolOps {
       gz: Boolean = false): String = {
     val path = graft.tools.JsonlTools.dumpDir(d, tag)
     val fp = graft.Tables.fingerprint(d, "documents")
+    val ext = if (gz) ".json.gz" else ".json"
+    def staged(): Int =
+      Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(ext))
     sliceMemo.compute(path, (_, prev) => {
-      val ext = if (gz) ".json.gz" else ".json"
-      val intact = Option(new java.io.File(path).listFiles())
-        .exists(_.exists(f => f.getName.startsWith("part-")
-          && f.getName.endsWith(ext)))
-      if (prev == fp && intact) prev
+      // memo value carries the STAGED FILE COUNT next to the source
+      // fingerprint (round 20, ADVICE): an any-one-part-survives check
+      // silently replayed a partially reaped zone with missing
+      // documents — a hit now requires the full staged set on disk
+      val n = staged()
+      if (prev != null && prev == s"$fp|$n" && n > 0) prev
       else {
         val docs = graft.Tables.documents(s, d)
         if (gz) graft.tools.JsonlTools.writeJsonlGz(docs, path)
         else graft.tools.JsonlTools.writeJsonl(docs, path)
-        fp
+        s"$fp|${staged()}"
       }
     })
     path
   }
 
+  /** Per-(caller session, drain prefix) pooled child sessions (round
+    * 20): `drain` used to clone a fresh session per CALL, so every
+    * bench rep re-paid SessionState construction (catalog, analyzer,
+    * conf copy — pure per-drain driver constants, guide §7.3). Each
+    * QUERY still gets its own private clone — the conf-isolation
+    * invariant (provider settings live and die with their query)
+    * holds per prefix exactly as it held per call, because a prefix is
+    * used by exactly one query function with one conf recipe. The
+    * second slot tracks the previous drain's memory-sink table so the
+    * pool stays bounded: one live sink table per query, not one per
+    * execution (the old per-call sessions leaked theirs until GC).
+    */
+  private[graft] val drainPool = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (SparkSession, java.util.concurrent.atomic.AtomicReference[String])]()
+
   /** Drain a streaming frame to completion into a uniquely-named
     * memory-sink table and return it. Dev/test surface only: each call
     * registers one in-session temp table (the price of reading a
-    * memory sink after the query stops).
+    * memory sink after the query stops); the previous call's table for
+    * the same prefix is dropped, so live sink tables are bounded by
+    * the query count.
     */
   private def drain(s: SparkSession, build: SparkSession => DataFrame,
       prefix: String, mode: String, partitions: Int = 8): DataFrame = {
@@ -86,12 +110,30 @@ object StreamToolOps {
     // concurrently-planned query in the caller's session can never
     // observe the temporary value — which is why the stream is BUILT
     // by a callback against the clone, not passed in pre-planned.
-    val child = s.newSession()
-    child.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    val (child, lastName) = drainPool.computeIfAbsent((s, prefix), _ => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      (c, new java.util.concurrent.atomic.AtomicReference[String](null))
+    })
+    // ephemeral checkpoint on the RAM-backed scratch (StreamScratch):
+    // the drain never resumes, so the offset/commit-log and state-store
+    // delta fsyncs need no durable medium — fresh unique dir per drain,
+    // deleted after stop (no state ever crosses two executions)
+    val ck = graft.StreamScratch.checkpointDir(name)
     val q = build(child).writeStream.outputMode(mode)
       .format("memory").queryName(name)
+      .option("checkpointLocation", ck)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      finally graft.StreamScratch.cleanup(ck)
+    }
+    val prev = lastName.getAndSet(name)
+    // the previous table's DataFrame (if a caller still holds one) was
+    // analyzed at its own drain — dropping the catalog entry only
+    // unregisters the name for NEW lookups
+    if (prev != null) child.catalog.dropTempView(prev)
     child.table(name)
   }
 
@@ -187,15 +229,19 @@ object StreamToolOps {
     // ingest cost. compute() re-stages when the SOURCE fingerprint
     // changed, and adds no memo entry if the staging throws.
     val fp = eventsFingerprint(d)
+    def stagedParts(): Int =
+      Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet"))
     sliceMemo.compute(path, (_, prev) => {
       // same hardening as EtlOps.cdfMemo: the fingerprint proves we
       // staged the zone, not that a /tmp reaper hasn't since removed
-      // it — verify at least one staged slice is still on disk before
-      // trusting the memo, else re-stage
-      val intact = Option(new java.io.File(path).listFiles())
-        .exists(_.exists(f => f.getName.startsWith("part-")
-          && f.getName.endsWith(".parquet")))
-      if (prev == fp && intact) prev
+      // it. The memo value carries the STAGED SLICE COUNT (round 20,
+      // ADVICE): a partially reaped zone replayed with missing slices
+      // would silently drop sessions — a hit requires the full set.
+      val n = stagedParts()
+      if (prev != null && prev == s"$fp|$n" && n > 0) prev
       else {
         graft.Tables.events(s, d).select(col("user_id"), col("ts"))
           .repartitionByRange(4, col("ts"))
@@ -219,7 +265,7 @@ object StreamToolOps {
             s"setLastModified failed on $f — replay ordering would be " +
               "event-time-scrambled; filesystem does not support mtime stamping")
         }
-        fp
+        s"$fp|${parts.length}"
       }
     })
     val schema = StructType(Seq(

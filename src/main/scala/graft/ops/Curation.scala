@@ -40,10 +40,14 @@ object Curation {
     // trace: 16.3 s CPU / 4.2 s GC at sf0.1) and then shuffled those
     // strings; the hash streams the same window bytes through FNV-1a
     // with zero per-window allocation, and the groupBy/join key drops
-    // to 8 bytes (guide §2.3 — shuffle keys, not payloads). Same
-    // hash⟺text equivalence the substring op already relies on (the
-    // oracle's bigram strings never reach the output — only
-    // (doc_id, n_bp) is compared).
+    // to 8 bytes (guide §2.3 — shuffle keys, not payloads). HONESTY
+    // NOTE (round 20): hash-as-identity is an APPROXIMATION, not exact
+    // equivalence — a 64-bit FNV-1a collision between two distinct
+    // bigrams would merge their doc counts (expected collisions
+    // ≈ n²/2⁶⁵: negligible at fixture scale, a handful at billions of
+    // distinct bigrams; each perturbs n_docs near the 5% threshold by
+    // at most the smaller bigram's count). The substring op carries
+    // the same documented approximation; do NOT narrow this hash.
     val sh = base.select(col("doc_id"),
       explode(graft.functions.TokenWindowExpr.windowHashes(col("t"), 2))
         .as("sh"))

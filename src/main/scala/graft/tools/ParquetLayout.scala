@@ -57,11 +57,14 @@ object ParquetLayout {
     */
   def streamPartitionedSink(s: SparkSession, d: String): DataFrame = {
     val out = JsonlTools.dumpDir(d, "stream_part")
-    val ck = out + "_ck"
-    // the file sink appends forever by contract; a repeatable query
-    // needs a fresh sink+checkpoint pair (at deployment these persist
-    // — that is the point — so the delete is fixture hygiene, not
-    // part of the operator)
+    // checkpoint on the RAM-backed scratch (StreamScratch rationale):
+    // this drain's checkpoint is recreated fresh per execution — only
+    // the SINK OUTPUT (data + _spark_metadata manifest, the thing the
+    // operator prices) needs a real filesystem, and it stays where it
+    // was. At deployment both persist (that is the point); the delete
+    // is fixture hygiene, not part of the operator.
+    val ck = graft.StreamScratch.checkpointDir(
+      "stream_part_" + new java.io.File(out).getName)
     graft.etl.Directory.deleteRecursively(new java.io.File(out))
     graft.etl.Directory.deleteRecursively(new java.io.File(ck))
     // a cloned session isolates readEvents' layout-dependent conf (the
