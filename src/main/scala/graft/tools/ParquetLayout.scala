@@ -86,7 +86,15 @@ object ParquetLayout {
       .partitionBy("event_date")
       .outputMode("append")
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      try q.stop()
+      // the checkpoint is not needed once the query stopped (the batch
+      // reader consumes out/'s _spark_metadata manifest, not ck) —
+      // delete it now so dead-pid scratch dirs never accumulate on the
+      // RAM-backed base
+      finally graft.StreamScratch.cleanup(ck)
+    }
     s.read.parquet(out)
       .filter(col("event_date") === "2024-01-15")
       .groupBy("event_type")
