@@ -432,6 +432,14 @@ object StreamToolOps {
       // semantics never reads
       ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
         ".trackTotalNumberOfRows", "false")
+      // dev-only sweep hook (round 20): GRAFT_RDB_SWEEP=k=v,k=v applies
+      // extra rocksdb provider confs for isolated A/Bs; unset in every
+      // driver/bench run
+      sys.env.get("GRAFT_RDB_SWEEP").foreach(
+        _.split(",").filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          ss.conf.set(s"spark.sql.streaming.stateStore.rocksdb.$k", v)
+        })
       // Recorded decision on this row's 26.5 s sf1 sweep cost (round
       // 16): KEPT at the shared default drain. The hypothesis that the
       // cost is per-trigger instance constants was MEASURED false —
